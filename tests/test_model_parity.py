@@ -1,0 +1,150 @@
+"""Model-math parity vs HuggingFace transformers.
+
+The reference pins model correctness by comparing against HfRunner outputs
+(tests/conftest.py:330,566). With no checkpoints in CI we do the same with
+randomly-initialized tiny models saved to safetensors.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tests.utils as tu
+from vllm_metax_tpu.config import ModelConfig
+from vllm_metax_tpu.models.registry import get_model
+
+
+def _make_hf_model(tmp_path, arch: str):
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    common = dict(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    if arch == "LlamaForCausalLM":
+        cfg = transformers.LlamaConfig(**common, rope_theta=10000.0)
+        model = transformers.LlamaForCausalLM(cfg)
+    elif arch == "Qwen2ForCausalLM":
+        cfg = transformers.Qwen2Config(**common)
+        model = transformers.Qwen2ForCausalLM(cfg)
+    elif arch == "Qwen3ForCausalLM":
+        cfg = transformers.Qwen3Config(**common, head_dim=16)
+        model = transformers.Qwen3ForCausalLM(cfg)
+    elif arch == "LlamaForCausalLM-rope-llama3":
+        cfg = transformers.LlamaConfig(
+            **common,
+            rope_scaling=dict(
+                rope_type="llama3",
+                factor=4.0,
+                low_freq_factor=1.0,
+                high_freq_factor=4.0,
+                original_max_position_embeddings=128,
+            ),
+        )
+        model = transformers.LlamaForCausalLM(cfg)
+    else:
+        raise ValueError(arch)
+    model = model.eval()
+    path = str(tmp_path / arch)
+    model.save_pretrained(path, safe_serialization=True)
+    return model, path
+
+
+@pytest.mark.parametrize(
+    "arch",
+    [
+        "LlamaForCausalLM",
+        "Qwen2ForCausalLM",
+        "Qwen3ForCausalLM",
+        "LlamaForCausalLM-rope-llama3",
+    ],
+)
+def test_prefill_logits_match_hf(tmp_path, arch):
+    import torch
+
+    hf_model, path = _make_hf_model(tmp_path, arch)
+    cfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(cfg.architecture)
+    params = model.load_weights(cfg, None, path)
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, size=17)
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(prompt)[None]).logits[0].numpy()
+
+    block_size, max_blocks = 16, 4
+    md = tu.make_single_seq_metadata(0, len(prompt), block_size, max_blocks)
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads, cfg.head_dim
+    )
+    hidden, _ = model.forward(params, jnp.asarray(prompt), kv, md, cfg)
+    logits = model.compute_logits(params, hidden, cfg)
+    np.testing.assert_allclose(
+        np.asarray(logits), hf_logits, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_chunked_prefill_matches_full(tmp_path):
+    """Prefill in two chunks (KV reuse across steps) must equal one-shot."""
+    _, path = _make_hf_model(tmp_path, "LlamaForCausalLM")
+    cfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(cfg.architecture)
+    params = model.load_weights(cfg, None, path)
+
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, cfg.vocab_size, size=20)
+    block_size, max_blocks = 16, 4
+
+    md = tu.make_single_seq_metadata(0, 20, block_size, max_blocks)
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads, cfg.head_dim
+    )
+    full_hidden, _ = model.forward(params, jnp.asarray(prompt), kv, md, cfg)
+
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads, cfg.head_dim
+    )
+    md1 = tu.make_single_seq_metadata(0, 12, block_size, max_blocks)
+    _, kv = model.forward(params, jnp.asarray(prompt[:12]), kv, md1, cfg)
+    md2 = tu.make_single_seq_metadata(12, 8, block_size, max_blocks)
+    hidden2, _ = model.forward(params, jnp.asarray(prompt[12:]), kv, md2, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(hidden2), np.asarray(full_hidden[12:]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_padded_batch_invariance(tmp_path):
+    """Extra padding tokens must not change real-token outputs (the bucketed
+    runner relies on this)."""
+    _, path = _make_hf_model(tmp_path, "LlamaForCausalLM")
+    cfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(cfg.architecture)
+    params = model.load_weights(cfg, None, path)
+
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, cfg.vocab_size, size=9)
+    block_size, max_blocks = 16, 4
+
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads, cfg.head_dim
+    )
+    md = tu.make_single_seq_metadata(0, 9, block_size, max_blocks)
+    h_ref, _ = model.forward(params, jnp.asarray(prompt), kv, md, cfg)
+
+    md_pad = tu.make_single_seq_metadata(0, 9, block_size, max_blocks,
+                                         num_pad_tokens=7)
+    ids_pad = jnp.asarray(np.pad(prompt, (0, 7)))
+    h_pad, _ = model.forward(params, ids_pad, kv, md_pad, cfg)
+    np.testing.assert_allclose(
+        np.asarray(h_pad[:9]), np.asarray(h_ref), rtol=1e-5, atol=1e-5
+    )

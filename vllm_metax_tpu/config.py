@@ -1,0 +1,338 @@
+"""Configuration dataclasses.
+
+Equivalent of vLLM's VllmConfig tree that the reference platform mutates in
+`check_and_update_config` (reference vllm_metax/platform.py:118-221). Hardware
+constraints (block size, compile buckets, KV dtype) are imposed here, in one
+place, just like the reference does at that hook.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+_DTYPE_MAP = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.bfloat16,  # TPU has no fp16; map to bf16
+    "auto": jnp.bfloat16,
+}
+
+_KV_DTYPE_MAP = {
+    "auto": None,  # follow model dtype
+    "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8,
+    "fp8": jnp.float8_e4m3fn,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
+def _parse_dtype(name: str | Any):
+    if not isinstance(name, str):
+        return name
+    if name not in _DTYPE_MAP:
+        raise ValueError(f"unsupported dtype {name!r}")
+    return _DTYPE_MAP[name]
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyperparameters, normally parsed from a HF config.json."""
+
+    model: str = ""  # path or HF id (used for tokenizer too)
+    architecture: str = "LlamaForCausalLM"
+    hidden_size: int = 2048
+    intermediate_size: int = 5504
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    head_dim: int = 0  # 0 → hidden_size // num_attention_heads
+    vocab_size: int = 32000
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    qk_norm: bool = False  # Qwen3-style per-head q/k RMSNorm
+    sliding_window: int = 0  # 0 = disabled
+    hidden_act: str = "silu"
+    dtype: Any = jnp.bfloat16
+    max_model_len: int = 4096
+    # MoE (Mixtral/Qwen-MoE/DeepSeek style)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    first_k_dense_replace: int = 0  # DeepSeek: leading dense layers
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = False
+    n_group: int = 0
+    topk_group: int = 0
+    scoring_func: str = "softmax"
+    # MLA (DeepSeek-V2/V3)
+    use_mla: bool = False
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # raw HF config dict for model-specific extras
+    hf_config: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.dtype = _parse_dtype(self.dtype)
+        if self.head_dim == 0:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+        self.max_model_len = min(self.max_model_len, self.max_position_embeddings)
+
+    @property
+    def num_q_heads(self) -> int:
+        return self.num_attention_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_key_value_heads
+
+    @staticmethod
+    def from_hf_config(cfg: dict, model: str = "", **overrides) -> "ModelConfig":
+        """Build from a HF config.json dict (covers Llama/Qwen2/Mistral/Mixtral)."""
+        archs = cfg.get("architectures") or ["LlamaForCausalLM"]
+        kw: dict[str, Any] = dict(
+            model=model,
+            architecture=archs[0],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg.get("intermediate_size", 4 * cfg["hidden_size"]),
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get(
+                "num_key_value_heads", cfg["num_attention_heads"]
+            ),
+            head_dim=cfg.get("head_dim") or 0,
+            vocab_size=cfg["vocab_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", False)
+            or cfg.get("qkv_bias", False),
+            mlp_bias=cfg.get("mlp_bias", False),
+            dtype=cfg.get("torch_dtype", "bfloat16"),
+            hf_config=cfg,
+        )
+        # Qwen2 uses attention bias but no config flag before transformers 4.37
+        if archs[0] in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM"):
+            kw["attention_bias"] = True
+        if archs[0] in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM"):
+            kw["qk_norm"] = True
+            kw["attention_bias"] = False
+        if cfg.get("sliding_window") and cfg.get("use_sliding_window", True):
+            kw["sliding_window"] = cfg["sliding_window"]
+        kw["hidden_act"] = cfg.get("hidden_act", "silu")
+        # MoE fields across families
+        if "num_local_experts" in cfg:  # Mixtral
+            kw["num_experts"] = cfg["num_local_experts"]
+            kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 2)
+            kw["moe_intermediate_size"] = cfg.get("intermediate_size")
+        if "n_routed_experts" in cfg:  # DeepSeek
+            kw["num_experts"] = cfg["n_routed_experts"]
+            kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 6)
+            kw["moe_intermediate_size"] = cfg.get("moe_intermediate_size", 0)
+            kw["num_shared_experts"] = cfg.get("n_shared_experts", 0)
+            kw["first_k_dense_replace"] = cfg.get("first_k_dense_replace", 0)
+            kw["routed_scaling_factor"] = cfg.get("routed_scaling_factor", 1.0)
+            kw["norm_topk_prob"] = cfg.get("norm_topk_prob", False)
+            kw["n_group"] = cfg.get("n_group", 0)
+            kw["topk_group"] = cfg.get("topk_group", 0)
+            kw["scoring_func"] = cfg.get("scoring_func", "softmax")
+        if "num_experts" in cfg and archs[0].startswith("Qwen"):  # Qwen-MoE
+            kw["num_experts"] = cfg["num_experts"]
+            kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 4)
+            kw["moe_intermediate_size"] = cfg.get("moe_intermediate_size", 0)
+            kw["norm_topk_prob"] = cfg.get("norm_topk_prob", False)
+        # MLA (DeepSeek V2/V3)
+        if cfg.get("kv_lora_rank"):
+            kw["use_mla"] = True
+            kw["q_lora_rank"] = cfg.get("q_lora_rank") or 0
+            kw["kv_lora_rank"] = cfg["kv_lora_rank"]
+            kw["qk_nope_head_dim"] = cfg.get("qk_nope_head_dim", 128)
+            kw["qk_rope_head_dim"] = cfg.get("qk_rope_head_dim", 64)
+            kw["v_head_dim"] = cfg.get("v_head_dim", 128)
+        kw.update(overrides)
+        return ModelConfig(**kw)
+
+    @staticmethod
+    def from_pretrained(path: str, **overrides) -> "ModelConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        return ModelConfig.from_hf_config(cfg, model=path, **overrides)
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache parameters (ref: platform.py:127-196 block-size rules)."""
+
+    block_size: int = 16
+    num_blocks: int = 512  # overridden by memory profiling in the worker
+    kv_cache_dtype: str = "auto"  # "auto" | "int8" | "fp8" | "fp8_e5m2"
+    gpu_memory_utilization: float = 0.9
+    enable_prefix_caching: bool = True
+    swap_space_bytes: int = 0
+
+    def kv_dtype(self, model_dtype) -> Any:
+        d = _KV_DTYPE_MAP[self.kv_cache_dtype]
+        return model_dtype if d is None else d
+
+    @property
+    def kv_quantized(self) -> bool:
+        return self.kv_cache_dtype not in ("auto", "bfloat16")
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching scheduler knobs (behavior pinned by the reference's
+    vendored tests/v1/core/test_scheduler.py)."""
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 1024
+    enable_chunked_prefill: bool = True
+    long_prefill_token_threshold: int = 0  # 0 = no cap beyond token budget
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh shape. TPU-native: axes of one jax.sharding.Mesh, not process
+    groups (replaces the reference's MCCL shim, pynccl_wrapper.py)."""
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    # decode-context-parallel (KV sharded over this axis for long sequences)
+    decode_context_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.tensor_parallel_size * self.data_parallel_size
+
+
+@dataclass
+class DeviceConfig:
+    device: str = "auto"  # "auto" | "tpu" | "cpu"
+
+
+@dataclass
+class LoadConfig:
+    load_format: str = "auto"  # "auto" | "safetensors" | "dummy"
+    seed: int = 0
+
+
+@dataclass
+class QuantizationConfig:
+    """Checkpoint quantization description. Parsed from HF quantization_config
+    (ref: quant_config/gptq.py:22-45, awq.py:24-67)."""
+
+    method: str = "none"  # none|gptq|awq|int8|w8a8_int8|fp8|compressed-tensors
+    bits: int = 0
+    group_size: int = -1
+    sym: bool = True
+    desc_act: bool = False
+    lm_head_quantized: bool = False
+    # fp8 / w8a8
+    activation_scheme: str = "dynamic"  # "dynamic" | "static"
+    ignored_layers: tuple = ()
+
+    @property
+    def enabled(self) -> bool:
+        return self.method != "none"
+
+    @staticmethod
+    def from_hf_config(cfg: dict) -> "QuantizationConfig":
+        q = cfg.get("quantization_config")
+        if not q:
+            return QuantizationConfig()
+        method = q.get("quant_method", "none")
+        if method in ("gptq", "awq"):
+            return QuantizationConfig(
+                method=method,
+                bits=q.get("bits", 4),
+                group_size=q.get("group_size", 128),
+                sym=q.get("sym", method == "gptq"),
+                desc_act=q.get("desc_act", False),
+                lm_head_quantized=q.get("lm_head", False),
+            )
+        if method == "fp8":
+            return QuantizationConfig(
+                method="fp8",
+                bits=8,
+                activation_scheme=q.get("activation_scheme", "dynamic"),
+                ignored_layers=tuple(q.get("ignored_layers", ())),
+            )
+        if method == "compressed-tensors":
+            return QuantizationConfig(method="compressed-tensors", bits=8)
+        raise ValueError(f"unsupported quant_method {method!r}")
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_metrics: bool = True
+    otlp_traces_endpoint: Optional[str] = None
+
+
+@dataclass
+class SpeculativeConfig:
+    method: str = "none"  # "none" | "ngram" | "mtp" | "eagle"
+    num_speculative_tokens: int = 0
+    # ngram
+    prompt_lookup_min: int = 1
+    prompt_lookup_max: int = 4
+    draft_model: str = ""
+
+    @property
+    def enabled(self) -> bool:
+        return self.method != "none" and self.num_speculative_tokens > 0
+
+
+@dataclass
+class EngineConfig:
+    """Top-level aggregate (VllmConfig equivalent)."""
+
+    model_config: ModelConfig = field(default_factory=ModelConfig)
+    cache_config: CacheConfig = field(default_factory=CacheConfig)
+    scheduler_config: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel_config: ParallelConfig = field(default_factory=ParallelConfig)
+    device_config: DeviceConfig = field(default_factory=DeviceConfig)
+    load_config: LoadConfig = field(default_factory=LoadConfig)
+    quant_config: QuantizationConfig = field(default_factory=QuantizationConfig)
+    observability_config: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig
+    )
+    speculative_config: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+
+    def __post_init__(self):
+        self.check_and_update()
+
+    def check_and_update(self) -> None:
+        """TPU constraint pass (analog of MacaPlatform.check_and_update_config,
+        reference platform.py:118-221)."""
+        mc, cc, sc = self.model_config, self.cache_config, self.scheduler_config
+        # Block size must tile the (sublane, lane) layout; 16 matches the
+        # reference default (platform.py:129) and bf16 sublane tiling.
+        if cc.block_size % 16 != 0:
+            raise ValueError(f"block_size must be a multiple of 16, got {cc.block_size}")
+        if mc.use_mla and cc.block_size < 64:
+            # MLA kernels want larger pages (ref coerces to 64, platform.py:128-196)
+            cc.block_size = 64
+        sc.max_num_batched_tokens = max(
+            sc.max_num_batched_tokens, cc.block_size
+        )
+        if not sc.enable_chunked_prefill:
+            sc.max_num_batched_tokens = max(
+                sc.max_num_batched_tokens, mc.max_model_len
+            )

@@ -1,0 +1,37 @@
+"""Lazy environment-variable overlay.
+
+Mirrors the reference plugin's env pattern (vllm_metax/envs.py:16-76): a dict of
+callables evaluated on attribute access, so tests can monkeypatch os.environ.
+"""
+
+import os
+from typing import Any, Callable
+
+environment_variables: dict[str, Callable[[], Any]] = {
+    # Force a specific attention implementation: "auto" | "xla" | "pallas"
+    "METAX_TPU_ATTN_IMPL": lambda: os.getenv("METAX_TPU_ATTN_IMPL", "auto"),
+    # Force matmul implementation for quantized linears: "auto" | "xla" | "pallas"
+    "METAX_TPU_QUANT_IMPL": lambda: os.getenv("METAX_TPU_QUANT_IMPL", "auto"),
+    # Fraction of free HBM to dedicate to the KV cache.
+    "METAX_TPU_GPU_MEMORY_UTILIZATION": lambda: float(
+        os.getenv("METAX_TPU_GPU_MEMORY_UTILIZATION", "0.9")
+    ),
+    # Extra compile-bucket sizes (comma separated token counts).
+    "METAX_TPU_TOKEN_BUCKETS": lambda: os.getenv("METAX_TPU_TOKEN_BUCKETS", ""),
+    # Log level for the engine logger.
+    "METAX_TPU_LOG_LEVEL": lambda: os.getenv("METAX_TPU_LOG_LEVEL", "INFO"),
+    # Directory for the persistent XLA compilation cache ("" disables).
+    "METAX_TPU_CACHE_DIR": lambda: os.getenv(
+        "METAX_TPU_CACHE_DIR", os.path.expanduser("~/.cache/vllm_metax_tpu")
+    ),
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__() -> list[str]:
+    return list(environment_variables.keys())

@@ -1,0 +1,399 @@
+"""Llama-family decoder (Llama 1/2/3, Qwen2/2.5, Qwen3, Mistral).
+
+TPU-native design notes (vs the reference's torch model defs, which it forks
+from upstream vLLM, e.g. vllm_metax/models/deepseek_v2.py):
+- pure functions over a param pytree; no modules
+- all decoder layers run under one `jax.lax.scan` over stacked params, so XLA
+  compiles the layer body once (compile-time and code-size win over unrolled)
+- QKV and gate/up projections are pre-merged at load time into single matmuls
+  (the MXU likes fewer, larger GEMMs)
+- TP is expressed by running `forward` inside shard_map with params sharded by
+  `param_specs`; row-parallel projections psum over `axis_name`
+
+Param tree (all layer entries stacked with leading L axis):
+  embed: (V, E)
+  layers:
+    ln1: (E,)             input_layernorm
+    qkv: linear (E, (HQ+2*HKV)*D)
+    q_norm/k_norm: (D,)   [qk_norm models]
+    o: linear (HQ*D, E)
+    ln2: (E,)             post_attention_layernorm
+    gate_up: linear (E, 2*I)
+    down: linear (I, E)
+  final_norm: (E,)
+  lm_head: (E, V)         [absent if tie_word_embeddings]
+  rope_cache: (max_pos, rot_dim)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_metax_tpu.config import ModelConfig, QuantizationConfig
+from vllm_metax_tpu.layers.linear import apply_linear
+from vllm_metax_tpu.ops.activation import ACT2FN
+from vllm_metax_tpu.ops.attention import AttentionMetadata, ragged_paged_attention
+from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
+from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
+
+
+# ---------------------------------------------------------------- forward
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,  # (T,)
+    kv_cache: KVCache,  # stacked leading L axis
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,  # local (per-shard) head counts
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+):
+    """Returns (hidden (T, E), new kv_cache)."""
+    hq = num_q_heads or cfg.num_q_heads
+    hkv = num_kv_heads or cfg.num_kv_heads
+    d = cfg.head_dim
+    eps = cfg.rms_norm_eps
+    sm_scale = d**-0.5
+    act_fn = ACT2FN[cfg.hidden_act]
+    rope_cache = params["rope_cache"]
+
+    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def layer_fn(carry, xs):
+        hidden, residual = carry
+        lp, kv_l = xs
+
+        normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
+
+        # --- attention
+        qkv = apply_linear(lp["qkv"], normed)
+        t = qkv.shape[0]
+        q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+        q = q.reshape(t, hq, d)
+        k = k.reshape(t, hkv, d)
+        v = v.reshape(t, hkv, d)
+        if "q_norm" in lp:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+        q, k = apply_rope(q, k, md.positions, rope_cache)
+        kv_l = write_to_kv_cache(kv_l, k, v, md.slot_mapping)
+        attn = ragged_paged_attention(
+            q, kv_l, md, sm_scale, sliding_window=cfg.sliding_window
+        )
+        attn_out = maybe_psum(apply_linear(lp["o"], attn.reshape(t, hq * d)))
+
+        # --- mlp
+        normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
+        gate_up = apply_linear(lp["gate_up"], normed)
+        mlp_out = maybe_psum(apply_linear(lp["down"], act_fn(gate_up)))
+
+        return (mlp_out, residual), kv_l
+
+    residual = jnp.zeros_like(hidden)
+    (hidden, residual), new_kv = jax.lax.scan(
+        layer_fn, (hidden, residual), (params["layers"], kv_cache)
+    )
+    hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
+        cfg.dtype
+    )
+    return hidden, new_kv
+
+
+def compute_logits(
+    params: dict,
+    hidden: jnp.ndarray,  # (R, E) — already gathered at logits_indices
+    cfg: ModelConfig,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    normed = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T  # tied embeddings
+    logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
+    if axis_name:
+        # lm_head is sharded on vocab: gather shards → full vocab
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+    return logits[:, : cfg.vocab_size]
+
+
+# ---------------------------------------------------------------- params
+
+def _linear_shape(kind: str, cfg: ModelConfig, tp: int = 1):
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    e, i = cfg.hidden_size, cfg.intermediate_size
+    return {
+        "qkv": (e, (hq + 2 * hkv) * d),
+        "o": (hq * d, e),
+        "gate_up": (e, 2 * i),
+        "down": (i, e),
+    }[kind]
+
+
+def init_params(
+    cfg: ModelConfig,
+    quant_cfg: Optional[QuantizationConfig] = None,
+    seed: int = 0,
+) -> dict:
+    """Deterministic dummy weights (= the reference's --load-format dummy,
+    exercised by tests/benchmarks/test_latency_cli.py:14)."""
+    rng = np.random.default_rng(seed)
+    dt = cfg.dtype
+    e = cfg.hidden_size
+
+    def dense(shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[0]))
+        return jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dt
+        )
+
+    def layer_params():
+        lp = {
+            "ln1": jnp.ones((e,), dt),
+            "qkv": {"w": dense(_linear_shape("qkv", cfg))},
+            "o": {"w": dense(_linear_shape("o", cfg))},
+            "ln2": jnp.ones((e,), dt),
+            "gate_up": {"w": dense(_linear_shape("gate_up", cfg))},
+            "down": {"w": dense(_linear_shape("down", cfg))},
+        }
+        if cfg.attention_bias:
+            lp["qkv"]["b"] = jnp.zeros(
+                ((cfg.num_q_heads + 2 * cfg.num_kv_heads) * cfg.head_dim,), dt
+            )
+        if cfg.qk_norm:
+            lp["q_norm"] = jnp.ones((cfg.head_dim,), dt)
+            lp["k_norm"] = jnp.ones((cfg.head_dim,), dt)
+        return lp
+
+    layers = [layer_params() for _ in range(cfg.num_hidden_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    params = {
+        "embed": dense((cfg.vocab_size, e), scale=0.02),
+        "layers": stacked,
+        "final_norm": jnp.ones((e,), dt),
+        "rope_cache": compute_rope_cache(
+            cfg.max_position_embeddings,
+            cfg.head_dim,
+            cfg.rope_theta,
+            cfg.rope_scaling,
+        ),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense((e, cfg.vocab_size), scale=0.02)
+    if quant_cfg is not None and quant_cfg.enabled:
+        from vllm_metax_tpu.quantization import quantize_params
+
+        params = quantize_params(params, cfg, quant_cfg)
+    return params
+
+
+def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
+    """Load HF safetensors (Llama/Qwen2/Qwen3/Mistral layouts)."""
+    from vllm_metax_tpu.weights.loader import CheckpointReader
+
+    reader = CheckpointReader(path)
+    dt = cfg.dtype
+    if quant_cfg is not None and quant_cfg.enabled and quant_cfg.method in (
+        "gptq",
+        "awq",
+    ):
+        return _load_weights_quantized(cfg, quant_cfg, reader)
+
+    def get(name):
+        return jnp.asarray(reader.get(name), dtype=dt)
+
+    def get_linear(prefix, bias):
+        p = {"w": get(f"{prefix}.weight").T}
+        if bias and reader.has(f"{prefix}.bias"):
+            p["b"] = get(f"{prefix}.bias")
+        return p
+
+    def merge_linears(ps: list[dict]) -> dict:
+        out = {"w": jnp.concatenate([p["w"] for p in ps], axis=-1)}
+        if "b" in ps[0]:
+            out["b"] = jnp.concatenate([p["b"] for p in ps], axis=-1)
+        return out
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        lp = {
+            "ln1": get(f"{pre}.input_layernorm.weight"),
+            "qkv": merge_linears(
+                [
+                    get_linear(f"{pre}.self_attn.q_proj", cfg.attention_bias),
+                    get_linear(f"{pre}.self_attn.k_proj", cfg.attention_bias),
+                    get_linear(f"{pre}.self_attn.v_proj", cfg.attention_bias),
+                ]
+            ),
+            "o": get_linear(f"{pre}.self_attn.o_proj", False),
+            "ln2": get(f"{pre}.post_attention_layernorm.weight"),
+            "gate_up": merge_linears(
+                [
+                    get_linear(f"{pre}.mlp.gate_proj", cfg.mlp_bias),
+                    get_linear(f"{pre}.mlp.up_proj", cfg.mlp_bias),
+                ]
+            ),
+            "down": get_linear(f"{pre}.mlp.down_proj", cfg.mlp_bias),
+        }
+        if cfg.qk_norm:
+            lp["q_norm"] = get(f"{pre}.self_attn.q_norm.weight")
+            lp["k_norm"] = get(f"{pre}.self_attn.k_norm.weight")
+        layers.append(lp)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": get("model.norm.weight"),
+        "rope_cache": compute_rope_cache(
+            cfg.max_position_embeddings,
+            cfg.head_dim,
+            cfg.rope_theta,
+            cfg.rope_scaling,
+        ),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = get("lm_head.weight").T
+    if quant_cfg is not None and quant_cfg.enabled:
+        from vllm_metax_tpu.quantization import quantize_params
+
+        params = quantize_params(params, cfg, quant_cfg)
+    return params
+
+
+def _load_weights_quantized(cfg, quant_cfg, reader):
+    """GPTQ/AWQ checkpoint load: repack into the canonical packed-int4 layout
+    (replaces the reference's gptq_shuffle / awq_to_gptq_4bit load-time
+    conversions, quant_config/gptq.py:49, awq.py:78)."""
+    from vllm_metax_tpu.quantization.gptq import load_gptq_linear
+    from vllm_metax_tpu.quantization.awq import load_awq_linear
+
+    load_fn = load_gptq_linear if quant_cfg.method == "gptq" else load_awq_linear
+    dt = cfg.dtype
+
+    def get(name):
+        return jnp.asarray(reader.get(name), dtype=dt)
+
+    def get_linear(prefix, bias):
+        p = load_fn(reader, prefix, quant_cfg, dt)
+        if bias and reader.has(f"{prefix}.bias"):
+            p["b"] = get(f"{prefix}.bias")
+        return p
+
+    def merge_quant(ps: list[dict]) -> dict:
+        out = {}
+        for key in ps[0]:
+            if key == "perm":  # same K permutation required to merge
+                out[key] = ps[0][key]
+            else:
+                out[key] = jnp.concatenate([p[key] for p in ps], axis=-1)
+        return out
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        lp = {
+            "ln1": get(f"{pre}.input_layernorm.weight"),
+            "qkv": merge_quant(
+                [
+                    get_linear(f"{pre}.self_attn.q_proj", cfg.attention_bias),
+                    get_linear(f"{pre}.self_attn.k_proj", cfg.attention_bias),
+                    get_linear(f"{pre}.self_attn.v_proj", cfg.attention_bias),
+                ]
+            ),
+            "o": get_linear(f"{pre}.self_attn.o_proj", False),
+            "ln2": get(f"{pre}.post_attention_layernorm.weight"),
+            "gate_up": merge_quant(
+                [
+                    get_linear(f"{pre}.mlp.gate_proj", cfg.mlp_bias),
+                    get_linear(f"{pre}.mlp.up_proj", cfg.mlp_bias),
+                ]
+            ),
+            "down": get_linear(f"{pre}.mlp.down_proj", cfg.mlp_bias),
+        }
+        if cfg.qk_norm:
+            lp["q_norm"] = get(f"{pre}.self_attn.q_norm.weight")
+            lp["k_norm"] = get(f"{pre}.self_attn.k_norm.weight")
+        layers.append(lp)
+
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers),
+        "final_norm": get("model.norm.weight"),
+        "rope_cache": compute_rope_cache(
+            cfg.max_position_embeddings,
+            cfg.head_dim,
+            cfg.rope_theta,
+            cfg.rope_scaling,
+        ),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = get("lm_head.weight").T
+    return params
+
+
+# ---------------------------------------------------------------- sharding
+
+def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
+    """PartitionSpec tree for TP (mesh axis "tp"). Column-parallel projections
+    shard the output dim; row-parallel shard the input dim (+psum in forward).
+    Stacked layer params carry a leading L axis (never sharded)."""
+
+    def linear_spec(shard_axis: int):
+        # covers dense and quantized key layouts; leading L axis prepended
+        col = P(None, None, "tp") if shard_axis == 1 else P(None, "tp", None)
+        spec = {
+            "w": col,
+            "w_i8": col,
+            "w_f8": col,
+            "w_p4": col,
+            "s": col,
+            "zs": col,
+            "a8": P(),
+            "act_s": P(None),
+            "perm": P(None, "tp") if shard_axis == 0 else P(None, None),
+        }
+        if shard_axis == 1:
+            spec["b"] = P(None, "tp")
+        else:
+            spec["b"] = P(None, None)
+        return spec
+
+    layer_spec = {
+        "ln1": P(None, None),
+        "qkv": linear_spec(1),
+        "o": linear_spec(0),
+        "ln2": P(None, None),
+        "gate_up": linear_spec(1),
+        "down": linear_spec(0),
+    }
+    if cfg.qk_norm:
+        layer_spec["q_norm"] = P(None, None)
+        layer_spec["k_norm"] = P(None, None)
+    specs = {
+        "embed": P(None, None),
+        "layers": layer_spec,
+        "final_norm": P(None),
+        "rope_cache": P(None, None),
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def kv_cache_spec(cfg: ModelConfig) -> dict:
+    return {
+        "num_layers": cfg.num_hidden_layers,
+        "num_kv_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+    }

@@ -1,0 +1,52 @@
+"""Model registry (analog of the reference's ModelRegistry.register_model calls,
+vllm_metax/models/__init__.py:6-44).
+
+Each model module exposes:
+- init_params(cfg, quant_cfg, seed) -> params pytree (dummy weights)
+- load_weights(cfg, quant_cfg, path) -> params pytree (HF safetensors)
+- forward(params, input_ids, kv_cache, attn_metadata, cfg, tp_size, axis_name)
+    -> (hidden, new_kv_cache)
+- compute_logits(params, hidden, cfg, axis_name) -> logits
+- param_specs(cfg, quant_cfg) -> pytree of PartitionSpec for TP sharding
+- kv_cache_spec(cfg) -> dict describing per-layer KV shape
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_REGISTRY: dict[str, str] = {
+    # Llama family — one TPU-native implementation covers the variants,
+    # configured by ModelConfig flags (bias, sliding window, tied embeddings).
+    "LlamaForCausalLM": "vllm_metax_tpu.models.llama",
+    "Qwen2ForCausalLM": "vllm_metax_tpu.models.llama",
+    "Qwen3ForCausalLM": "vllm_metax_tpu.models.llama",
+    "MistralForCausalLM": "vllm_metax_tpu.models.llama",
+    "Gemma2ForCausalLM": "vllm_metax_tpu.models.llama",
+    "BaiChuanForCausalLM": "vllm_metax_tpu.models.llama",
+    # MoE family
+    "MixtralForCausalLM": "vllm_metax_tpu.models.mixtral",
+    "Qwen2MoeForCausalLM": "vllm_metax_tpu.models.mixtral",
+    "Qwen3MoeForCausalLM": "vllm_metax_tpu.models.mixtral",
+    # DeepSeek (MLA + MoE)
+    "DeepseekV2ForCausalLM": "vllm_metax_tpu.models.deepseek",
+    "DeepseekV3ForCausalLM": "vllm_metax_tpu.models.deepseek",
+}
+
+
+class ModelRegistry:
+    @staticmethod
+    def register_model(arch: str, module: str) -> None:
+        _REGISTRY[arch] = module
+
+    @staticmethod
+    def resolve(arch: str):
+        if arch not in _REGISTRY:
+            raise ValueError(
+                f"unsupported architecture {arch!r}; known: {sorted(_REGISTRY)}"
+            )
+        return importlib.import_module(_REGISTRY[arch])
+
+
+def get_model(arch: str):
+    return ModelRegistry.resolve(arch)

@@ -1,0 +1,135 @@
+"""Unified (ragged, paged) attention over the block-table KV cache.
+
+Handles mixed prefill+decode token batches in one call, like the reference's
+unified attention path (vllm_metax/attention/ops/triton_unified_attention.py:57
+kernel_unified_attention_2d; classic decode analog csrc/attention/
+paged_attention_v1.cu).
+
+Two implementations behind one interface:
+- XLA reference (this file): gather pages per request, masked softmax. Exact
+  math, CPU-testable, used as the ground truth for the Pallas kernel.
+- Pallas TPU kernel (ops/pallas/ragged_attention.py): flash-style streaming
+  over pages with manual DMA double-buffering — the production path.
+
+All shapes are static (bucketed by the runner); raggedness is expressed via
+`seq_lens`, `query_start_loc`, and per-token `req_idx`/`positions` metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_metax_tpu import envs
+from vllm_metax_tpu.ops.kv_cache import KVCache, gather_kv_for_requests
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class AttentionMetadata:
+    """Per-step device metadata built host-side by the runner (analog of the
+    reference's FlashAttentionMetadata, v1/attention/backends/flash_attn.py:200).
+    """
+
+    slot_mapping: jnp.ndarray  # (T,) int32; pad = num_slots (OOB dropped)
+    block_tables: jnp.ndarray  # (R, MAXB) int32
+    seq_lens: jnp.ndarray  # (R,) int32 total ctx len incl. this step's tokens
+    query_start_loc: jnp.ndarray  # (R+1,) int32 cumulative q counts
+    req_idx: jnp.ndarray  # (T,) int32 token→request row (pad rows point at 0)
+    positions: jnp.ndarray  # (T,) int32 absolute positions (also for rope)
+    num_seqs: jnp.ndarray  # () int32
+
+
+def ragged_paged_attention(
+    q: jnp.ndarray,  # (T, HQ, D)
+    kv_cache: KVCache,
+    metadata: AttentionMetadata,
+    sm_scale: float,
+    sliding_window: int = 0,  # 0 = disabled
+    logits_soft_cap: float = 0.0,  # 0 = disabled
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    impl = impl or envs.METAX_TPU_ATTN_IMPL
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        from vllm_metax_tpu.ops.pallas.ragged_attention import (
+            ragged_paged_attention_pallas,
+        )
+
+        return ragged_paged_attention_pallas(
+            q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
+        )
+    return ragged_paged_attention_xla(
+        q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
+    )
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform not in ("cpu", "gpu")
+
+
+def ragged_paged_attention_xla(
+    q: jnp.ndarray,
+    kv_cache: KVCache,
+    metadata: AttentionMetadata,
+    sm_scale: float,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+) -> jnp.ndarray:
+    """Exact reference implementation (math of tests/kernels/attention/
+    test_attention.py:50 ref_masked_attention, extended to paged+ragged)."""
+    t, hq, d = q.shape
+    r, maxb = metadata.block_tables.shape
+    bs = kv_cache.k.shape[1]
+    hkv = kv_cache.k.shape[2]
+    g = hq // hkv
+    ctx = maxb * bs
+
+    k_all, v_all = gather_kv_for_requests(kv_cache, metadata.block_tables, jnp.float32)
+    # (R, CTX, HKV, D) → per-token context
+    k_tok = k_all[metadata.req_idx]  # (T, CTX, HKV, D)
+    v_tok = v_all[metadata.req_idx]
+
+    qf = q.astype(jnp.float32).reshape(t, hkv, g, d)
+    scores = jnp.einsum("thgd,tchd->thgc", qf, k_tok) * sm_scale  # (T,HKV,G,CTX)
+    if logits_soft_cap > 0.0:
+        scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
+
+    kv_pos = jnp.arange(ctx, dtype=jnp.int32)[None, :]  # (1, CTX)
+    q_pos = metadata.positions[:, None]  # (T, 1)
+    seq_len = metadata.seq_lens[metadata.req_idx][:, None]  # (T, 1)
+    mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+    if sliding_window > 0:
+        mask &= kv_pos > q_pos - sliding_window
+    scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.maximum(m, -1e30)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    p = p / denom
+    out = jnp.einsum("thgc,tchd->thgd", p, v_tok)
+    return out.reshape(t, hq, d).astype(q.dtype)
+
+
+def merge_attn_states(
+    out_a: jnp.ndarray,  # (..., D)
+    lse_a: jnp.ndarray,  # (...,)
+    out_b: jnp.ndarray,
+    lse_b: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """LSE-weighted merge of two partial attention results over disjoint KV
+    ranges (ref: csrc/attention/merge_attn_states.cu). The combine primitive
+    for chunked prefill and decode-context-parallel (DCP)."""
+    m = jnp.maximum(lse_a, lse_b)
+    a = jnp.exp(lse_a - m)
+    b = jnp.exp(lse_b - m)
+    denom = a + b
+    out = (out_a * a[..., None] + out_b * b[..., None]) / denom[..., None]
+    return out, m + jnp.log(denom)

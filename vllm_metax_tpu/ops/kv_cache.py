@@ -1,0 +1,161 @@
+"""Paged KV-cache storage and write ops.
+
+Reference equivalents: csrc/cache_kernels.cu — reshape_and_cache_flash (:450),
+indexer_k_quant_and_cache (:1145, per-block quant + scales). TPU-native design:
+the cache is a pytree of jax arrays threaded functionally through the jitted
+step (donated, so XLA updates in place); the write is a flat scatter over
+slot indices, which XLA lowers to an in-place dynamic-update on TPU.
+
+Layout: (num_blocks, block_size, num_kv_heads, head_dim); for TP the
+num_kv_heads axis is sharded on the mesh "tp" axis.
+
+Quantized KV (int8 / fp8-e4m3): values stored in the quant dtype with
+per-token-per-head scales of shape (num_blocks, block_size, num_kv_heads).
+This goes beyond the reference, whose MACA fp8-KV dispatch is stubbed off
+(csrc/quantization/fp8/metax/quant_utils.cuh:29-43).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+_INT8_MAX = 127.0
+_FP8_MAX = 448.0  # e4m3 finite max
+_FP8_E5M2_MAX = 57344.0
+
+
+class KVCache(NamedTuple):
+    """Single-layer paged KV cache (a pytree leaf group)."""
+
+    k: jnp.ndarray  # (NB, BS, H, D) model dtype or int8/fp8
+    v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None  # (NB, BS, H) f32 if quantized
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[0] * self.k.shape[1]
+
+
+def new_kv_cache(
+    num_blocks: int,
+    block_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+    model_dtype=jnp.bfloat16,
+) -> KVCache:
+    shape = (num_blocks, block_size, num_kv_heads, head_dim)
+    quantized = dtype in (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
+    k = jnp.zeros(shape, dtype=dtype)
+    v = jnp.zeros(shape, dtype=dtype)
+    if quantized:
+        s = jnp.ones(shape[:3], dtype=jnp.float32)
+        return KVCache(k, v, s, s)
+    return KVCache(k, v)
+
+
+def _quantize_kv(x: jnp.ndarray, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token-per-head symmetric quant. x: (T, H, D) → (values, scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # (T, H)
+    if dtype == jnp.int8:
+        qmax = _INT8_MAX
+    elif dtype == jnp.float8_e5m2:
+        qmax = _FP8_E5M2_MAX
+    else:
+        qmax = _FP8_MAX
+    scale = jnp.maximum(amax / qmax, 1e-10)
+    q = x.astype(jnp.float32) / scale[..., None]
+    if dtype == jnp.int8:
+        q = jnp.clip(jnp.round(q), -_INT8_MAX, _INT8_MAX)
+    return q.astype(dtype), scale
+
+
+def dequantize_kv(values: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """values: (..., H, D), scale: (..., H) → model-dtype values."""
+    return (values.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def write_to_kv_cache(
+    kv_cache: KVCache,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+) -> KVCache:
+    """Scatter new K/V (T, H, D) into cache slots (ref: reshape_and_cache_flash,
+    csrc/cache_kernels.cu:450).
+
+    slot_mapping: (T,) int32 of block_id*block_size+offset; padding tokens use
+    an out-of-range sentinel (>= num_slots) which the scatter drops. NOTE:
+    negative padding indices would wrap in JAX — callers must use OOB values.
+    """
+    nb, bs, h, d = kv_cache.k.shape
+    cache_dtype = kv_cache.k.dtype
+
+    def scatter(cache_arr, vals):
+        flat = cache_arr.reshape(nb * bs, *cache_arr.shape[2:])
+        flat = flat.at[slot_mapping].set(
+            vals, mode="drop", unique_indices=True, indices_are_sorted=False
+        )
+        return flat.reshape(cache_arr.shape)
+
+    if kv_cache.quantized:
+        kq, ks = _quantize_kv(k, cache_dtype)
+        vq, vs = _quantize_kv(v, cache_dtype)
+        return KVCache(
+            scatter(kv_cache.k, kq),
+            scatter(kv_cache.v, vq),
+            scatter(kv_cache.k_scale, ks),
+            scatter(kv_cache.v_scale, vs),
+        )
+    return KVCache(
+        scatter(kv_cache.k, k.astype(cache_dtype)),
+        scatter(kv_cache.v, v.astype(cache_dtype)),
+    )
+
+
+def gather_kv_for_requests(
+    kv_cache: KVCache, block_tables: jnp.ndarray, out_dtype
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather + dequantize full per-request context KV.
+
+    block_tables: (R, MAXB) — padding entries may be any in-range id; callers
+    mask by seq_len. Returns (R, MAXB*BS, H, D) k and v in out_dtype.
+    Reference analog: gather_and_maybe_dequant_cache (cache_kernels.cu:725).
+    """
+    r, maxb = block_tables.shape
+    nb, bs, h, d = kv_cache.k.shape
+    k = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, BS, H, D)
+    v = jnp.take(kv_cache.v, block_tables, axis=0)
+    if kv_cache.quantized:
+        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)
+        vs = jnp.take(kv_cache.v_scale, block_tables, axis=0)
+        k = dequantize_kv(k, ks, out_dtype)
+        v = dequantize_kv(v, vs, out_dtype)
+    else:
+        k = k.astype(out_dtype)
+        v = v.astype(out_dtype)
+    return k.reshape(r, maxb * bs, h, d), v.reshape(r, maxb * bs, h, d)
+
+
+def swap_blocks(src: KVCache, dst: KVCache, src_to_dst: jnp.ndarray) -> KVCache:
+    """Copy whole blocks src→dst by (src_id, dst_id) pairs (ref: swap_blocks,
+    csrc/cache_kernels.cu:18). Used for CPU offload tiers."""
+    s_idx, d_idx = src_to_dst[:, 0], src_to_dst[:, 1]
+
+    def copy(dst_arr, src_arr):
+        return dst_arr.at[d_idx].set(src_arr[s_idx], mode="drop")
+
+    return KVCache(
+        copy(dst.k, src.k),
+        copy(dst.v, src.v),
+        None if dst.k_scale is None else copy(dst.k_scale, src.k_scale),
+        None if dst.v_scale is None else copy(dst.v_scale, src.v_scale),
+    )
