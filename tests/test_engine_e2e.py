@@ -1,0 +1,181 @@
+"""End-to-end engine tests: LLM.generate greedy parity vs HF transformers
+(the reference's e2e surface: tests/e2e/test_offline_inference_basic.py)."""
+
+import numpy as np
+import pytest
+
+from vllm_metax_tpu import LLM, SamplingParams
+from vllm_metax_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    LoadConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_ckpt(tmp_path_factory):
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    path = str(tmp_path_factory.mktemp("ckpt") / "llama-tiny")
+    model.save_pretrained(path, safe_serialization=True)
+    return model, path
+
+
+def _hf_greedy(hf_model, prompt, n):
+    import torch
+
+    with torch.no_grad():
+        out = hf_model.generate(
+            torch.tensor(prompt)[None], max_new_tokens=n, do_sample=False
+        )
+    return out[0, len(prompt) :].tolist()
+
+
+def _make_llm(path, **kw):
+    defaults = dict(
+        dtype="float32",
+        num_kv_blocks=128,
+        max_num_seqs=8,
+        max_num_batched_tokens=128,
+    )
+    defaults.update(kw)
+    return LLM(model=path, **defaults)
+
+
+def test_batch_greedy_matches_hf(hf_ckpt):
+    hf_model, path = hf_ckpt
+    llm = _make_llm(path)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, 256, size=n)) for n in (5, 23, 40, 11)]
+    n_out = 12
+    outs = llm.generate(
+        sampling_params=SamplingParams(max_tokens=n_out, temperature=0.0,
+                                       ignore_eos=True),
+        prompt_token_ids=prompts,
+    )
+    for prompt, out in zip(prompts, outs):
+        ref = _hf_greedy(hf_model, prompt, n_out)
+        assert out.outputs[0].token_ids == ref
+        assert out.outputs[0].finish_reason == "length"
+
+
+def test_chunked_prefill_e2e(hf_ckpt):
+    hf_model, path = hf_ckpt
+    # tiny step budget forces multi-step prefill
+    llm = _make_llm(path, max_num_batched_tokens=32)
+    rng = np.random.default_rng(1)
+    prompt = list(rng.integers(0, 256, size=100))
+    outs = llm.generate(
+        sampling_params=SamplingParams(max_tokens=8, temperature=0.0,
+                                       ignore_eos=True),
+        prompt_token_ids=[prompt],
+    )
+    assert outs[0].outputs[0].token_ids == _hf_greedy(hf_model, prompt, 8)
+
+
+def test_prefix_caching_consistency(hf_ckpt):
+    hf_model, path = hf_ckpt
+    llm = _make_llm(path)
+    rng = np.random.default_rng(2)
+    prompt = list(rng.integers(0, 256, size=50))
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    first = llm.generate(sampling_params=sp, prompt_token_ids=[prompt])
+    # second run hits the prefix cache; outputs must be identical
+    second = llm.generate(sampling_params=sp, prompt_token_ids=[prompt])
+    assert first[0].outputs[0].token_ids == second[0].outputs[0].token_ids
+    assert llm.engine.scheduler.num_prefix_cached_tokens > 0
+
+
+def test_stop_token(hf_ckpt):
+    hf_model, path = hf_ckpt
+    llm = _make_llm(path)
+    prompt = list(range(10))
+    ref = _hf_greedy(hf_model, prompt, 12)
+    stop_tok = ref[4]
+    outs = llm.generate(
+        sampling_params=SamplingParams(
+            max_tokens=12, temperature=0.0, stop_token_ids=[stop_tok]
+        ),
+        prompt_token_ids=[prompt],
+    )
+    got = outs[0].outputs[0].token_ids
+    assert got == ref[:5]  # includes the stop token, then stops
+    assert outs[0].outputs[0].finish_reason == "stop"
+
+
+def test_seeded_sampling_deterministic(hf_ckpt):
+    _, path = hf_ckpt
+    llm = _make_llm(path)
+    prompt = list(range(8))
+    sp = SamplingParams(max_tokens=10, temperature=0.9, top_p=0.9, seed=1234,
+                        ignore_eos=True)
+    a = llm.generate(sampling_params=sp, prompt_token_ids=[prompt])
+    b = llm.generate(sampling_params=sp, prompt_token_ids=[prompt])
+    assert a[0].outputs[0].token_ids == b[0].outputs[0].token_ids
+    sp2 = SamplingParams(max_tokens=10, temperature=0.9, top_p=0.9, seed=99,
+                         ignore_eos=True)
+    c = llm.generate(sampling_params=sp2, prompt_token_ids=[prompt])
+    assert c[0].outputs[0].token_ids != a[0].outputs[0].token_ids
+
+
+def test_logprobs_returned(hf_ckpt):
+    _, path = hf_ckpt
+    llm = _make_llm(path)
+    outs = llm.generate(
+        sampling_params=SamplingParams(max_tokens=4, temperature=0.0,
+                                       logprobs=5, ignore_eos=True),
+        prompt_token_ids=[list(range(12))],
+    )
+    lps = outs[0].outputs[0].logprobs
+    assert lps is not None and len(lps) == 4
+    for tok, d in zip(outs[0].outputs[0].token_ids, lps):
+        assert tok in d
+        assert max(d.values()) <= 0.0
+        # greedy: chosen token has the max logprob
+        assert d[tok] == max(d.values())
+
+
+def test_penalties_change_output(hf_ckpt):
+    _, path = hf_ckpt
+    llm = _make_llm(path)
+    prompt = list(range(12))
+    sp_plain = SamplingParams(max_tokens=16, temperature=0.0, ignore_eos=True)
+    sp_pen = SamplingParams(
+        max_tokens=16, temperature=0.0, repetition_penalty=2.0, ignore_eos=True
+    )
+    a = llm.generate(sampling_params=sp_plain, prompt_token_ids=[prompt])
+    b = llm.generate(sampling_params=sp_pen, prompt_token_ids=[prompt])
+    ta = a[0].outputs[0].token_ids
+    tb = b[0].outputs[0].token_ids
+    assert ta != tb
+    # repetition penalty must not repeat-pick the same token forever
+    assert len(set(tb)) >= len(set(ta))
+
+
+def test_many_requests_preemption(hf_ckpt):
+    """More requests than KV blocks can hold at once → preemption must still
+    produce the same greedy outputs."""
+    hf_model, path = hf_ckpt
+    llm = _make_llm(path, num_kv_blocks=24, max_num_seqs=8)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, 256, size=30)) for _ in range(6)]
+    sp = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    outs = llm.generate(sampling_params=sp, prompt_token_ids=prompts)
+    for prompt, out in zip(prompts, outs):
+        assert out.outputs[0].token_ids == _hf_greedy(hf_model, prompt, 10)

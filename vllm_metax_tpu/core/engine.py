@@ -1,0 +1,85 @@
+"""EngineCore: the schedule → execute → update loop.
+
+Analog of vLLM v1's EngineCore (behavior pinned by the reference's
+tests/v1/engine/test_engine_core.py). In-process for now; the multi-process
+split (API proc ↔ engine proc over zmq) layers on top.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from vllm_metax_tpu.config import EngineConfig
+from vllm_metax_tpu.core.request import Request
+from vllm_metax_tpu.core.runner import ModelRunner
+from vllm_metax_tpu.core.scheduler import EngineCoreOutput, Scheduler
+from vllm_metax_tpu.logger import init_logger
+from vllm_metax_tpu.metrics import EngineStats
+from vllm_metax_tpu.sample.params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+class EngineCore:
+    def __init__(self, config: EngineConfig, params=None, mesh=None):
+        self.config = config
+        self.runner = ModelRunner(config, params=params, mesh=mesh)
+        self.scheduler = Scheduler(
+            config.scheduler_config,
+            config.cache_config,
+            config.model_config.max_model_len,
+        )
+        self.stats = EngineStats()
+
+    def add_request(
+        self,
+        req_id: str,
+        prompt_token_ids: list[int],
+        sampling_params: SamplingParams,
+        eos_token_id: Optional[int] = None,
+    ) -> None:
+        if len(prompt_token_ids) >= self.config.model_config.max_model_len:
+            raise ValueError(
+                f"prompt ({len(prompt_token_ids)} tokens) exceeds max_model_len "
+                f"({self.config.model_config.max_model_len})"
+            )
+        self.scheduler.add_request(
+            Request(
+                req_id=req_id,
+                prompt_token_ids=list(prompt_token_ids),
+                sampling_params=sampling_params,
+                eos_token_id=eos_token_id,
+                arrival_time=time.time(),
+            )
+        )
+
+    def abort_request(self, req_id: str) -> None:
+        self.scheduler.abort_request(req_id)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()
+
+    def step(self) -> list[EngineCoreOutput]:
+        scheduler_output = self.scheduler.schedule()
+        if scheduler_output.total_num_scheduled_tokens == 0:
+            # nothing schedulable (all waiting on blocks) — shouldn't spin
+            if self.scheduler.has_unfinished_requests():
+                logger.warning("scheduler produced an empty step with pending work")
+            return []
+        runner_output = self.runner.execute_model(scheduler_output)
+        sampled = dict(zip(runner_output.req_ids, runner_output.sampled_token_ids))
+        outputs = self.scheduler.update_from_output(scheduler_output, sampled)
+        # attach logprobs
+        lp_by_req = dict(zip(runner_output.req_ids, runner_output.logprobs))
+        for out in outputs:
+            lp = lp_by_req.get(out.req_id)
+            if lp is not None and out.new_token_ids:
+                out.new_logprobs = lp[: len(out.new_token_ids)]
+        self.stats.record_step(
+            num_tokens=scheduler_output.total_num_scheduled_tokens,
+            num_reqs=scheduler_output.num_reqs,
+            num_generated=sum(len(o.new_token_ids) for o in outputs),
+            kv_usage=self.scheduler.kv_manager.usage,
+        )
+        return outputs

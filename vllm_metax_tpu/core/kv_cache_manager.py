@@ -1,0 +1,209 @@
+"""Block-table KV cache management with prefix caching.
+
+Behavioral model: vLLM v1's KVCacheManager/BlockPool, whose semantics the
+reference pins via vendored tests (tests/v1/core/test_kv_cache_utils.py,
+test_prefix_caching.py). TPU note: this is pure host-side bookkeeping — the
+device only ever sees block_tables / slot_mapping integer arrays.
+
+Prefix caching: full blocks are content-hashed (chained over the prefix) and
+kept in an LRU of freed-but-intact blocks; a new request reuses any leading
+chain of matching blocks without recompute.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Optional
+
+from vllm_metax_tpu.core.request import Request
+from vllm_metax_tpu.utils import cdiv
+
+
+@dataclass
+class KVCacheBlock:
+    block_id: int
+    ref_cnt: int = 0
+    block_hash: Optional[int] = None
+
+
+def hash_block_tokens(parent_hash: int, tokens: tuple[int, ...]) -> int:
+    return hash((parent_hash, tokens))
+
+
+class BlockPool:
+    """Free-list + content-hash index over the physical blocks."""
+
+    def __init__(self, num_blocks: int, enable_caching: bool = True):
+        self.num_blocks = num_blocks
+        self.enable_caching = enable_caching
+        self.blocks = [KVCacheBlock(i) for i in range(num_blocks)]
+        # LRU: freed blocks stay here (evictable, content intact) until reused.
+        self.free_queue: OrderedDict[int, KVCacheBlock] = OrderedDict(
+            (b.block_id, b) for b in self.blocks
+        )
+        self.cached: dict[int, KVCacheBlock] = {}  # block_hash → block
+
+    def get_num_free_blocks(self) -> int:
+        return len(self.free_queue)
+
+    def get_cached_block(self, block_hash: int) -> Optional[KVCacheBlock]:
+        return self.cached.get(block_hash) if self.enable_caching else None
+
+    def touch(self, block: KVCacheBlock) -> None:
+        """Re-reference a block (possibly pulling it out of the free LRU)."""
+        if block.ref_cnt == 0:
+            self.free_queue.pop(block.block_id, None)
+        block.ref_cnt += 1
+
+    def allocate(self, n: int) -> list[KVCacheBlock]:
+        if n > len(self.free_queue):
+            raise RuntimeError("out of KV blocks")
+        out = []
+        for _ in range(n):
+            _, block = self.free_queue.popitem(last=False)  # LRU eviction
+            if block.block_hash is not None:
+                # evicting a cached block: drop its prefix-cache entry
+                if self.cached.get(block.block_hash) is block:
+                    del self.cached[block.block_hash]
+                block.block_hash = None
+            block.ref_cnt = 1
+            out.append(block)
+        return out
+
+    def cache_block(self, block: KVCacheBlock, block_hash: int) -> None:
+        if not self.enable_caching:
+            return
+        block.block_hash = block_hash
+        self.cached[block_hash] = block
+
+    def free(self, block: KVCacheBlock) -> None:
+        block.ref_cnt -= 1
+        if block.ref_cnt == 0:
+            self.free_queue[block.block_id] = block  # MRU end
+            self.free_queue.move_to_end(block.block_id)
+
+    def reset_prefix_cache(self) -> bool:
+        if any(b.ref_cnt > 0 for b in self.blocks):
+            return False
+        self.cached.clear()
+        for b in self.blocks:
+            b.block_hash = None
+        return True
+
+
+@dataclass
+class KVCacheBlocks:
+    blocks: list[KVCacheBlock] = field(default_factory=list)
+
+    @property
+    def block_ids(self) -> list[int]:
+        return [b.block_id for b in self.blocks]
+
+
+class KVCacheManager:
+    def __init__(
+        self,
+        num_blocks: int,
+        block_size: int,
+        enable_caching: bool = True,
+    ):
+        self.block_size = block_size
+        self.block_pool = BlockPool(num_blocks, enable_caching)
+        self.enable_caching = enable_caching
+        self.req_blocks: dict[str, list[KVCacheBlock]] = {}
+        # per-request chained hashes of its full blocks (parallel to req_blocks)
+        self.req_hashes: dict[str, list[int]] = {}
+
+    @property
+    def usage(self) -> float:
+        return 1.0 - self.block_pool.get_num_free_blocks() / self.block_pool.num_blocks
+
+    def get_computed_blocks(self, request: Request) -> tuple[KVCacheBlocks, int]:
+        """Longest cached prefix for a new request. Never returns the full
+        prompt (the last token must be recomputed to produce logits)."""
+        if not self.enable_caching:
+            return KVCacheBlocks([]), 0
+        tokens = request.prompt_token_ids
+        # only blocks strictly before the last token are usable
+        max_cache_hit = (len(tokens) - 1) // self.block_size
+        blocks = []
+        parent = 0
+        for i in range(max_cache_hit):
+            chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
+            parent = hash_block_tokens(parent, chunk)
+            cached = self.block_pool.get_cached_block(parent)
+            if cached is None:
+                break
+            blocks.append(cached)
+        return KVCacheBlocks(blocks), len(blocks) * self.block_size
+
+    def allocate_slots(
+        self,
+        request: Request,
+        num_new_tokens: int,
+        new_computed_blocks: Optional[KVCacheBlocks] = None,
+    ) -> Optional[KVCacheBlocks]:
+        """Ensure the request has blocks covering
+        num_computed_tokens + num_new_tokens. Returns newly-allocated blocks,
+        or None if the pool can't satisfy it (caller preempts)."""
+        computed = new_computed_blocks.blocks if new_computed_blocks else []
+        cur = self.req_blocks.get(request.req_id, [])
+        total_tokens = request.num_computed_tokens + num_new_tokens
+        needed_blocks = cdiv(total_tokens, self.block_size)
+        num_new_blocks = needed_blocks - len(cur) - len(computed)
+        if num_new_blocks > self.block_pool.get_num_free_blocks():
+            return None
+
+        if computed:  # first allocation with a prefix-cache hit
+            for b in computed:
+                self.block_pool.touch(b)
+            self.req_blocks[request.req_id] = cur = list(computed)
+            # seed the hash chain with the reused prefix
+            hashes = []
+            parent = 0
+            tokens = request.prompt_token_ids
+            for i, _ in enumerate(computed):
+                chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
+                parent = hash_block_tokens(parent, chunk)
+                hashes.append(parent)
+            self.req_hashes[request.req_id] = hashes
+        elif request.req_id not in self.req_blocks:
+            self.req_blocks[request.req_id] = cur = []
+            self.req_hashes[request.req_id] = []
+
+        new_blocks = self.block_pool.allocate(max(num_new_blocks, 0))
+        cur.extend(new_blocks)
+        return KVCacheBlocks(new_blocks)
+
+    def cache_full_blocks(self, request: Request, num_computed_tokens: int) -> None:
+        """Register content hashes for blocks that became full (called after
+        a step advances num_computed_tokens)."""
+        if not self.enable_caching:
+            return
+        blocks = self.req_blocks.get(request.req_id, [])
+        hashes = self.req_hashes[request.req_id]
+        tokens = request.all_token_ids
+        num_full = num_computed_tokens // self.block_size
+        parent = hashes[-1] if hashes else 0
+        for i in range(len(hashes), min(num_full, len(blocks))):
+            chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
+            parent = hash_block_tokens(parent, chunk)
+            hashes.append(parent)
+            if self.block_pool.get_cached_block(parent) is None:
+                self.block_pool.cache_block(blocks[i], parent)
+
+    def free(self, request: Request) -> None:
+        # free in reverse so the LRU evicts tail blocks (least reusable) first
+        for b in reversed(self.req_blocks.pop(request.req_id, [])):
+            self.block_pool.free(b)
+        self.req_hashes.pop(request.req_id, None)
+
+    def get_block_ids(self, req_id: str) -> list[int]:
+        return [b.block_id for b in self.req_blocks.get(req_id, [])]
+
+    def get_num_free_blocks(self) -> int:
+        return self.block_pool.get_num_free_blocks()
+
+    def reset_prefix_cache(self) -> bool:
+        return self.block_pool.reset_prefix_cache()

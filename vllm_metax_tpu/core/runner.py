@@ -1,0 +1,322 @@
+"""Model runner: turns a SchedulerOutput into one jitted TPU step.
+
+Analog of vLLM v1's GPUModelRunner (which the reference configures at
+platform.py:124-125) redesigned for XLA's static-shape world:
+
+- every step's (num_tokens, num_reqs) is padded up to a small set of compile
+  buckets, so the engine runs a handful of pre-compiled XLA programs — this
+  replaces both CUDA-graph capture and torch.compile plumbing
+- metadata (block tables, slot mapping, positions) is assembled host-side in
+  numpy (the reference does the same CPU-side build, flash_attn.py:286), then
+  shipped as one small transfer
+- the KV cache is donated through the jitted step, so XLA updates it in place
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_metax_tpu.config import EngineConfig
+from vllm_metax_tpu.core.scheduler import SchedulerOutput
+from vllm_metax_tpu.logger import init_logger
+from vllm_metax_tpu.models.registry import get_model
+from vllm_metax_tpu.ops.attention import AttentionMetadata
+from vllm_metax_tpu.ops.kv_cache import new_kv_cache
+from vllm_metax_tpu.sample.params import SamplingParams
+from vllm_metax_tpu.sample.sampler import (
+    SamplerOutput,
+    SamplingTensors,
+    apply_penalties,
+    sample,
+)
+from vllm_metax_tpu.utils import cdiv, default_token_buckets, pick_bucket
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class CachedReqState:
+    token_ids: list[int]  # prompt + generated (runner-side mirror)
+    block_ids: list[int]
+    sampling_params: SamplingParams
+    prompt_len: int = 0
+    num_computed_tokens: int = 0
+    generator_seed: Optional[int] = None
+
+
+@dataclass
+class ModelRunnerOutput:
+    req_ids: list[str] = field(default_factory=list)
+    sampled_token_ids: list[list[int]] = field(default_factory=list)
+    # per request: list per new token of {token_id: logprob} (top-k + chosen)
+    logprobs: list[Optional[list[dict[int, float]]]] = field(default_factory=list)
+
+
+class ModelRunner:
+    def __init__(self, config: EngineConfig, params=None, mesh=None):
+        self.config = config
+        self.model_cfg = config.model_config
+        self.cache_cfg = config.cache_config
+        self.model = get_model(self.model_cfg.architecture)
+        self.mesh = mesh
+        self.rng = np.random.default_rng(config.load_config.seed)
+
+        if params is None:
+            params = self._load_params()
+        self.params = params
+
+        cc = self.cache_cfg
+        kv_dtype = cc.kv_dtype(self.model_cfg.dtype)
+        kv = new_kv_cache(
+            cc.num_blocks,
+            cc.block_size,
+            self.model_cfg.num_kv_heads,
+            self.model_cfg.head_dim,
+            kv_dtype,
+        )
+        nl = self.model_cfg.num_hidden_layers
+        self.kv_cache = jax.tree_util.tree_map(
+            lambda a: jnp.zeros((nl,) + a.shape, a.dtype), kv
+        )
+        self.num_slots = cc.num_blocks * cc.block_size
+        self.max_blocks_per_req = cdiv(self.model_cfg.max_model_len, cc.block_size)
+
+        sched = config.scheduler_config
+        self.token_buckets = default_token_buckets(sched.max_num_batched_tokens)
+        self.req_buckets = default_token_buckets(sched.max_num_seqs, min_bucket=8)
+        self.hist_buckets = default_token_buckets(
+            self.model_cfg.max_model_len, min_bucket=128
+        )
+
+        self.requests: dict[str, CachedReqState] = {}
+        self._step_fn = self._build_step_fn()
+
+    # ------------------------------------------------------------ build
+
+    def _load_params(self):
+        lc = self.config.load_config
+        if lc.load_format == "dummy" or not self.model_cfg.model:
+            logger.info("initializing dummy weights (load_format=dummy)")
+            return self.model.init_params(
+                self.model_cfg, self.config.quant_config, seed=lc.seed
+            )
+        logger.info("loading weights from %s", self.model_cfg.model)
+        return self.model.load_weights(
+            self.model_cfg, self.config.quant_config, self.model_cfg.model
+        )
+
+    def _build_step_fn(self):
+        model, cfg = self.model, self.model_cfg
+
+        def step(params, kv_cache, input_ids, md, logits_indices, st,
+                 hist_ids, hist_is_out):
+            hidden, kv_cache = model.forward(params, input_ids, kv_cache, md, cfg)
+            sel = jnp.take(hidden, logits_indices, axis=0)
+            logits = model.compute_logits(params, sel, cfg)
+            if hist_ids is not None:
+                rb = logits.shape[0]
+                vocab = logits.shape[1]
+                rows = jnp.broadcast_to(
+                    jnp.arange(rb, dtype=jnp.int32)[:, None], hist_ids.shape
+                )
+                counts = jnp.zeros((rb, vocab), jnp.int32).at[
+                    rows, hist_ids
+                ].add(hist_is_out.astype(jnp.int32), mode="drop")
+                seen = jnp.zeros((rb, vocab), bool).at[rows, hist_ids].set(
+                    True, mode="drop"
+                )
+                logits = apply_penalties(logits, counts, seen, st)
+            out = sample(logits, st)
+            return out, kv_cache
+
+        return jax.jit(step, donate_argnums=(1,), static_argnums=())
+
+    # ------------------------------------------------------------ state sync
+
+    def _update_states(self, so: SchedulerOutput) -> None:
+        for req_id in so.finished_req_ids:
+            self.requests.pop(req_id, None)
+        # NOTE: preempted requests keep their runner state (token ids, sampling
+        # params); only their blocks are invalid until resume — vLLM semantics.
+        for nr in so.scheduled_new_reqs:
+            self.requests[nr.req_id] = CachedReqState(
+                token_ids=list(nr.prompt_token_ids),
+                block_ids=list(nr.block_ids),
+                sampling_params=nr.sampling_params,
+                prompt_len=len(nr.prompt_token_ids),
+                num_computed_tokens=nr.num_computed_tokens,
+                generator_seed=nr.sampling_params.seed,
+            )
+        for cr in so.scheduled_cached_reqs:
+            st = self.requests[cr.req_id]
+            if cr.resumed_from_preemption:
+                st.block_ids = list(cr.new_block_ids)
+                st.num_computed_tokens = cr.num_computed_tokens
+            else:
+                st.block_ids.extend(cr.new_block_ids)
+                st.num_computed_tokens = cr.num_computed_tokens
+
+    # ------------------------------------------------------------ execute
+
+    def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        self._update_states(so)
+        if so.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput()
+
+        req_ids = list(so.num_scheduled_tokens.keys())
+        num_reqs = len(req_ids)
+        t = so.total_num_scheduled_tokens
+        tb = pick_bucket(self.token_buckets, t)
+        rb = pick_bucket(self.req_buckets, num_reqs)
+        bs = self.cache_cfg.block_size
+        maxb = self.max_blocks_per_req
+
+        input_ids = np.zeros(tb, np.int32)
+        positions = np.zeros(tb, np.int32)
+        slot_mapping = np.full(tb, self.num_slots, np.int32)
+        req_idx = np.zeros(tb, np.int32)
+        qsl = np.zeros(rb + 1, np.int32)
+        seq_lens = np.zeros(rb, np.int32)
+        block_tables = np.zeros((rb, maxb), np.int32)
+        logits_indices = np.zeros(rb, np.int32)
+
+        offset = 0
+        any_penalty = False
+        hist_lens = []
+        for i, rid in enumerate(req_ids):
+            st = self.requests[rid]
+            n = so.num_scheduled_tokens[rid]
+            start = st.num_computed_tokens
+            toks = st.token_ids[start : start + n]
+            assert len(toks) == n, (rid, start, n, len(st.token_ids))
+            input_ids[offset : offset + n] = toks
+            positions[offset : offset + n] = np.arange(start, start + n)
+            bids = np.asarray(st.block_ids, np.int32)
+            block_tables[i, : len(bids)] = bids
+            pos = np.arange(start, start + n)
+            slot_mapping[offset : offset + n] = bids[pos // bs] * bs + pos % bs
+            req_idx[offset : offset + n] = i
+            seq_lens[i] = start + n
+            qsl[i + 1] = qsl[i] + n
+            logits_indices[i] = offset + n - 1
+            offset += n
+            sp = st.sampling_params
+            if (
+                sp.presence_penalty != 0.0
+                or sp.frequency_penalty != 0.0
+                or sp.repetition_penalty != 1.0
+            ):
+                any_penalty = True
+            hist_lens.append(len(st.token_ids))
+        qsl[num_reqs + 1 :] = qsl[num_reqs]
+
+        st_tensors = self._build_sampling_tensors(req_ids, rb)
+        md = AttentionMetadata(
+            slot_mapping=jnp.asarray(slot_mapping),
+            block_tables=jnp.asarray(block_tables),
+            seq_lens=jnp.asarray(seq_lens),
+            query_start_loc=jnp.asarray(qsl),
+            req_idx=jnp.asarray(req_idx),
+            positions=jnp.asarray(positions),
+            num_seqs=jnp.asarray(num_reqs, jnp.int32),
+        )
+
+        hist_ids = hist_is_out = None
+        if any_penalty:
+            vocab = self.model_cfg.vocab_size
+            hb = pick_bucket(self.hist_buckets, max(hist_lens))
+            hist_ids_np = np.full((rb, hb), vocab, np.int32)
+            hist_out_np = np.zeros((rb, hb), bool)
+            for i, rid in enumerate(req_ids):
+                stt = self.requests[rid]
+                n_all = min(len(stt.token_ids), hb)
+                hist_ids_np[i, :n_all] = stt.token_ids[:n_all]
+                hist_out_np[i, stt.prompt_len : n_all] = True
+            hist_ids = jnp.asarray(hist_ids_np)
+            hist_is_out = jnp.asarray(hist_out_np)
+
+        out, self.kv_cache = self._step_fn(
+            self.params,
+            self.kv_cache,
+            jnp.asarray(input_ids),
+            md,
+            jnp.asarray(logits_indices),
+            st_tensors,
+            hist_ids,
+            hist_is_out,
+        )
+        return self._make_output(req_ids, out, so)
+
+    def _build_sampling_tensors(self, req_ids: list[str], rb: int) -> SamplingTensors:
+        temp = np.zeros(rb, np.float32)
+        top_k = np.zeros(rb, np.int32)
+        top_p = np.ones(rb, np.float32)
+        min_p = np.zeros(rb, np.float32)
+        seeds = np.zeros(rb, np.uint32)
+        pres = np.zeros(rb, np.float32)
+        freq = np.zeros(rb, np.float32)
+        rep = np.ones(rb, np.float32)
+        for i, rid in enumerate(req_ids):
+            st = self.requests[rid]
+            sp = st.sampling_params
+            temp[i] = sp.temperature
+            top_k[i] = sp.top_k
+            top_p[i] = sp.top_p
+            min_p[i] = sp.min_p
+            pres[i] = sp.presence_penalty
+            freq[i] = sp.frequency_penalty
+            rep[i] = sp.repetition_penalty
+            if st.generator_seed is not None:
+                seeds[i] = np.uint32(
+                    hash((st.generator_seed, len(st.token_ids))) & 0xFFFFFFFF
+                )
+            else:
+                seeds[i] = self.rng.integers(0, 2**32, dtype=np.uint32)
+        return SamplingTensors(
+            temperature=jnp.asarray(temp),
+            top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p),
+            min_p=jnp.asarray(min_p),
+            seeds=jnp.asarray(seeds),
+            presence_penalty=jnp.asarray(pres),
+            frequency_penalty=jnp.asarray(freq),
+            repetition_penalty=jnp.asarray(rep),
+        )
+
+    def _make_output(
+        self, req_ids: list[str], out: SamplerOutput, so: SchedulerOutput
+    ) -> ModelRunnerOutput:
+        tokens = np.asarray(out.token_ids)
+        chosen_lp = np.asarray(out.chosen_logprob)
+        topk_ids = np.asarray(out.topk_ids)
+        topk_lps = np.asarray(out.topk_logprobs)
+
+        result = ModelRunnerOutput()
+        for i, rid in enumerate(req_ids):
+            st = self.requests[rid]
+            n = so.num_scheduled_tokens[rid]
+            result.req_ids.append(rid)
+            # token only valid if the whole context was computed this step
+            if st.num_computed_tokens + n >= len(st.token_ids):
+                tok = int(tokens[i])
+                result.sampled_token_ids.append([tok])
+                st.token_ids.append(tok)
+                if st.sampling_params.logprobs is not None:
+                    lps = {
+                        int(topk_ids[i, j]): float(topk_lps[i, j])
+                        for j in range(topk_ids.shape[1])
+                    }
+                    lps[tok] = float(chosen_lp[i])
+                    result.logprobs.append([lps])
+                else:
+                    result.logprobs.append(None)
+            else:
+                result.sampled_token_ids.append([])
+                result.logprobs.append(None)
+        return result

@@ -1,0 +1,291 @@
+"""Continuous-batching scheduler with chunked prefill.
+
+Behavioral model: vLLM v1's Scheduler, whose surface the reference pins via
+tests/v1/core/test_scheduler.py (token budgets, chunked prefill, prefix-cache
+interaction, preemption-by-recompute). TPU addition: the schedule is later
+padded to compile buckets by the runner — the scheduler itself stays
+shape-agnostic.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+from vllm_metax_tpu.config import CacheConfig, SchedulerConfig
+from vllm_metax_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_metax_tpu.core.request import Request, RequestStatus
+from vllm_metax_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class NewReqData:
+    req_id: str
+    prompt_token_ids: list[int]
+    block_ids: list[int]
+    num_computed_tokens: int
+    sampling_params: object
+
+
+@dataclass
+class CachedReqData:
+    req_id: str
+    new_block_ids: list[int]
+    num_computed_tokens: int
+    resumed_from_preemption: bool = False
+    new_token_ids: list[int] = field(default_factory=list)  # for resumed reqs
+
+
+@dataclass
+class SchedulerOutput:
+    scheduled_new_reqs: list[NewReqData] = field(default_factory=list)
+    scheduled_cached_reqs: list[CachedReqData] = field(default_factory=list)
+    num_scheduled_tokens: dict[str, int] = field(default_factory=dict)
+    total_num_scheduled_tokens: int = 0
+    num_scheduled_spec_tokens: dict[str, list[int]] = field(default_factory=dict)
+    finished_req_ids: set[str] = field(default_factory=set)
+    preempted_req_ids: set[str] = field(default_factory=set)
+
+    @property
+    def num_reqs(self) -> int:
+        return len(self.num_scheduled_tokens)
+
+
+@dataclass
+class EngineCoreOutput:
+    req_id: str
+    new_token_ids: list[int]
+    finished: bool
+    finish_reason: Optional[str] = None
+    stop_reason: Optional[str] = None
+    new_logprobs: Optional[list[dict[int, float]]] = None
+
+
+class Scheduler:
+    def __init__(
+        self,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        max_model_len: int,
+    ):
+        self.config = scheduler_config
+        self.max_model_len = max_model_len
+        self.kv_manager = KVCacheManager(
+            cache_config.num_blocks,
+            cache_config.block_size,
+            cache_config.enable_prefix_caching,
+        )
+        self.block_size = cache_config.block_size
+        self.waiting: deque[Request] = deque()
+        self.running: list[Request] = []
+        self.requests: dict[str, Request] = {}
+        self.finished_req_ids: set[str] = set()
+        # stats
+        self.num_preemptions = 0
+        self.num_prefix_cached_tokens = 0
+
+    # ------------------------------------------------------------- intake
+
+    def add_request(self, request: Request) -> None:
+        request.arrival_time = request.arrival_time or time.time()
+        self.requests[request.req_id] = request
+        self.waiting.append(request)
+
+    def abort_request(self, req_id: str) -> None:
+        req = self.requests.get(req_id)
+        if req is None or req.status.finished:
+            return
+        req.status = RequestStatus.FINISHED_ABORTED
+        if req in self.running:
+            self.running.remove(req)
+            self.kv_manager.free(req)
+        else:
+            try:
+                self.waiting.remove(req)
+            except ValueError:
+                pass
+            if req.num_computed_tokens:
+                self.kv_manager.free(req)
+        self.finished_req_ids.add(req_id)
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def get_num_unfinished_requests(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    # ------------------------------------------------------------- schedule
+
+    def schedule(self) -> SchedulerOutput:
+        out = SchedulerOutput()
+        out.finished_req_ids, self.finished_req_ids = self.finished_req_ids, set()
+        token_budget = self.config.max_num_batched_tokens
+
+        # 1. running requests first (decode or in-flight chunked prefill)
+        preempted: list[Request] = []
+        for req in list(self.running):
+            if token_budget <= 0:
+                break
+            if req.status != RequestStatus.RUNNING:
+                continue  # preempted as a victim earlier in this pass
+            num_new = req.num_tokens_with_spec - req.num_computed_tokens
+            num_new = min(num_new, token_budget)
+            if self.config.long_prefill_token_threshold > 0:
+                num_new = min(num_new, self.config.long_prefill_token_threshold)
+            if num_new <= 0:
+                continue
+            while True:
+                new_blocks = self.kv_manager.allocate_slots(req, num_new)
+                if new_blocks is not None:
+                    break
+                # out of blocks: preempt the lowest-priority running request
+                victim = self.running[-1]
+                self._preempt(victim)
+                preempted.append(victim)
+                if victim is req:
+                    break
+            if req.status == RequestStatus.PREEMPTED:
+                continue
+            out.scheduled_cached_reqs.append(
+                CachedReqData(
+                    req_id=req.req_id,
+                    new_block_ids=new_blocks.block_ids,
+                    num_computed_tokens=req.num_computed_tokens,
+                )
+            )
+            out.num_scheduled_tokens[req.req_id] = num_new
+            token_budget -= num_new
+
+        # 2. admit waiting requests (incl. resumed preempted ones)
+        while self.waiting and token_budget > 0:
+            if len(self.running) >= self.config.max_num_seqs:
+                break
+            req = self.waiting[0]
+            resumed = req.status == RequestStatus.PREEMPTED
+
+            if resumed or not self.kv_manager.enable_caching:
+                computed_blocks, num_computed = None, req.num_computed_tokens
+            else:
+                computed_blocks, num_computed = self.kv_manager.get_computed_blocks(
+                    req
+                )
+                self.num_prefix_cached_tokens += num_computed
+
+            # get_computed_blocks never covers the full prompt, so num_new >= 1
+            num_new = req.num_tokens - num_computed
+            if not self.config.enable_chunked_prefill and num_new > token_budget:
+                break
+            num_new = min(num_new, token_budget)
+            if self.config.long_prefill_token_threshold > 0:
+                num_new = min(num_new, self.config.long_prefill_token_threshold)
+
+            req.num_computed_tokens = num_computed
+            new_blocks = self.kv_manager.allocate_slots(
+                req, num_new, computed_blocks
+            )
+            if new_blocks is None:
+                break  # no space; keep waiting
+            self.waiting.popleft()
+            self.running.append(req)
+            req.status = RequestStatus.RUNNING
+            if resumed:
+                out.scheduled_cached_reqs.append(
+                    CachedReqData(
+                        req_id=req.req_id,
+                        new_block_ids=self.kv_manager.get_block_ids(req.req_id),
+                        num_computed_tokens=num_computed,
+                        resumed_from_preemption=True,
+                        new_token_ids=req.all_token_ids[num_computed:],
+                    )
+                )
+            else:
+                out.scheduled_new_reqs.append(
+                    NewReqData(
+                        req_id=req.req_id,
+                        prompt_token_ids=req.prompt_token_ids,
+                        block_ids=self.kv_manager.get_block_ids(req.req_id),
+                        num_computed_tokens=num_computed,
+                        sampling_params=req.sampling_params,
+                    )
+                )
+            out.num_scheduled_tokens[req.req_id] = num_new
+            token_budget -= num_new
+
+        out.preempted_req_ids = {r.req_id for r in preempted}
+        out.total_num_scheduled_tokens = sum(out.num_scheduled_tokens.values())
+        return out
+
+    def _preempt(self, req: Request) -> None:
+        self.running.remove(req)
+        self.kv_manager.free(req)
+        req.status = RequestStatus.PREEMPTED
+        req.num_computed_tokens = 0
+        req.num_preemptions += 1
+        self.num_preemptions += 1
+        self.waiting.appendleft(req)
+        logger.debug("preempted request %s", req.req_id)
+
+    # ------------------------------------------------------------- update
+
+    def update_from_output(
+        self,
+        scheduler_output: SchedulerOutput,
+        sampled_tokens: dict[str, list[int]],
+    ) -> list[EngineCoreOutput]:
+        """Advance request state with the model's sampled tokens.
+
+        sampled_tokens maps req_id → accepted new token ids (empty for a
+        partial-prefill step)."""
+        outputs: list[EngineCoreOutput] = []
+        for req_id, num_scheduled in scheduler_output.num_scheduled_tokens.items():
+            req = self.requests.get(req_id)
+            if req is None or req.status != RequestStatus.RUNNING:
+                continue
+            req.num_computed_tokens += num_scheduled
+            new_tokens = sampled_tokens.get(req_id, [])
+            finished = False
+            emitted: list[int] = []
+            # A sampled token is only valid once the whole context has been
+            # computed (partial chunked-prefill steps produce none).
+            if req.num_computed_tokens >= req.num_tokens and new_tokens:
+                for tok in new_tokens:
+                    req.append_output_token(tok)
+                    emitted.append(tok)
+                    finished = req.check_stop(self.max_model_len)
+                    if finished:
+                        break
+                # With spec decode, accepted tokens beyond the first already
+                # had their KV computed this step; account for them.
+                req.num_computed_tokens += len(emitted) - 1
+            self.kv_manager.cache_full_blocks(req, req.num_computed_tokens)
+            if finished:
+                self._finish(req)
+            if emitted or finished:
+                outputs.append(
+                    EngineCoreOutput(
+                        req_id=req_id,
+                        new_token_ids=emitted,
+                        finished=finished,
+                        finish_reason=(
+                            None
+                            if not finished
+                            else (
+                                "length"
+                                if req.status == RequestStatus.FINISHED_LENGTH_CAPPED
+                                else "stop"
+                            )
+                        ),
+                        stop_reason=req.stop_reason,
+                    )
+                )
+        return outputs
+
+    def _finish(self, req: Request) -> None:
+        if req in self.running:
+            self.running.remove(req)
+        self.kv_manager.free(req)
+        self.finished_req_ids.add(req.req_id)

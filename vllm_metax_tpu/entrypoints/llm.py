@@ -1,0 +1,210 @@
+"""Offline inference API (vLLM `LLM`-compatible surface; the reference's e2e
+tests drive exactly this: tests/e2e/test_offline_inference_basic.py via the
+VllmRunner fixture, tests/conftest.py:779)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Union
+
+from vllm_metax_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    LoadConfig,
+    ModelConfig,
+    ParallelConfig,
+    QuantizationConfig,
+    SchedulerConfig,
+    SpeculativeConfig,
+)
+from vllm_metax_tpu.core.engine import EngineCore
+from vllm_metax_tpu.logger import init_logger
+from vllm_metax_tpu.outputs import CompletionOutput, RequestOutput
+from vllm_metax_tpu.sample.params import SamplingParams
+from vllm_metax_tpu.utils import Counter
+
+logger = init_logger(__name__)
+
+
+def _build_engine_config(
+    model: str,
+    *,
+    dtype: str = "auto",
+    max_model_len: Optional[int] = None,
+    block_size: int = 16,
+    num_kv_blocks: Optional[int] = None,
+    gpu_memory_utilization: float = 0.9,
+    kv_cache_dtype: str = "auto",
+    enable_prefix_caching: bool = True,
+    max_num_seqs: int = 64,
+    max_num_batched_tokens: int = 1024,
+    enable_chunked_prefill: bool = True,
+    tensor_parallel_size: int = 1,
+    load_format: str = "auto",
+    quantization: Optional[str] = None,
+    seed: int = 0,
+    speculative_config: Optional[dict] = None,
+) -> EngineConfig:
+    overrides = {"dtype": dtype} if dtype != "auto" else {}
+    if max_model_len:
+        overrides["max_model_len"] = max_model_len
+    if model and os.path.isdir(model):
+        model_config = ModelConfig.from_pretrained(model, **overrides)
+        quant_config = QuantizationConfig.from_hf_config(model_config.hf_config)
+    else:
+        raise ValueError(
+            f"model {model!r} is not a local directory (no network egress; "
+            "download checkpoints beforehand or pass a ModelConfig)"
+        )
+    if quantization and not quant_config.enabled:
+        # on-the-fly quantization of a bf16 checkpoint
+        quant_config = QuantizationConfig(
+            method=quantization,
+            bits=4 if quantization in ("gptq", "awq", "int4") else 8,
+            group_size=128 if quantization in ("gptq", "awq", "int4") else -1,
+        )
+    cache_config = CacheConfig(
+        block_size=block_size,
+        num_blocks=num_kv_blocks or 512,
+        kv_cache_dtype=kv_cache_dtype,
+        gpu_memory_utilization=gpu_memory_utilization,
+        enable_prefix_caching=enable_prefix_caching,
+    )
+    spec_cfg = SpeculativeConfig(**speculative_config) if speculative_config else (
+        SpeculativeConfig()
+    )
+    return EngineConfig(
+        model_config=model_config,
+        cache_config=cache_config,
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=max_num_seqs,
+            max_num_batched_tokens=max_num_batched_tokens,
+            enable_chunked_prefill=enable_chunked_prefill,
+        ),
+        parallel_config=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        load_config=LoadConfig(load_format=load_format, seed=seed),
+        quant_config=quant_config,
+        speculative_config=spec_cfg,
+    )
+
+
+class LLM:
+    def __init__(
+        self,
+        model: str = "",
+        *,
+        engine_config: Optional[EngineConfig] = None,
+        tokenizer: Optional[str] = None,
+        **kwargs,
+    ):
+        if engine_config is None:
+            engine_config = _build_engine_config(model, **kwargs)
+        self.config = engine_config
+        mesh = None
+        if engine_config.parallel_config.tensor_parallel_size > 1:
+            from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+            mesh = make_tp_mesh(engine_config.parallel_config.tensor_parallel_size)
+        self.engine = EngineCore(engine_config, mesh=mesh)
+        self._counter = Counter()
+        self.tokenizer = self._load_tokenizer(
+            tokenizer or engine_config.model_config.model
+        )
+
+    @staticmethod
+    def _load_tokenizer(path: str):
+        if not path:
+            return None
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(path)
+        except Exception as e:  # dummy checkpoints have no tokenizer files
+            logger.warning("no tokenizer loaded from %s (%s)", path, e)
+            return None
+
+    @property
+    def eos_token_id(self) -> Optional[int]:
+        if self.tokenizer is not None:
+            return self.tokenizer.eos_token_id
+        return self.config.model_config.hf_config.get("eos_token_id")
+
+    def generate(
+        self,
+        prompts: Union[str, Sequence[str], None] = None,
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
+        *,
+        prompt_token_ids: Optional[Sequence[Sequence[int]]] = None,
+    ) -> list[RequestOutput]:
+        if prompts is not None and isinstance(prompts, str):
+            prompts = [prompts]
+        if prompt_token_ids is None:
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer; pass prompt_token_ids")
+            prompt_token_ids = [
+                self.tokenizer.encode(p) for p in prompts  # type: ignore[union-attr]
+            ]
+        n = len(prompt_token_ids)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * n
+
+        req_ids = []
+        for toks, sp in zip(prompt_token_ids, sampling_params):
+            rid = str(next(self._counter))
+            req_ids.append(rid)
+            self.engine.add_request(rid, list(toks), sp, self.eos_token_id)
+
+        acc: dict[str, dict] = {
+            rid: {"tokens": [], "logprobs": [], "finish_reason": None, "stop": None}
+            for rid in req_ids
+        }
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                a = acc[out.req_id]
+                a["tokens"].extend(out.new_token_ids)
+                if out.new_logprobs:
+                    a["logprobs"].extend(out.new_logprobs)
+                if out.finished:
+                    a["finish_reason"] = out.finish_reason
+                    a["stop"] = out.stop_reason
+
+        results = []
+        for i, rid in enumerate(req_ids):
+            a = acc[rid]
+            sp = sampling_params[i]
+            text = ""
+            tokens = a["tokens"]
+            if self.tokenizer is not None and sp.detokenize:
+                text = self.tokenizer.decode(
+                    tokens, skip_special_tokens=sp.skip_special_tokens
+                )
+                # stop-string truncation (post-hoc; streaming handles inline)
+                for s in sp.stop or []:
+                    idx = text.find(s)
+                    if idx >= 0:
+                        text = text[:idx]
+            results.append(
+                RequestOutput(
+                    request_id=rid,
+                    prompt=prompts[i] if prompts is not None else None,
+                    prompt_token_ids=list(prompt_token_ids[i]),
+                    outputs=[
+                        CompletionOutput(
+                            index=0,
+                            text=text,
+                            token_ids=tokens,
+                            logprobs=a["logprobs"] or None,
+                            cumulative_logprob=None,
+                            finish_reason=a["finish_reason"],
+                            stop_reason=a["stop"],
+                        )
+                    ],
+                    finished=True,
+                )
+            )
+        return results
+
+    def get_stats(self) -> dict:
+        return self.engine.stats.snapshot()

@@ -45,6 +45,8 @@ class SamplingParams:
             self.stop_token_ids = []
         if self.temperature < 0:
             raise ValueError("temperature must be >= 0")
+        if self.max_tokens is not None and self.max_tokens < 1:
+            raise ValueError("max_tokens must be at least 1")
         if not 0 < self.top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
 
