@@ -203,10 +203,14 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
 
     reader = CheckpointReader(path)
     dt = cfg.dtype
-    if quant_cfg is not None and quant_cfg.enabled and quant_cfg.method in (
-        "gptq",
-        "awq",
+    if (
+        quant_cfg is not None
+        and quant_cfg.enabled
+        and quant_cfg.method in ("gptq", "awq")
+        and reader.has("model.layers.0.self_attn.q_proj.qweight")
     ):
+        # checkpoint carries pre-quantized GPTQ/AWQ tensors; otherwise fall
+        # through to dense load + on-the-fly quantize_params
         return _load_weights_quantized(cfg, quant_cfg, reader)
 
     def get(name):
