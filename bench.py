@@ -1,0 +1,189 @@
+"""Benchmark: continuous-batching decode throughput on the flagship config.
+
+On TPU: Llama-3-8B architecture, GPTQ-INT4 g128 (BASELINE.json config 3's
+single-chip slice), dummy weights, 64-way continuous batching.
+On CPU (no TPU available): a tiny model so the harness still runs end-to-end.
+
+Prints ONE JSON line:
+  {"metric": "decode_tokens_per_sec_per_chip", "value": N, "unit": "tok/s",
+   "vs_baseline": fraction_of_HBM_roofline}
+
+vs_baseline is the fraction of the hardware speed-of-light: the reference
+publishes no perf numbers (BASELINE.md), so the BASELINE.md target — ≥90% of
+the HBM-bandwidth roofline for the dequant-GEMM-bound decode step — is the
+yardstick. Roofline = bytes that MUST move per decode step (all weight bytes
+once + per-request KV read) / chip HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+# chip HBM bandwidth (bytes/s) by device kind
+_HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _device_bw() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, bw in _HBM_BW.items():
+        if kind.startswith(k):
+            return bw
+    return 819e9  # conservative default
+
+
+def _build_engine(on_tpu: bool):
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        QuantizationConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+
+    if on_tpu:
+        mc = ModelConfig(
+            model="llama-3-8b-dummy",
+            architecture="LlamaForCausalLM",
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            vocab_size=128256,
+            max_position_embeddings=8192,
+            max_model_len=2048,
+            rope_theta=500000.0,
+            dtype="bfloat16",
+        )
+        qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
+        num_reqs, prompt_len, decode_len = 64, 128, 128
+        cache = CacheConfig(block_size=16, num_blocks=1536)
+        sched = SchedulerConfig(max_num_seqs=num_reqs, max_num_batched_tokens=2048)
+    else:
+        mc = ModelConfig(
+            architecture="LlamaForCausalLM",
+            hidden_size=256,
+            intermediate_size=512,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            vocab_size=1024,
+            max_position_embeddings=512,
+            max_model_len=512,
+            dtype="float32",
+        )
+        qc = QuantizationConfig(method="gptq", bits=4, group_size=64)
+        num_reqs, prompt_len, decode_len = 8, 16, 16
+        cache = CacheConfig(block_size=16, num_blocks=128)
+        sched = SchedulerConfig(max_num_seqs=num_reqs, max_num_batched_tokens=256)
+
+    config = EngineConfig(
+        model_config=mc,
+        cache_config=cache,
+        scheduler_config=sched,
+        load_config=LoadConfig(load_format="dummy", seed=0),
+        quant_config=qc,
+    )
+    return EngineCore(config), num_reqs, prompt_len, decode_len
+
+
+def _run_wave(engine, num_reqs, prompt_len, decode_len, rng):
+    """One full wave of requests; returns per-request TTFT and the decode-phase
+    throughput (measured after every request has produced its first token)."""
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    vocab = engine.config.model_config.vocab_size
+    t_add = time.perf_counter()
+    for i in range(num_reqs):
+        prompt = rng.integers(0, vocab, size=prompt_len).tolist()
+        engine.add_request(
+            f"w{t_add}-{i}", prompt, SamplingParams(max_tokens=decode_len)
+        )
+    first_tok = {}
+    decode_t0 = None
+    decode_tokens = 0
+    while engine.has_unfinished_requests():
+        outs = engine.step()
+        now = time.perf_counter()
+        for o in outs:
+            if o.new_token_ids and o.req_id not in first_tok:
+                first_tok[o.req_id] = now - t_add
+        if decode_t0 is not None:
+            decode_tokens += sum(len(o.new_token_ids) for o in outs)
+        if decode_t0 is None and len(first_tok) == num_reqs:
+            decode_t0 = now  # prefill done; pure-decode phase begins
+    decode_time = time.perf_counter() - decode_t0 if decode_t0 else float("nan")
+    ttft = sorted(first_tok.values())
+    return {
+        "decode_tok_s": decode_tokens / decode_time if decode_tokens else 0.0,
+        "p50_ttft_s": ttft[len(ttft) // 2],
+        "total_generated": num_reqs * decode_len,
+    }
+
+
+def _roofline_tokens_s(engine, num_reqs, avg_seq_len) -> float:
+    """Speed-of-light decode throughput: every decode step must read all
+    weights + each request's KV context from HBM."""
+    mc = engine.config.model_config
+    params = engine.runner.params
+    weight_bytes = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "embed" in name:
+            continue  # embedding is a tiny gather, not a full read
+        weight_bytes += leaf.size * leaf.dtype.itemsize
+    kv = engine.runner.kv_cache
+    kv_bytes_per_tok = (
+        2 * mc.num_hidden_layers * mc.num_kv_heads * mc.head_dim
+        * kv.k.dtype.itemsize
+    )
+    step_bytes = weight_bytes + num_reqs * avg_seq_len * kv_bytes_per_tok
+    return num_reqs * _device_bw() / step_bytes
+
+
+def main():
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    rng = np.random.default_rng(0)
+    engine, num_reqs, prompt_len, decode_len = _build_engine(on_tpu)
+
+    _run_wave(engine, num_reqs, prompt_len, decode_len, rng)  # warmup/compile
+    res = _run_wave(engine, num_reqs, prompt_len, decode_len, rng)  # measured
+
+    roofline = _roofline_tokens_s(engine, num_reqs, prompt_len + decode_len // 2)
+    value = round(res["decode_tok_s"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip",
+                "value": value,
+                "unit": "tok/s",
+                "vs_baseline": round(res["decode_tok_s"] / roofline, 4),
+                "detail": {
+                    "model": engine.config.model_config.model or "tiny-cpu",
+                    "quant": "gptq-int4-g128",
+                    "num_reqs": num_reqs,
+                    "p50_ttft_s": round(res["p50_ttft_s"], 4),
+                    "roofline_tok_s": round(roofline, 1),
+                    "device": jax.devices()[0].device_kind,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

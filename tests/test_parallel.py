@@ -1,0 +1,96 @@
+"""Tensor-parallel execution tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's single-node TP tests
+(tests/e2e/test_offline_inference_parallel.py:13-30, tensor_parallel_size=2):
+TP output must match the single-device output token-for-token.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from vllm_metax_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    LoadConfig,
+    ParallelConfig,
+    QuantizationConfig,
+    SchedulerConfig,
+)
+from vllm_metax_tpu.core.engine import EngineCore
+from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+from vllm_metax_tpu.sample.params import SamplingParams
+
+
+def _run_engine(config, mesh=None, prompts=None, max_tokens=8):
+    engine = EngineCore(config, mesh=mesh)
+    prompts = prompts or [[1, 2, 3, 4, 5], [9, 8, 7]]
+    for i, p in enumerate(prompts):
+        engine.add_request(f"r{i}", p, SamplingParams(max_tokens=max_tokens))
+    acc = {f"r{i}": [] for i in range(len(prompts))}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            acc[out.req_id].extend(out.new_token_ids)
+    return [acc[f"r{i}"] for i in range(len(prompts))]
+
+
+def _make_config(small_model_config, tp, quant=None):
+    return EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        parallel_config=ParallelConfig(tensor_parallel_size=tp),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+        quant_config=quant or QuantizationConfig(),
+    )
+
+
+def test_tp_matches_single_device(small_model_config):
+    ref = _run_engine(_make_config(small_model_config, 1))
+    mesh = make_tp_mesh(2)
+    out = _run_engine(_make_config(small_model_config, 2), mesh=mesh)
+    assert out == ref
+
+
+def test_tp4_wide_heads():
+    from vllm_metax_tpu.config import ModelConfig
+
+    mc = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        vocab_size=512,
+        max_position_embeddings=512,
+        max_model_len=512,
+        dtype="float32",
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    mesh = make_tp_mesh(4)
+    out = _run_engine(_make_config(mc, 4), mesh=mesh)
+    assert out == ref
+
+
+def test_tp_quantized_int8(small_model_config):
+    qc = QuantizationConfig(method="int8", bits=8)
+    ref = _run_engine(_make_config(small_model_config, 1, qc))
+    mesh = make_tp_mesh(2)
+    out = _run_engine(_make_config(small_model_config, 2, qc), mesh=mesh)
+    assert out == ref
+
+
+def test_tp_quantized_int4(small_model_config):
+    qc = QuantizationConfig(method="gptq", bits=4, group_size=32)
+    ref = _run_engine(_make_config(small_model_config, 1, qc))
+    mesh = make_tp_mesh(2)
+    out = _run_engine(_make_config(small_model_config, 2, qc), mesh=mesh)
+    assert out == ref
+
+
+def test_tp_rejects_bad_head_count(small_model_config):
+    # 4 q heads / 2 kv heads can't split 8 ways
+    mesh = make_tp_mesh(8)
+    with pytest.raises(ValueError, match="head counts"):
+        _run_engine(_make_config(small_model_config, 8), mesh=mesh)

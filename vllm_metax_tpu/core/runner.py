@@ -65,10 +65,20 @@ class ModelRunner:
         self.cache_cfg = config.cache_config
         self.model = get_model(self.model_cfg.architecture)
         self.mesh = mesh
+        self.tp_size = config.parallel_config.tensor_parallel_size if mesh else 1
+        if self.tp_size > 1:
+            mc = self.model_cfg
+            if mc.num_q_heads % self.tp_size or mc.num_kv_heads % self.tp_size:
+                raise ValueError(
+                    f"head counts ({mc.num_q_heads}q/{mc.num_kv_heads}kv) must "
+                    f"divide tensor_parallel_size={self.tp_size}"
+                )
         self.rng = np.random.default_rng(config.load_config.seed)
 
         if params is None:
             params = self._load_params()
+        if self.tp_size > 1:
+            params = self._shard_params(params)
         self.params = params
 
         cc = self.cache_cfg
@@ -84,6 +94,14 @@ class ModelRunner:
         self.kv_cache = jax.tree_util.tree_map(
             lambda a: jnp.zeros((nl,) + a.shape, a.dtype), kv
         )
+        if self.tp_size > 1:
+            from jax.sharding import NamedSharding
+
+            self.kv_cache = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+                self.kv_cache,
+                self._kv_specs(),
+            )
         self.num_slots = cc.num_blocks * cc.block_size
         self.max_blocks_per_req = cdiv(self.model_cfg.max_model_len, cc.block_size)
 
@@ -111,14 +129,62 @@ class ModelRunner:
             self.model_cfg, self.config.quant_config, self.model_cfg.model
         )
 
+    def _shard_params(self, params):
+        """TP: distribute the param tree over the mesh per the model's
+        PartitionSpec tree (replaces the reference's per-rank weight-loading
+        + MCCL process groups with one sharded pytree)."""
+        from vllm_metax_tpu.parallel.mesh import shard_params
+
+        specs = self.model.param_specs(self.model_cfg, self.config.quant_config)
+        # desc_act GPTQ keeps a global activation permutation; its row-parallel
+        # application crosses shards — unsupported under TP until the Pallas
+        # kernel does in-kernel x-permutation.
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, _ in flat:
+            if any(getattr(k, "key", None) == "perm" for k in path):
+                raise NotImplementedError(
+                    "GPTQ desc_act checkpoints are not yet supported with "
+                    "tensor_parallel_size > 1"
+                )
+        if hasattr(self.model, "prepare_for_tp"):
+            params = self.model.prepare_for_tp(params, self.model_cfg, self.tp_size)
+        return shard_params(params, specs, self.mesh)
+
+    def _kv_specs(self):
+        """PartitionSpec tree for the stacked KV cache: heads on the tp axis."""
+        from jax.sharding import PartitionSpec as P
+
+        from vllm_metax_tpu.ops.kv_cache import KVCache
+
+        val = P(None, None, None, "tp", None)  # (L, NB, BS, H, D)
+        scale = P(None, None, None, "tp")  # (L, NB, BS, H)
+        has_scale = self.kv_cache.k_scale is not None
+        return KVCache(
+            k=val,
+            v=val,
+            k_scale=scale if has_scale else None,
+            v_scale=scale if has_scale else None,
+        )
+
     def _build_step_fn(self):
         model, cfg = self.model, self.model_cfg
+        tp = self.tp_size
+        axis_name = "tp" if tp > 1 else None
 
         def step(params, kv_cache, input_ids, md, logits_indices, st,
                  hist_ids, hist_is_out):
-            hidden, kv_cache = model.forward(params, input_ids, kv_cache, md, cfg)
+            hidden, kv_cache = model.forward(
+                params,
+                input_ids,
+                kv_cache,
+                md,
+                cfg,
+                num_q_heads=cfg.num_q_heads // tp,
+                num_kv_heads=cfg.num_kv_heads // tp,
+                axis_name=axis_name,
+            )
             sel = jnp.take(hidden, logits_indices, axis=0)
-            logits = model.compute_logits(params, sel, cfg)
+            logits = model.compute_logits(params, sel, cfg, axis_name=axis_name)
             if hist_ids is not None:
                 rb = logits.shape[0]
                 vocab = logits.shape[1]
@@ -135,7 +201,31 @@ class ModelRunner:
             out = sample(logits, st)
             return out, kv_cache
 
-        return jax.jit(step, donate_argnums=(1,), static_argnums=())
+        if tp == 1:
+            return jax.jit(step, donate_argnums=(1,), static_argnums=())
+
+        # TP: one SPMD program over the mesh. Weights/KV are sharded by the
+        # spec trees; everything else (tokens, metadata, sampling state) is
+        # replicated. XLA inserts the ICI collectives (psum after row-parallel
+        # projections, all_gather for vocab-sharded logits) — the TPU-native
+        # replacement for the reference's MCCL allreduce path
+        # (patch/distributed/pynccl_wrapper.py:51).
+        from jax.sharding import PartitionSpec as P
+
+        from vllm_metax_tpu.parallel.mesh import sanitize_specs
+
+        param_specs = sanitize_specs(
+            model.param_specs(cfg, self.config.quant_config), self.params
+        )
+        kv_specs = self._kv_specs()
+        sharded = jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), kv_specs),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
 
     # ------------------------------------------------------------ state sync
 

@@ -119,11 +119,13 @@ def compute_logits(
     normed = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T  # tied embeddings
-    logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
-    if axis_name:
-        # lm_head is sharded on vocab: gather shards → full vocab
-        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+        # tied embeddings — replicated, so no gather needed
+        logits = jnp.dot(normed, params["embed"].T, preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
+        if axis_name:
+            # lm_head is sharded on vocab: gather shards → full vocab
+            logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     return logits[:, : cfg.vocab_size]
 
 
@@ -146,25 +148,30 @@ def init_params(
     seed: int = 0,
 ) -> dict:
     """Deterministic dummy weights (= the reference's --load-format dummy,
-    exercised by tests/benchmarks/test_latency_cli.py:14)."""
-    rng = np.random.default_rng(seed)
+    exercised by tests/benchmarks/test_latency_cli.py:14). Generated on-device
+    (host-side RNG + transfer is minutes for 8B through a tunnel)."""
+    import itertools
+
+    key = jax.random.PRNGKey(seed)
+    counter = itertools.count()
     dt = cfg.dtype
     e = cfg.hidden_size
 
     def dense(shape, scale=None):
         scale = scale or (1.0 / np.sqrt(shape[0]))
-        return jnp.asarray(
-            rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dt
-        )
+        k = jax.random.fold_in(key, next(counter))
+        return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dt)
+
+    quantize = _layer_quantizer(quant_cfg)
 
     def layer_params():
         lp = {
             "ln1": jnp.ones((e,), dt),
-            "qkv": {"w": dense(_linear_shape("qkv", cfg))},
-            "o": {"w": dense(_linear_shape("o", cfg))},
+            "qkv": quantize({"w": dense(_linear_shape("qkv", cfg))}),
+            "o": quantize({"w": dense(_linear_shape("o", cfg))}),
             "ln2": jnp.ones((e,), dt),
-            "gate_up": {"w": dense(_linear_shape("gate_up", cfg))},
-            "down": {"w": dense(_linear_shape("down", cfg))},
+            "gate_up": quantize({"w": dense(_linear_shape("gate_up", cfg))}),
+            "down": quantize({"w": dense(_linear_shape("down", cfg))}),
         }
         if cfg.attention_bias:
             lp["qkv"]["b"] = jnp.zeros(
@@ -190,11 +197,21 @@ def init_params(
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense((e, cfg.vocab_size), scale=0.02)
-    if quant_cfg is not None and quant_cfg.enabled:
-        from vllm_metax_tpu.quantization import quantize_params
-
-        params = quantize_params(params, cfg, quant_cfg)
     return params
+
+
+def _layer_quantizer(quant_cfg):
+    """Per-layer quantize-at-creation (keeps peak device memory at one dense
+    layer instead of the whole dense model — matters at 8B+ on a 16GB chip)."""
+    if quant_cfg is None or not quant_cfg.enabled:
+        return lambda p: p
+    from vllm_metax_tpu.quantization import quantize_linear
+
+    def quantize(p: dict) -> dict:
+        out = quantize_linear(p, quant_cfg)
+        return jax.tree_util.tree_map(lambda a: jax.block_until_ready(a), out)
+
+    return quantize
 
 
 def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
@@ -216,6 +233,8 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
     def get(name):
         return jnp.asarray(reader.get(name), dtype=dt)
 
+    quantize = _layer_quantizer(quant_cfg)
+
     def get_linear(prefix, bias):
         p = {"w": get(f"{prefix}.weight").T}
         if bias and reader.has(f"{prefix}.bias"):
@@ -226,7 +245,7 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
         out = {"w": jnp.concatenate([p["w"] for p in ps], axis=-1)}
         if "b" in ps[0]:
             out["b"] = jnp.concatenate([p["b"] for p in ps], axis=-1)
-        return out
+        return quantize(out)
 
     layers = []
     for i in range(cfg.num_hidden_layers):
@@ -240,7 +259,7 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
                     get_linear(f"{pre}.self_attn.v_proj", cfg.attention_bias),
                 ]
             ),
-            "o": get_linear(f"{pre}.self_attn.o_proj", False),
+            "o": quantize(get_linear(f"{pre}.self_attn.o_proj", False)),
             "ln2": get(f"{pre}.post_attention_layernorm.weight"),
             "gate_up": merge_linears(
                 [
@@ -248,7 +267,7 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
                     get_linear(f"{pre}.mlp.up_proj", cfg.mlp_bias),
                 ]
             ),
-            "down": get_linear(f"{pre}.mlp.down_proj", cfg.mlp_bias),
+            "down": quantize(get_linear(f"{pre}.mlp.down_proj", cfg.mlp_bias)),
         }
         if cfg.qk_norm:
             lp["q_norm"] = get(f"{pre}.self_attn.q_norm.weight")
@@ -268,10 +287,6 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = get("lm_head.weight").T
-    if quant_cfg is not None and quant_cfg.enabled:
-        from vllm_metax_tpu.quantization import quantize_params
-
-        params = quantize_params(params, cfg, quant_cfg)
     return params
 
 
@@ -347,6 +362,77 @@ def _load_weights_quantized(cfg, quant_cfg, reader):
 
 
 # ---------------------------------------------------------------- sharding
+
+def _rank_major_perm(sections: list[int], tp: int) -> np.ndarray:
+    """Column permutation turning [sec0 | sec1 | ...] into rank-major order
+    [sec0_r0, sec1_r0, ..., sec0_r1, sec1_r1, ...] so a contiguous TP split
+    gives every rank its slice of EVERY section (merged qkv / gate_up)."""
+    starts = np.cumsum([0] + sections[:-1])
+    idx = []
+    for r in range(tp):
+        for s0, sec in zip(starts, sections):
+            w = sec // tp
+            idx.extend(range(s0 + r * w, s0 + (r + 1) * w))
+    return np.asarray(idx, np.int32)
+
+
+def _permute_cols(lin: dict, perm: np.ndarray) -> dict:
+    """Apply an output-column permutation to every leaf of a linear param dict
+    (works for dense and all quantized layouts — they all carry N last)."""
+    out = {}
+    for key, arr in lin.items():
+        if key == "perm":  # input-dim activation permutation: N-independent
+            out[key] = arr
+        else:
+            out[key] = jnp.take(arr, perm, axis=-1)
+    return out
+
+
+def _repack_p4_for_shards(lin: dict, tp: int) -> dict:
+    """Packed-int4 weights use split-halves nibble packing over K
+    (ops/quant.py pack_int4). A contiguous row-parallel split of the packed
+    array would mix nibble planes across ranks, so re-pack per rank shard:
+    each rank's packed rows then unpack to exactly its contiguous K slice."""
+    if "w_p4" not in lin or tp == 1:
+        return lin
+    from vllm_metax_tpu.ops.quant import pack_int4, unpack_int4
+
+    def repack(w_p4):  # (L, K/2, N) stacked
+        q = jax.vmap(unpack_int4)(w_p4)  # (L, K, N)
+        k = q.shape[1]
+        kl = k // tp
+        shards = [
+            jax.vmap(pack_int4)(q[:, r * kl : (r + 1) * kl]) for r in range(tp)
+        ]
+        return jnp.concatenate(shards, axis=1)
+
+    out = dict(lin)
+    out["w_p4"] = repack(lin["w_p4"])
+    return out
+
+
+def prepare_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
+    """Reorder merged projections into rank-major column order (load-time,
+    once). The reference instead loads per-rank shards of q/k/v separately;
+    here one pytree permutation does the same job for the whole stack."""
+    if tp == 1:
+        return params
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    i = cfg.intermediate_size
+    layers = dict(params["layers"])
+    layers["qkv"] = _permute_cols(
+        layers["qkv"], _rank_major_perm([hq * d, hkv * d, hkv * d], tp)
+    )
+    layers["gate_up"] = _permute_cols(
+        layers["gate_up"], _rank_major_perm([i, i], tp)
+    )
+    # row-parallel (K-sharded) packed-int4 linears need shard-local packing
+    layers["o"] = _repack_p4_for_shards(layers["o"], tp)
+    layers["down"] = _repack_p4_for_shards(layers["down"], tp)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
 
 def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     """PartitionSpec tree for TP (mesh axis "tp"). Column-parallel projections

@@ -60,11 +60,13 @@ def ragged_paged_attention(
     if impl == "pallas":
         from vllm_metax_tpu.ops.pallas.ragged_attention import (
             ragged_paged_attention_pallas,
+            pallas_attention_supported,
         )
 
-        return ragged_paged_attention_pallas(
-            q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
-        )
+        if pallas_attention_supported(q, kv_cache, metadata):
+            return ragged_paged_attention_pallas(
+                q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
+            )
     return ragged_paged_attention_xla(
         q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
     )

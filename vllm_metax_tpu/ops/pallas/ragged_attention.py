@@ -1,0 +1,306 @@
+"""Pallas unified ragged paged attention (mixed prefill+decode, one kernel).
+
+TPU-native replacement for the reference's attention stack:
+- kernel_unified_attention_2d (attention/ops/triton_unified_attention.py:57)
+  — mixed prefill+decode over a block-table KV cache
+- paged_attention_v1/v2 (csrc/attention/paged_attention_v1.cu) — decode
+- the varlen FA2 path (v1/attention/backends/flash_attn.py:596)
+
+Design (TPU-first, not a translation):
+- The ragged token batch is re-tiled into fixed (TQ)-row q tiles, one grid
+  step per (request, q-tile): `tile_req[t]`/`tile_qoff[t]` scalar-prefetch
+  arrays drive which request a tile belongs to. Decode rows get TQ=8 tiles
+  (one request per tile), prefill chunks get TQ=128 — both from the same
+  kernel, selected statically per compiled bucket.
+- q is pre-arranged in XLA to (NT, HKV, TQ*G, D) so every kernel operand is a
+  direct slice — no in-kernel reshapes (Mosaic relayouts are the enemy).
+- KV pages are DMA'd HBM→VMEM by page id from the scalar-prefetched block
+  table, CKV tokens (PPC pages) per inner step, double-buffered so the next
+  chunk's DMA overlaps the current chunk's compute — the Pallas analog of the
+  CUDA kernels' cp.async pipelining.
+- Online softmax (flash-style m/l/acc) in f32 VMEM scratch across KV chunks;
+  causal + seq-len (+ sliding-window, + soft-cap) masks applied in-kernel.
+- The tiled output is scattered back to token rows with one XLA gather.
+
+The XLA reference implementation (ops/attention.py ragged_paged_attention_xla)
+defines the exact math; interpret-mode tests compare against it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_metax_tpu.ops.kv_cache import KVCache
+
+_NEG_INF = -1e30
+
+
+def pallas_attention_supported(q, kv_cache: KVCache, md) -> bool:
+    t, hq, d = q.shape
+    nb, bs, hkv, dk = kv_cache.k.shape
+    return (
+        kv_cache.k_scale is None  # quantized-KV kernel variant lands next
+        and d % 128 == 0
+        and hq % hkv == 0
+        and bs % 8 == 0
+    )
+
+
+def _attn_kernel(
+    # scalar prefetch
+    tile_req_ref,  # (NT,) i32 request per tile (-1 = empty)
+    seq_lens_ref,  # (R,) i32
+    bt_ref,  # (R*MAXB,) i32 flat block tables
+    # array inputs
+    q_ref,  # (1, HKV, TQ*G, D) VMEM
+    pos_ref,  # (1, TQ*G, 1) i32 VMEM; -1 on invalid rows
+    k_hbm,  # (NB, BS, HKV, D) ANY
+    v_hbm,
+    # outputs
+    out_ref,  # (1, HKV, TQ*G, D) VMEM
+    # scratch
+    k_buf,  # (2, CKV, HKV, D)
+    v_buf,
+    acc_ref,  # (HKV, TQ*G, D) f32
+    m_ref,  # (HKV, TQ*G, 1) f32
+    l_ref,  # (HKV, TQ*G, 1) f32
+    sem,  # DMA sems (2, 2, PPC)
+    *,
+    sm_scale,
+    ckv,
+    maxb,
+    sliding_window,
+    logits_soft_cap,
+):
+    t_idx = pl.program_id(0)
+    req = tile_req_ref[t_idx]
+    hkv = k_buf.shape[2]
+    rows = q_ref.shape[2]  # TQ*G
+    d = q_ref.shape[3]
+    bs = k_hbm.shape[1]
+    ppc = ckv // bs
+
+    valid_tile = req >= 0
+
+    @pl.when(jnp.logical_not(valid_tile))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(valid_tile)
+    def _():
+        seq_len = seq_lens_ref[jnp.maximum(req, 0)]
+        qp = pos_ref[0]  # (TQ*G, 1); -1 on invalid rows
+        # last valid q position in this tile bounds the causal KV range
+        max_q_pos = jnp.max(qp)
+        kv_limit = jnp.minimum(seq_len, max_q_pos + 1)
+        num_chunks = jnp.maximum((kv_limit + ckv - 1) // ckv, 1)
+
+        def chunk_dma(c, slot, kind):
+            base = req * maxb + (c * ppc)
+
+            def per_page(p, _):
+                page = bt_ref[base + p]
+                k_dma = pltpu.make_async_copy(
+                    k_hbm.at[page],
+                    k_buf.at[slot, pl.ds(p * bs, bs)],
+                    sem.at[slot, 0, p],
+                )
+                v_dma = pltpu.make_async_copy(
+                    v_hbm.at[page],
+                    v_buf.at[slot, pl.ds(p * bs, bs)],
+                    sem.at[slot, 1, p],
+                )
+                if kind == "start":
+                    k_dma.start()
+                    v_dma.start()
+                else:
+                    k_dma.wait()
+                    v_dma.wait()
+                return 0
+
+            jax.lax.fori_loop(0, ppc, per_page, 0)
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+        chunk_dma(0, 0, "start")
+
+        def chunk_body(c, _):
+            slot = c % 2
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                chunk_dma(c + 1, (c + 1) % 2, "start")
+
+            chunk_dma(c, slot, "wait")
+
+            kv_pos = c * ckv + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, ckv), 1
+            )  # (TQ*G, CKV)
+            mask = (kv_pos <= qp) & (kv_pos < seq_len) & (qp >= 0)
+            if sliding_window > 0:
+                mask &= kv_pos > qp - sliding_window
+
+            for h in range(hkv):
+                q_h = q_ref[0, h]  # (TQ*G, D)
+                k_h = k_buf[slot, :, h, :]  # (CKV, D)
+                v_h = v_buf[slot, :, h, :]
+                s = jax.lax.dot_general(
+                    q_h,
+                    k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (TQ*G, CKV)
+                s = s * sm_scale
+                if logits_soft_cap > 0.0:
+                    s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+                s = jnp.where(mask, s, _NEG_INF)
+
+                m_prev = m_ref[h]  # (TQ*G, 1)
+                l_prev = l_ref[h]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(s - m_new)  # masked lanes → exp(-inf)=0
+                alpha = jnp.exp(m_prev - m_new)
+                l_ref[h] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+                pv = jax.lax.dot_general(
+                    p.astype(v_h.dtype),
+                    v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (TQ*G, D)
+                acc_ref[h] = acc_ref[h] * alpha + pv
+                m_ref[h] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        for h in range(hkv):
+            out_ref[0, h] = (
+                acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
+            ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "sliding_window", "logits_soft_cap", "interpret"),
+)
+def ragged_paged_attention_pallas(
+    q: jnp.ndarray,  # (T, HQ, D)
+    kv_cache: KVCache,
+    metadata,
+    sm_scale: float,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, hq, d = q.shape
+    nb, bs, hkv, _ = kv_cache.k.shape
+    g = hq // hkv
+    r, maxb = metadata.block_tables.shape
+    qsl = metadata.query_start_loc  # (R+1,)
+
+    # ---- tiled layout (computed in XLA from the metadata; no host round-trip)
+    tq = 8 if t <= 2 * r else 128
+    nt = r + t // tq  # static upper bound on tiles
+    ckv = min(bs * 16, 256)
+    if ckv % bs:
+        ckv = bs
+
+    qlen = qsl[1:] - qsl[:-1]  # (R,)
+    ntiles = (qlen + tq - 1) // tq  # (R,)
+    tile_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(ntiles).astype(jnp.int32)]
+    )  # (R+1,)
+    total_tiles = tile_off[-1]
+    slots = jnp.arange(nt, dtype=jnp.int32)
+    tile_req = jnp.searchsorted(tile_off[1:], slots, side="right").astype(jnp.int32)
+    tile_req = jnp.where(slots < total_tiles, tile_req, -1)
+
+    # gather q into the tiled (NT, HKV, TQ*G, D) layout
+    rows = jnp.arange(nt * tq, dtype=jnp.int32)
+    row_tile = rows // tq
+    row_in_tile = rows % tq
+    row_req = tile_req[row_tile]
+    row_off = (row_tile - tile_off[jnp.maximum(row_req, 0)]) * tq + row_in_tile
+    row_valid = (row_req >= 0) & (row_off < qlen[jnp.maximum(row_req, 0)])
+    row_tok = jnp.where(row_valid, qsl[jnp.maximum(row_req, 0)] + row_off, 0)
+    q_tiled = jnp.where(row_valid[:, None, None], q[row_tok], 0)
+    # (NT*TQ, HQ, D) → (NT, HKV, TQ*G, D): head-major grouped-q layout
+    q_tiled = (
+        q_tiled.reshape(nt, tq, hkv, g, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nt, hkv, tq * g, d)
+    )
+    pos_rows = jnp.where(row_valid, metadata.positions[row_tok], -1).astype(
+        jnp.int32
+    )
+    pos_tiled = jnp.repeat(
+        pos_rows.reshape(nt, tq), g, axis=1
+    ).reshape(nt, tq * g, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ckv, hkv, d), kv_cache.k.dtype),
+            pltpu.VMEM((2, ckv, hkv, d), kv_cache.v.dtype),
+            pltpu.VMEM((hkv, tq * g, d), jnp.float32),
+            pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
+            pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, ckv // bs)),
+        ],
+    )
+    kernel = functools.partial(
+        _attn_kernel,
+        sm_scale=sm_scale,
+        ckv=ckv,
+        maxb=maxb,
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+    )
+    out_tiled = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, hkv, tq * g, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        tile_req,
+        metadata.seq_lens,
+        metadata.block_tables.reshape(-1),
+        q_tiled,
+        pos_tiled,
+        kv_cache.k,
+        kv_cache.v,
+    )
+
+    # back to token-major: (NT, HKV, TQ*G, D) → (NT*TQ, HQ, D) → gather rows
+    out_rows = (
+        out_tiled.reshape(nt, hkv, tq, g, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nt * tq, hq, d)
+    )
+    tok = jnp.arange(t, dtype=jnp.int32)
+    tok_req = metadata.req_idx  # (T,)
+    tok_off = tok - qsl[tok_req]
+    tok_slot = (tile_off[tok_req] + tok_off // tq) * tq + tok_off % tq
+    # padding tokens may compute bogus slots; clamp (their output is unused)
+    tok_slot = jnp.clip(tok_slot, 0, nt * tq - 1)
+    return out_rows[tok_slot]

@@ -46,15 +46,28 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu", "gpu")
 
 
+def _pallas_tiles_ok(t: int, n: int) -> bool:
+    """Kernel tiling constraints (quant_matmul.py): T and N divisible by the
+    chosen tiles. Runner token buckets are powers of two ≥ 16, so this holds
+    for all real model shapes; odd test shapes fall back to XLA."""
+    return t % min(128, t) == 0 and n % min(256, n) == 0 and n % 128 == 0
+
+
 # ---------------------------------------------------------------- int4 packing
 
 def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """(K, N) uint8 values in [0,15] → (K/2, N) nibble-packed uint8."""
+    """(K, N) uint8 values in [0,15] → (K/2, N) nibble-packed uint8.
+
+    Split-halves packing: row i holds K-row i in the low nibble and K-row
+    i + K/2 in the high nibble. Chosen over even/odd interleaving because the
+    Pallas kernel's unpack is then a sublane-contiguous concat (no cross-lane
+    shuffle), and any K-chunk of the dequantized weight maps to one contiguous
+    nibble-plane slice (ops/pallas/quant_matmul.py)."""
     k = q.shape[0]
     assert k % 2 == 0, "K must be even to nibble-pack"
     q = q.astype(jnp.uint8)
-    lo = q[0::2]
-    hi = q[1::2]
+    lo = q[: k // 2]
+    hi = q[k // 2 :]
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
@@ -62,8 +75,7 @@ def unpack_int4(w_p4: jnp.ndarray) -> jnp.ndarray:
     """(K/2, N) packed → (K, N) uint8 in [0,15]."""
     lo = w_p4 & jnp.uint8(0xF)
     hi = w_p4 >> 4
-    kh, n = w_p4.shape
-    return jnp.stack([lo, hi], axis=1).reshape(kh * 2, n)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def dequant_int4(
@@ -100,7 +112,13 @@ def int4_matmul(
     """
     if perm is not None:
         x = jnp.take(x, perm, axis=1)
-    if _use_pallas():
+    k = x.shape[1]
+    gs = k // s.shape[0]
+    if (
+        _use_pallas()
+        and _pallas_tiles_ok(x.shape[0], w_p4.shape[1])
+        and (k // 2) % gs == 0
+    ):
         from vllm_metax_tpu.ops.pallas.quant_matmul import int4_matmul_pallas
 
         return int4_matmul_pallas(x, w_p4, s, zs)
@@ -114,7 +132,7 @@ def int8_wo_matmul(
     s: jnp.ndarray,  # (G, N) or (1, N) f32 scales
 ) -> jnp.ndarray:
     """Weight-only int8 (per-channel or grouped symmetric)."""
-    if _use_pallas():
+    if _use_pallas() and _pallas_tiles_ok(x.shape[0], w_i8.shape[1]):
         from vllm_metax_tpu.ops.pallas.quant_matmul import int8_wo_matmul_pallas
 
         return int8_wo_matmul_pallas(x, w_i8, s)

@@ -47,8 +47,25 @@ def filter_specs(specs, params):
     return specs
 
 
-def shard_params(params, specs, mesh: Mesh):
+def _sanitize_spec(spec: P, shape: tuple) -> P:
+    """Drop named axes on size-1 dims (e.g. per-channel quant scales with a
+    single group: replication there is exact). Real divisibility errors on
+    larger dims still surface from device_put."""
+    axes = list(spec) + [None] * (len(shape) - len(spec))
+    return P(*[None if shape[i] == 1 else ax for i, ax in enumerate(axes)])
+
+
+def sanitize_specs(specs, params):
+    """filter_specs + per-leaf size-1 axis dropping; the canonical spec tree
+    for both device_put and shard_map in_specs."""
     specs = filter_specs(specs, params)
+    return jax.tree_util.tree_map(
+        lambda a, s: _sanitize_spec(s, a.shape), params, specs
+    )
+
+
+def shard_params(params, specs, mesh: Mesh):
+    specs = sanitize_specs(specs, params)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
     )
