@@ -72,7 +72,11 @@ def _build_engine(on_tpu: bool):
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
         num_reqs, prompt_len, decode_len = 64, 128, 128
         cache = CacheConfig(block_size=16, num_blocks=1536)
-        sched = SchedulerConfig(max_num_seqs=num_reqs, max_num_batched_tokens=2048)
+        sched = SchedulerConfig(
+            max_num_seqs=num_reqs,
+            max_num_batched_tokens=2048,
+            num_decode_steps=16,  # on-device decode loop amortizes host RTT
+        )
     else:
         mc = ModelConfig(
             architecture="LlamaForCausalLM",
@@ -89,7 +93,11 @@ def _build_engine(on_tpu: bool):
         qc = QuantizationConfig(method="gptq", bits=4, group_size=64)
         num_reqs, prompt_len, decode_len = 8, 16, 16
         cache = CacheConfig(block_size=16, num_blocks=128)
-        sched = SchedulerConfig(max_num_seqs=num_reqs, max_num_batched_tokens=256)
+        sched = SchedulerConfig(
+            max_num_seqs=num_reqs,
+            max_num_batched_tokens=256,
+            num_decode_steps=8,
+        )
 
     config = EngineConfig(
         model_config=mc,

@@ -204,6 +204,9 @@ class SchedulerConfig:
     max_num_batched_tokens: int = 1024
     enable_chunked_prefill: bool = True
     long_prefill_token_threshold: int = 0  # 0 = no cap beyond token budget
+    # on-device decode steps per engine step (KV pre-reserved; runner loops
+    # with lax.scan, amortizing host↔device latency). 1 = classic stepping.
+    num_decode_steps: int = 1
 
 
 @dataclass

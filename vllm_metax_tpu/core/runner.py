@@ -114,6 +114,7 @@ class ModelRunner:
 
         self.requests: dict[str, CachedReqState] = {}
         self._step_fn = self._build_step_fn()
+        self._multi_step_fns: dict[tuple[int, int], object] = {}
 
     # ------------------------------------------------------------ build
 
@@ -252,12 +253,162 @@ class ModelRunner:
                 st.block_ids.extend(cr.new_block_ids)
                 st.num_computed_tokens = cr.num_computed_tokens
 
+    # ------------------------------------------------------------ multi-step
+
+    def _build_multi_step_fn(self, rb: int, m: int):
+        """M decode steps fused into one jitted lax.scan: forward → sample →
+        feed the token back, KV appended in place each step. One host round
+        trip per M tokens instead of per token."""
+        model, cfg = self.model, self.model_cfg
+        tp = self.tp_size
+        axis_name = "tp" if tp > 1 else None
+        bs = self.cache_cfg.block_size
+        num_slots = self.num_slots
+
+        def run(params, kv_cache, tokens0, block_tables, pos0, valid, st):
+            req_rows = jnp.arange(rb, dtype=jnp.int32)
+            qsl = jnp.arange(rb + 1, dtype=jnp.int32)
+
+            def one_step(carry, step_idx):
+                kv, tokens, pos = carry
+                slot = (
+                    block_tables[req_rows, pos // bs] * bs + pos % bs
+                )
+                slot = jnp.where(valid, slot, num_slots)  # drop pad writes
+                md = AttentionMetadata(
+                    slot_mapping=slot,
+                    block_tables=block_tables,
+                    seq_lens=jnp.where(valid, pos + 1, 0),
+                    query_start_loc=qsl,
+                    req_idx=req_rows,
+                    positions=pos,
+                    num_seqs=jnp.asarray(rb, jnp.int32),
+                )
+                hidden, kv = model.forward(
+                    params,
+                    tokens,
+                    kv,
+                    md,
+                    cfg,
+                    num_q_heads=cfg.num_q_heads // tp,
+                    num_kv_heads=cfg.num_kv_heads // tp,
+                    axis_name=axis_name,
+                )
+                logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
+                # decorrelate steps without a host round trip
+                st_step = SamplingTensors(
+                    temperature=st.temperature,
+                    top_k=st.top_k,
+                    top_p=st.top_p,
+                    min_p=st.min_p,
+                    seeds=st.seeds + step_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9),
+                    presence_penalty=st.presence_penalty,
+                    frequency_penalty=st.frequency_penalty,
+                    repetition_penalty=st.repetition_penalty,
+                )
+                out = sample(logits, st_step)
+                return (kv, out.token_ids, pos + 1), (
+                    out.token_ids,
+                    out.chosen_logprob,
+                    out.topk_ids,
+                    out.topk_logprobs,
+                )
+
+            (kv_cache, _, _), ys = jax.lax.scan(
+                one_step,
+                (kv_cache, tokens0, pos0),
+                jnp.arange(m, dtype=jnp.int32),
+            )
+            return ys, kv_cache
+
+        if tp == 1:
+            return jax.jit(run, donate_argnums=(1,))
+
+        from jax.sharding import PartitionSpec as P
+
+        from vllm_metax_tpu.parallel.mesh import sanitize_specs
+
+        param_specs = sanitize_specs(
+            model.param_specs(cfg, self.config.quant_config), self.params
+        )
+        kv_specs = self._kv_specs()
+        sharded = jax.shard_map(
+            run,
+            mesh=self.mesh,
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
+            out_specs=(P(), kv_specs),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
+
+    def _execute_multi_step(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        req_ids = list(so.num_scheduled_tokens.keys())
+        num_reqs = len(req_ids)
+        m = so.num_decode_steps
+        rb = pick_bucket(self.req_buckets, num_reqs)
+        maxb = self.max_blocks_per_req
+
+        tokens0 = np.zeros(rb, np.int32)
+        pos0 = np.zeros(rb, np.int32)
+        valid = np.zeros(rb, bool)
+        block_tables = np.zeros((rb, maxb), np.int32)
+        for i, rid in enumerate(req_ids):
+            st = self.requests[rid]
+            start = st.num_computed_tokens
+            tokens0[i] = st.token_ids[start]
+            pos0[i] = start
+            valid[i] = True
+            bids = np.asarray(st.block_ids, np.int32)
+            block_tables[i, : len(bids)] = bids
+
+        key = (rb, m)
+        if key not in self._multi_step_fns:
+            self._multi_step_fns[key] = self._build_multi_step_fn(rb, m)
+        fn = self._multi_step_fns[key]
+
+        st_tensors = self._build_sampling_tensors(req_ids, rb)
+        ys, self.kv_cache = fn(
+            self.params,
+            self.kv_cache,
+            jnp.asarray(tokens0),
+            jnp.asarray(block_tables),
+            jnp.asarray(pos0),
+            jnp.asarray(valid),
+            st_tensors,
+        )
+        tok_steps, lp_steps, topk_id_steps, topk_lp_steps = (
+            np.asarray(y) for y in ys
+        )  # (M, RB), (M, RB), (M, RB, K), (M, RB, K)
+
+        result = ModelRunnerOutput()
+        for i, rid in enumerate(req_ids):
+            st = self.requests[rid]
+            toks = [int(tok_steps[s, i]) for s in range(m)]
+            result.req_ids.append(rid)
+            result.sampled_token_ids.append(toks)
+            st.token_ids.extend(toks)
+            if st.sampling_params.logprobs is not None:
+                lps = []
+                for s in range(m):
+                    d = {
+                        int(topk_id_steps[s, i, j]): float(topk_lp_steps[s, i, j])
+                        for j in range(topk_id_steps.shape[2])
+                    }
+                    d[toks[s]] = float(lp_steps[s, i])
+                    lps.append(d)
+                result.logprobs.append(lps)
+            else:
+                result.logprobs.append(None)
+        return result
+
     # ------------------------------------------------------------ execute
 
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
         self._update_states(so)
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
+        if so.num_decode_steps > 1 and not self._needs_per_step_host_state(so):
+            return self._execute_multi_step(so)
 
         req_ids = list(so.num_scheduled_tokens.keys())
         num_reqs = len(req_ids)
@@ -342,6 +493,19 @@ class ModelRunner:
             hist_is_out,
         )
         return self._make_output(req_ids, out, so)
+
+    def _needs_per_step_host_state(self, so: SchedulerOutput) -> bool:
+        """Penalty sampling needs the token-history tensors rebuilt host-side
+        each step, so those batches fall back to single-stepping."""
+        for rid in so.num_scheduled_tokens:
+            sp = self.requests[rid].sampling_params
+            if (
+                sp.presence_penalty != 0.0
+                or sp.frequency_penalty != 0.0
+                or sp.repetition_penalty != 1.0
+            ):
+                return True
+        return False
 
     def _build_sampling_tensors(self, req_ids: list[str], rb: int) -> SamplingTensors:
         temp = np.zeros(rb, np.float32)

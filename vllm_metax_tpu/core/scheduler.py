@@ -49,6 +49,11 @@ class SchedulerOutput:
     num_scheduled_spec_tokens: dict[str, list[int]] = field(default_factory=dict)
     finished_req_ids: set[str] = field(default_factory=set)
     preempted_req_ids: set[str] = field(default_factory=set)
+    # >1 → the runner may run this many decode steps on-device before
+    # returning (KV slots for all steps are pre-allocated); the TPU analog of
+    # amortizing per-step host latency, cf. the reference's CUDA-graph replay
+    # loop (platform.py:425-426)
+    num_decode_steps: int = 1
 
     @property
     def num_reqs(self) -> int:
@@ -125,6 +130,19 @@ class Scheduler:
         out.finished_req_ids, self.finished_req_ids = self.finished_req_ids, set()
         token_budget = self.config.max_num_batched_tokens
 
+        # Multi-step decode: when every running request is decode-ready and
+        # nothing is waiting, reserve KV slots for M steps so the runner can
+        # loop on-device without per-step host round-trips.
+        multi = 1
+        if self.config.num_decode_steps > 1 and not self.waiting and self.running:
+            reqs = [r for r in self.running if r.status == RequestStatus.RUNNING]
+            if reqs and all(
+                r.num_tokens_with_spec - r.num_computed_tokens == 1 for r in reqs
+            ):
+                room = min(self.max_model_len - r.num_tokens + 1 for r in reqs)
+                multi = max(1, min(self.config.num_decode_steps, room))
+        out.num_decode_steps = multi
+
         # 1. running requests first (decode or in-flight chunked prefill)
         preempted: list[Request] = []
         for req in list(self.running):
@@ -138,8 +156,10 @@ class Scheduler:
                 num_new = min(num_new, self.config.long_prefill_token_threshold)
             if num_new <= 0:
                 continue
+            # reserve slots for the extra on-device steps as well
+            num_slots = num_new + (multi - 1)
             while True:
-                new_blocks = self.kv_manager.allocate_slots(req, num_new)
+                new_blocks = self.kv_manager.allocate_slots(req, num_slots)
                 if new_blocks is not None:
                     break
                 # out of blocks: preempt the lowest-priority running request

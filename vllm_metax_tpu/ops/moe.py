@@ -1,0 +1,148 @@
+"""Fused MoE: routing + grouped expert GEMMs.
+
+TPU-native replacement for the reference's fused-MoE stack
+(vllm_metax/model_executor/layers/fused_moe/fused_moe.py — Triton
+fused_moe_kernel :352, topk :1150/1188, moe_align_block_size, and the native
+mcblasFusedMoe grouped GEMM csrc/moe/moe_ops.cpp:16):
+
+- routing (softmax/sigmoid top-k, DeepSeek grouped top-k) in plain XLA
+- the expert GEMMs via `jax.lax.ragged_dot` — XLA's grouped-matmul primitive
+  (megablox-style): tokens are sorted by expert, per-expert group sizes drive
+  one ragged GEMM per projection. This replaces moe_align_block_size + the
+  chunked Triton kernel loop (fused_moe.py:1916) with a single dropless
+  sorted-scatter formulation — no capacity factor, no token dropping.
+- quantized experts (int4/int8/fp8 banks) dequantize per-layer on the fly in
+  the same pass; a Pallas grouped dequant-GEMM is the planned upgrade.
+
+TP: expert weights shard on the intermediate dim (rank-major for the merged
+gate|up), psum after w_down — same pattern as the dense MLP path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def fused_topk(
+    gating: jnp.ndarray,  # (T, E) router logits
+    top_k: int,
+    renormalize: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Standard softmax top-k routing (ref: fused_topk, fused_moe.py:1150).
+    Returns (weights (T,K) f32, ids (T,K) i32)."""
+    probs = jax.nn.softmax(gating.astype(jnp.float32), axis=-1)
+    weights, ids = jax.lax.top_k(probs, top_k)
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, ids.astype(jnp.int32)
+
+
+def grouped_topk(
+    gating: jnp.ndarray,  # (T, E)
+    top_k: int,
+    num_groups: int,
+    topk_group: int,
+    renormalize: bool = True,
+    scoring_func: str = "softmax",
+    e_score_correction_bias: Optional[jnp.ndarray] = None,  # (E,)
+    routed_scaling_factor: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DeepSeek grouped top-k (ref: grouped_topk, fused_moe.py:1188): experts
+    are split into groups; only the best `topk_group` groups compete."""
+    t, e = gating.shape
+    if scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(gating.astype(jnp.float32))
+    else:
+        scores = jax.nn.softmax(gating.astype(jnp.float32), axis=-1)
+    original = scores
+    if e_score_correction_bias is not None:
+        scores = scores + e_score_correction_bias.astype(jnp.float32)
+    gsz = e // num_groups
+    grouped = scores.reshape(t, num_groups, gsz)
+    if e_score_correction_bias is not None:
+        # group score = sum of top-2 expert scores in the group (DeepSeek-V3)
+        top2, _ = jax.lax.top_k(grouped, 2)
+        group_scores = jnp.sum(top2, axis=-1)
+    else:
+        group_scores = jnp.max(grouped, axis=-1)  # (T, G)
+    _, top_groups = jax.lax.top_k(group_scores, topk_group)  # (T, KG)
+    group_mask = jnp.zeros((t, num_groups), bool).at[
+        jnp.arange(t)[:, None], top_groups
+    ].set(True)
+    expert_mask = jnp.repeat(group_mask, gsz, axis=1)  # (T, E)
+    masked = jnp.where(expert_mask, scores, -jnp.inf)
+    _, ids = jax.lax.top_k(masked, top_k)
+    # weights come from the ORIGINAL (bias-free) scores
+    weights = jnp.take_along_axis(original, ids, axis=1)
+    if renormalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights * routed_scaling_factor, ids.astype(jnp.int32)
+
+
+def _dequant_bank(bank: dict, dtype) -> jnp.ndarray:
+    """Expert weight bank dict → dense (E, K, N) weights."""
+    if "w" in bank:
+        return bank["w"].astype(dtype)
+    if "w_i8" in bank:
+        from vllm_metax_tpu.ops.quant import int8_wo_matmul  # noqa: F401
+
+        w = bank["w_i8"].astype(jnp.float32)
+        s = bank["s"].astype(jnp.float32)  # (E, G, N)
+        e, k, n = w.shape
+        g = s.shape[1]
+        return (w.reshape(e, g, k // g, n) * s[:, :, None, :]).reshape(
+            e, k, n
+        ).astype(dtype)
+    if "w_p4" in bank:
+        from vllm_metax_tpu.ops.quant import dequant_int4
+
+        return jax.vmap(lambda p, s, z: dequant_int4(p, s, z, dtype))(
+            bank["w_p4"], bank["s"], bank["zs"]
+        )
+    if "w_f8" in bank:
+        w = bank["w_f8"].astype(jnp.float32) * bank["s"].astype(jnp.float32)
+        return w.astype(dtype)
+    raise ValueError(f"unknown expert bank keys {list(bank)}")
+
+
+def fused_experts(
+    x: jnp.ndarray,  # (T, H)
+    gate_up_bank: dict,  # {(E, H, 2I) layouts}
+    down_bank: dict,  # {(E, I, H) layouts}
+    topk_weights: jnp.ndarray,  # (T, K) f32
+    topk_ids: jnp.ndarray,  # (T, K) i32
+    act_fn,
+    num_experts: int,
+    apply_weight_on_output: bool = True,
+) -> jnp.ndarray:
+    """Dropless sorted ragged-GEMM MoE (ref: fused_experts_impl,
+    fused_moe.py:1716)."""
+    t, h = x.shape
+    k = topk_ids.shape[1]
+    dtype = x.dtype
+
+    flat_expert = topk_ids.reshape(-1)  # (T*K,)
+    flat_token = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)
+    flat_weight = topk_weights.reshape(-1)
+
+    order = jnp.argsort(flat_expert, stable=True)
+    sorted_expert = flat_expert[order]
+    sorted_token = flat_token[order]
+    sorted_weight = flat_weight[order]
+
+    group_sizes = jnp.zeros(num_experts, jnp.int32).at[flat_expert].add(1)
+
+    xs = x[sorted_token]  # (T*K, H)
+    w1 = _dequant_bank(gate_up_bank, dtype)  # (E, H, 2I)
+    w2 = _dequant_bank(down_bank, dtype)  # (E, I, H)
+
+    hdn = jax.lax.ragged_dot(xs, w1, group_sizes)  # (T*K, 2I)
+    hdn = act_fn(hdn)
+    ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, group_sizes)  # (T*K, H)
+
+    ys = ys.astype(jnp.float32) * sorted_weight[:, None]
+    out = jnp.zeros((t, h), jnp.float32).at[sorted_token].add(ys)
+    return out.astype(dtype)
