@@ -68,7 +68,8 @@ class ModelRunner:
         self.tp_size = config.parallel_config.tensor_parallel_size if mesh else 1
         if self.tp_size > 1:
             mc = self.model_cfg
-            if mc.num_q_heads % self.tp_size or mc.num_kv_heads % self.tp_size:
+            kv_ok = mc.use_mla or mc.num_kv_heads % self.tp_size == 0
+            if mc.num_q_heads % self.tp_size or not kv_ok:
                 raise ValueError(
                     f"head counts ({mc.num_q_heads}q/{mc.num_kv_heads}kv) must "
                     f"divide tensor_parallel_size={self.tp_size}"
@@ -83,14 +84,16 @@ class ModelRunner:
 
         cc = self.cache_cfg
         kv_dtype = cc.kv_dtype(self.model_cfg.dtype)
+        kv_spec = self.model.kv_cache_spec(self.model_cfg)
         kv = new_kv_cache(
             cc.num_blocks,
             cc.block_size,
-            self.model_cfg.num_kv_heads,
-            self.model_cfg.head_dim,
+            kv_spec["num_kv_heads"],
+            kv_spec["head_dim"],
             kv_dtype,
+            store_v=kv_spec.get("store_v", True),
         )
-        nl = self.model_cfg.num_hidden_layers
+        nl = kv_spec["num_layers"]
         self.kv_cache = jax.tree_util.tree_map(
             lambda a: jnp.zeros((nl,) + a.shape, a.dtype), kv
         )
@@ -152,19 +155,25 @@ class ModelRunner:
         return shard_params(params, specs, self.mesh)
 
     def _kv_specs(self):
-        """PartitionSpec tree for the stacked KV cache: heads on the tp axis."""
+        """PartitionSpec tree for the stacked KV cache: heads on the tp axis.
+        Single-head (MLA latent) or zero-width leaves sanitize to replicated."""
+        import jax as _jax
         from jax.sharding import PartitionSpec as P
 
         from vllm_metax_tpu.ops.kv_cache import KVCache
+        from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
         val = P(None, None, None, "tp", None)  # (L, NB, BS, H, D)
         scale = P(None, None, None, "tp")  # (L, NB, BS, H)
         has_scale = self.kv_cache.k_scale is not None
-        return KVCache(
+        specs = KVCache(
             k=val,
             v=val,
             k_scale=scale if has_scale else None,
             v_scale=scale if has_scale else None,
+        )
+        return _jax.tree_util.tree_map(
+            lambda a, s: _sanitize_spec(s, a.shape), self.kv_cache, specs
         )
 
     def _build_step_fn(self):

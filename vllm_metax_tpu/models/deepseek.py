@@ -1,0 +1,576 @@
+"""DeepSeek V2/V3 family: MLA attention + grouped-top-k MoE.
+
+TPU-native redesign of the reference's largest model stack
+(vllm_metax/models/deepseek_v2.py, 1,654 LoC; MLA math documented at
+v1/attention/backends/mla/common.py:3-233):
+
+- MLA runs in the **latent MQA formulation for both prefill and decode**:
+  queries are absorbed into latent space at runtime (q_nope @ W_UK), the KV
+  cache stores one 576-wide latent "head" [c_kv(512) | k_pe(64)] per token
+  (ref: concat_and_cache_mla, csrc/cache_kernels.cu:503), attention is MQA
+  over the latent, and W_UV projects the latent output per head. This is the
+  reference's data-movement-optimal decode path (mla/common.py:1851)
+  generalized to all steps — on TPU the extra prefill FLOPs ride the MXU
+  while KV bandwidth (the real constraint) stays minimal.
+- The latent cache is replicated under TP (one shared head); q/o project-
+  ions shard by head; MoE expert banks shard like models/mixtral.py.
+- first_k_dense_replace leading dense layers run in a separate lax.scan from
+  the MoE layers (two stacked param groups), keeping both scans homogeneous.
+- Rope on the 64 rope dims is GPT-J interleaved (is_neox_style=False), the
+  HF DeepSeek convention; YaRN mscale is folded into the cos/sin cache and
+  the mscale_all_dim² factor into sm_scale.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_metax_tpu.config import ModelConfig, QuantizationConfig
+from vllm_metax_tpu.layers.linear import apply_linear
+from vllm_metax_tpu.models import llama as _llama
+from vllm_metax_tpu.ops.activation import ACT2FN
+from vllm_metax_tpu.ops.attention import AttentionMetadata
+from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
+from vllm_metax_tpu.ops.moe import fused_experts, fused_topk, grouped_topk
+from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
+
+compute_logits = _llama.compute_logits
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def kv_cache_spec(cfg: ModelConfig) -> dict:
+    return {
+        "num_layers": cfg.num_hidden_layers,
+        "num_kv_heads": 1,
+        "head_dim": cfg.kv_lora_rank + cfg.qk_rope_head_dim,
+        "store_v": False,
+    }
+
+
+def _sm_scale(cfg: ModelConfig) -> float:
+    scale = (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim) ** -0.5
+    rs = cfg.rope_scaling or {}
+    if (rs.get("rope_type") or rs.get("type")) in ("yarn", "deepseek_yarn"):
+        m_all = rs.get("mscale_all_dim", 0.0)
+        factor = rs.get("factor", 1.0)
+        if m_all and factor > 1:
+            m = 0.1 * m_all * math.log(factor) + 1.0
+            scale = scale * m * m
+    return scale
+
+
+def mla_attention(
+    q: jnp.ndarray,  # (T, H_local, 576) = [absorbed nope (512) | rope (64)]
+    kv_cache: KVCache,  # k: (NB, BS, 1, 576)
+    md: AttentionMetadata,
+    sm_scale: float,
+    kv_lora_rank: int,
+) -> jnp.ndarray:
+    """MQA over the latent cache (ref math: mla/common.py:154-233 'Decode'
+    derivation). Returns (T, H_local, kv_lora_rank)."""
+    t, h, dq = q.shape
+    r, maxb = md.block_tables.shape
+    bs = kv_cache.k.shape[1]
+    ctx = maxb * bs
+
+    latent = jnp.take(kv_cache.k, md.block_tables, axis=0)  # (R, MAXB, BS, 1, D)
+    latent = latent.reshape(r, ctx, dq)
+    lat_tok = latent[md.req_idx].astype(jnp.float32)  # (T, CTX, D)
+
+    qf = q.astype(jnp.float32)
+    scores = jnp.einsum("thd,tcd->thc", qf, lat_tok) * sm_scale
+
+    kv_pos = jnp.arange(ctx, dtype=jnp.int32)[None, :]
+    q_pos = md.positions[:, None]
+    seq_len = md.seq_lens[md.req_idx][:, None]
+    mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+    scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
+
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    p = jnp.exp(scores - m)
+    p = p / (jnp.sum(p, axis=-1, keepdims=True) + 1e-30)
+    out = jnp.einsum("thc,tcd->thd", p, lat_tok[..., :kv_lora_rank])
+    return out.astype(q.dtype)
+
+
+def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
+               maybe_psum):
+    eps = cfg.rms_norm_eps
+    nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    lora = cfg.kv_lora_rank
+    t = normed.shape[0]
+
+    if "q_a" in lp:
+        cq = rms_norm(apply_linear(lp["q_a"], normed), lp["q_a_norm"], eps)
+        q = apply_linear(lp["q_b"], cq)
+    else:
+        q = apply_linear(lp["q"], normed)
+    q = q.reshape(t, hq_local, nope + rope_d)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    ckv_kpe = apply_linear(lp["kv_a"], normed)  # (T, lora + rope_d)
+    ckv = rms_norm(ckv_kpe[:, :lora], lp["kv_a_norm"], eps)
+    k_pe = ckv_kpe[:, None, lora:]  # (T, 1, rope_d)
+
+    q_pe, k_pe = apply_rope(
+        q_pe, k_pe, md.positions, rope_cache, is_neox_style=False
+    )
+    # runtime weight absorption (ref: process_weights_after_loading,
+    # mla/common.py:1115): q_nope → latent space
+    q_abs = jnp.einsum(
+        "thn,hnk->thk", q_nope.astype(jnp.float32),
+        lp["w_uk"].astype(jnp.float32),
+    ).astype(normed.dtype)
+    q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # (T, H, lora+rope)
+
+    latent = jnp.concatenate([ckv, k_pe[:, 0]], axis=-1)[:, None, :]  # (T,1,D)
+    kv_l = write_to_kv_cache(kv_l, latent, jnp.zeros((t, 1, 0), latent.dtype),
+                             md.slot_mapping)
+
+    attn_lat = mla_attention(q_full, kv_l, md, _sm_scale(cfg), lora)
+    attn = jnp.einsum(
+        "thk,hkv->thv", attn_lat.astype(jnp.float32),
+        lp["w_uv"].astype(jnp.float32),
+    ).astype(normed.dtype)  # (T, H, v_head)
+    out = maybe_psum(
+        apply_linear(lp["o"], attn.reshape(t, hq_local * cfg.v_head_dim))
+    )
+    return out, kv_l
+
+
+def _moe_block(lp, normed, cfg: ModelConfig, act_fn, maybe_psum):
+    logits = jnp.dot(
+        normed, lp["router"]["w"], preferred_element_type=jnp.float32
+    )
+    bias = lp.get("router_bias")
+    if cfg.n_group > 1:
+        weights, ids = grouped_topk(
+            logits,
+            cfg.num_experts_per_tok,
+            cfg.n_group,
+            cfg.topk_group,
+            renormalize=cfg.norm_topk_prob,
+            scoring_func=cfg.scoring_func,
+            e_score_correction_bias=bias,
+            routed_scaling_factor=cfg.routed_scaling_factor,
+        )
+    else:
+        if cfg.scoring_func == "sigmoid":
+            scores = jax.nn.sigmoid(logits)
+            if bias is not None:
+                sel = scores + bias.astype(jnp.float32)
+            else:
+                sel = scores
+            _, ids = jax.lax.top_k(sel, cfg.num_experts_per_tok)
+            weights = jnp.take_along_axis(scores, ids, axis=1)
+            if cfg.norm_topk_prob:
+                weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+            weights = weights * cfg.routed_scaling_factor
+            ids = ids.astype(jnp.int32)
+        else:
+            weights, ids = fused_topk(
+                logits, cfg.num_experts_per_tok, cfg.norm_topk_prob
+            )
+            weights = weights * cfg.routed_scaling_factor
+    y = fused_experts(
+        normed, lp["experts_gate_up"], lp["experts_down"], weights, ids,
+        act_fn, cfg.num_experts,
+    )
+    if "gate_up_shared" in lp:
+        y = y + apply_linear(
+            lp["down_shared"], act_fn(apply_linear(lp["gate_up_shared"], normed))
+        )
+    return maybe_psum(y)
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+):
+    hq = num_q_heads or cfg.num_q_heads
+    eps = cfg.rms_norm_eps
+    act_fn = ACT2FN[cfg.hidden_act]
+    rope_cache = params["rope_cache"]
+    k_dense = cfg.first_k_dense_replace
+
+    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def dense_layer(carry, xs):
+        hidden, residual = carry
+        lp, kv_l = xs
+        normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
+        attn_out, kv_l = _mla_block(
+            lp, normed, kv_l, md, cfg, hq, rope_cache, maybe_psum
+        )
+        normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
+        mlp = maybe_psum(
+            apply_linear(lp["down"], act_fn(apply_linear(lp["gate_up"], normed)))
+        )
+        return (mlp, residual), kv_l
+
+    def moe_layer(carry, xs):
+        hidden, residual = carry
+        lp, kv_l = xs
+        normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
+        attn_out, kv_l = _mla_block(
+            lp, normed, kv_l, md, cfg, hq, rope_cache, maybe_psum
+        )
+        normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
+        moe = _moe_block(lp, normed, cfg, act_fn, maybe_psum)
+        return (moe, residual), kv_l
+
+    residual = jnp.zeros_like(hidden)
+    carry = (hidden, residual)
+    kv_dense = jax.tree_util.tree_map(lambda a: a[:k_dense], kv_cache)
+    kv_moe = jax.tree_util.tree_map(lambda a: a[k_dense:], kv_cache)
+    new_dense = kv_dense
+    if k_dense > 0:
+        carry, new_dense = jax.lax.scan(
+            dense_layer, carry, (params["dense_layers"], kv_dense)
+        )
+    carry, new_moe = jax.lax.scan(
+        moe_layer, carry, (params["moe_layers"], kv_moe)
+    )
+    hidden, residual = carry
+    new_kv = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), new_dense, new_moe
+    )
+    hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
+        cfg.dtype
+    )
+    return hidden, new_kv
+
+
+# ---------------------------------------------------------------- params
+
+def _split_kv_b(kv_b_w: jnp.ndarray, cfg: ModelConfig):
+    """kv_b_proj (lora, HQ*(nope+v)) → absorbed W_UK (HQ, nope, lora) and
+    W_UV (HQ, lora, v)."""
+    lora, _ = kv_b_w.shape
+    nope, v = cfg.qk_nope_head_dim, cfg.v_head_dim
+    hq = cfg.num_q_heads
+    w = kv_b_w.reshape(lora, hq, nope + v)
+    w_uk = jnp.transpose(w[:, :, :nope], (1, 2, 0))  # (HQ, nope, lora)
+    w_uv = jnp.transpose(w[:, :, nope:], (1, 0, 2))  # (HQ, lora, v)
+    return w_uk, w_uv
+
+
+def init_params(
+    cfg: ModelConfig,
+    quant_cfg: Optional[QuantizationConfig] = None,
+    seed: int = 0,
+) -> dict:
+    import itertools
+
+    key = jax.random.PRNGKey(seed)
+    counter = itertools.count()
+    dt = cfg.dtype
+    e = cfg.hidden_size
+    nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    lora = cfg.kv_lora_rank
+    hq = cfg.num_q_heads
+    im = cfg.moe_intermediate_size or cfg.intermediate_size
+    quantize = _llama._layer_quantizer(quant_cfg)
+
+    def dense(shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[0]))
+        k = jax.random.fold_in(key, next(counter))
+        return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dt)
+
+    def attn_params():
+        lp = {
+            "kv_a": {"w": dense((e, lora + rope_d))},
+            "kv_a_norm": jnp.ones((lora,), dt),
+            "o": quantize({"w": dense((hq * cfg.v_head_dim, e))}),
+            "w_uk": dense((hq, nope, lora)),
+            "w_uv": dense((hq, lora, cfg.v_head_dim)),
+        }
+        if cfg.q_lora_rank:
+            lp["q_a"] = {"w": dense((e, cfg.q_lora_rank))}
+            lp["q_a_norm"] = jnp.ones((cfg.q_lora_rank,), dt)
+            lp["q_b"] = quantize({"w": dense((cfg.q_lora_rank, hq * (nope + rope_d)))})
+        else:
+            lp["q"] = quantize({"w": dense((e, hq * (nope + rope_d)))})
+        return lp
+
+    def dense_layer():
+        lp = attn_params()
+        lp["ln1"] = jnp.ones((e,), dt)
+        lp["ln2"] = jnp.ones((e,), dt)
+        lp["gate_up"] = quantize({"w": dense((e, 2 * cfg.intermediate_size))})
+        lp["down"] = quantize({"w": dense((cfg.intermediate_size, e))})
+        return lp
+
+    def quantize_bank(bank):
+        if quant_cfg is None or not quant_cfg.enabled:
+            return bank
+        from vllm_metax_tpu.quantization import quantize_linear
+
+        return jax.vmap(lambda w: quantize_linear({"w": w}, quant_cfg))(bank["w"])
+
+    def moe_layer():
+        lp = attn_params()
+        lp["ln1"] = jnp.ones((e,), dt)
+        lp["ln2"] = jnp.ones((e,), dt)
+        lp["router"] = {"w": dense((e, cfg.num_experts))}
+        if cfg.scoring_func == "sigmoid":
+            lp["router_bias"] = jnp.zeros((cfg.num_experts,), jnp.float32)
+        lp["experts_gate_up"] = quantize_bank(
+            {"w": dense((cfg.num_experts, e, 2 * im))}
+        )
+        lp["experts_down"] = quantize_bank({"w": dense((cfg.num_experts, im, e))})
+        if cfg.num_shared_experts:
+            isz = im * cfg.num_shared_experts
+            lp["gate_up_shared"] = quantize({"w": dense((e, 2 * isz))})
+            lp["down_shared"] = quantize({"w": dense((isz, e))})
+        return lp
+
+    k_dense = cfg.first_k_dense_replace
+    stack = lambda ls: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ls)
+    params = {
+        "embed": dense((cfg.vocab_size, e), scale=0.02),
+        "moe_layers": stack(
+            [moe_layer() for _ in range(cfg.num_hidden_layers - k_dense)]
+        ),
+        "final_norm": jnp.ones((e,), dt),
+        "rope_cache": compute_rope_cache(
+            cfg.max_position_embeddings, rope_d, cfg.rope_theta, cfg.rope_scaling
+        ),
+    }
+    if k_dense > 0:
+        params["dense_layers"] = stack([dense_layer() for _ in range(k_dense)])
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense((e, cfg.vocab_size), scale=0.02)
+    return params
+
+
+def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
+    from vllm_metax_tpu.weights.loader import CheckpointReader
+
+    reader = CheckpointReader(path)
+    dt = cfg.dtype
+    quantize = _llama._layer_quantizer(quant_cfg)
+    nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    lora = cfg.kv_lora_rank
+    im = cfg.moe_intermediate_size or cfg.intermediate_size
+
+    def get(name):
+        return jnp.asarray(reader.get(name), dtype=dt)
+
+    def get_linear(prefix):
+        return {"w": get(f"{prefix}.weight").T}
+
+    def attn_params(pre):
+        kv_b = get(f"{pre}.self_attn.kv_b_proj.weight").T  # (lora, HQ*(nope+v))
+        w_uk, w_uv = _split_kv_b(kv_b, cfg)
+        lp = {
+            "kv_a": get_linear(f"{pre}.self_attn.kv_a_proj_with_mqa"),
+            "kv_a_norm": get(f"{pre}.self_attn.kv_a_layernorm.weight"),
+            "o": quantize(get_linear(f"{pre}.self_attn.o_proj")),
+            "w_uk": w_uk,
+            "w_uv": w_uv,
+        }
+        if cfg.q_lora_rank:
+            lp["q_a"] = get_linear(f"{pre}.self_attn.q_a_proj")
+            lp["q_a_norm"] = get(f"{pre}.self_attn.q_a_layernorm.weight")
+            lp["q_b"] = quantize(get_linear(f"{pre}.self_attn.q_b_proj"))
+        else:
+            lp["q"] = quantize(get_linear(f"{pre}.self_attn.q_proj"))
+        return lp
+
+    def expert_bank(pre):
+        gus, downs = [], []
+        for j in range(cfg.num_experts):
+            base = f"{pre}.mlp.experts.{j}"
+            gate = get(f"{base}.gate_proj.weight").T
+            up = get(f"{base}.up_proj.weight").T
+            gus.append(jnp.concatenate([gate, up], axis=-1))
+            downs.append(get(f"{base}.down_proj.weight").T)
+        gu, dn = {"w": jnp.stack(gus)}, {"w": jnp.stack(downs)}
+        if quant_cfg is not None and quant_cfg.enabled:
+            from vllm_metax_tpu.quantization import quantize_linear
+
+            gu = jax.vmap(lambda w: quantize_linear({"w": w}, quant_cfg))(gu["w"])
+            dn = jax.vmap(lambda w: quantize_linear({"w": w}, quant_cfg))(dn["w"])
+        return gu, dn
+
+    k_dense = cfg.first_k_dense_replace
+    dense_layers, moe_layers = [], []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        lp = attn_params(pre)
+        lp["ln1"] = get(f"{pre}.input_layernorm.weight")
+        lp["ln2"] = get(f"{pre}.post_attention_layernorm.weight")
+        if i < k_dense:
+            lp["gate_up"] = quantize(
+                {
+                    "w": jnp.concatenate(
+                        [
+                            get(f"{pre}.mlp.gate_proj.weight").T,
+                            get(f"{pre}.mlp.up_proj.weight").T,
+                        ],
+                        axis=-1,
+                    )
+                }
+            )
+            lp["down"] = quantize(get_linear(f"{pre}.mlp.down_proj"))
+            dense_layers.append(lp)
+        else:
+            lp["router"] = get_linear(f"{pre}.mlp.gate")
+            if reader.has(f"{pre}.mlp.gate.e_score_correction_bias"):
+                lp["router_bias"] = jnp.asarray(
+                    reader.get(f"{pre}.mlp.gate.e_score_correction_bias"),
+                    jnp.float32,
+                )
+            gu, dn = expert_bank(pre)
+            lp["experts_gate_up"] = gu
+            lp["experts_down"] = dn
+            if cfg.num_shared_experts:
+                lp["gate_up_shared"] = quantize(
+                    {
+                        "w": jnp.concatenate(
+                            [
+                                get(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
+                                get(f"{pre}.mlp.shared_experts.up_proj.weight").T,
+                            ],
+                            axis=-1,
+                        )
+                    }
+                )
+                lp["down_shared"] = quantize(
+                    get_linear(f"{pre}.mlp.shared_experts.down_proj")
+                )
+            moe_layers.append(lp)
+
+    stack = lambda ls: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ls)
+    params = {
+        "embed": get("model.embed_tokens.weight"),
+        "moe_layers": stack(moe_layers),
+        "final_norm": get("model.norm.weight"),
+        "rope_cache": compute_rope_cache(
+            cfg.max_position_embeddings, rope_d, cfg.rope_theta, cfg.rope_scaling
+        ),
+    }
+    if dense_layers:
+        params["dense_layers"] = stack(dense_layers)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = get("lm_head.weight").T
+    return params
+
+
+# ---------------------------------------------------------------- sharding
+
+def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
+    def linear_spec(shard_axis):
+        col = P(None, None, "tp") if shard_axis == 1 else P(None, "tp", None)
+        return {
+            "w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
+            "zs": col, "a8": P(),
+            "b": P(None, "tp") if shard_axis == 1 else P(None, None),
+        }
+
+    def bank_spec(shard_axis):
+        col = (
+            P(None, None, None, "tp")
+            if shard_axis == 1
+            else P(None, None, "tp", None)
+        )
+        return {"w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
+                "zs": col}
+
+    attn = {
+        "kv_a": {"w": P(None, None, None)},
+        "kv_a_norm": P(None, None),
+        "o": linear_spec(0),
+        "w_uk": P(None, "tp", None, None),  # (L, HQ, nope, lora) by head
+        "w_uv": P(None, "tp", None, None),
+        "q_a": {"w": P(None, None, None)},
+        "q_a_norm": P(None, None),
+        "q_b": linear_spec(1),
+        "q": linear_spec(1),
+    }
+    layer = {
+        **attn,
+        "ln1": P(None, None),
+        "ln2": P(None, None),
+    }
+    dense_layer = {
+        **layer,
+        "gate_up": linear_spec(1),
+        "down": linear_spec(0),
+    }
+    moe_layer = {
+        **layer,
+        "router": {"w": P(None, None, None)},
+        "router_bias": P(None, None),
+        "experts_gate_up": bank_spec(1),
+        "experts_down": bank_spec(0),
+        "gate_up_shared": linear_spec(1),
+        "down_shared": linear_spec(0),
+    }
+    specs = {
+        "embed": P(None, None),
+        "dense_layers": dense_layer,
+        "moe_layers": moe_layer,
+        "final_norm": P(None),
+        "rope_cache": P(None, None),
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def prepare_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
+    """q_b/q (head-major columns) and o (head-major rows) split cleanly on
+    contiguous head boundaries, so only the merged gate_up columns and the
+    packed-int4 row-parallel weights need adjusting."""
+    if tp == 1:
+        return params
+    im = cfg.moe_intermediate_size or cfg.intermediate_size
+
+    def fix_group(layers, moe: bool):
+        layers = dict(layers)
+        if moe:
+            layers["experts_gate_up"] = _llama._permute_cols(
+                layers["experts_gate_up"], _llama._rank_major_perm([im, im], tp)
+            )
+            if "gate_up_shared" in layers:
+                isz = im * cfg.num_shared_experts
+                layers["gate_up_shared"] = _llama._permute_cols(
+                    layers["gate_up_shared"],
+                    _llama._rank_major_perm([isz, isz], tp),
+                )
+                layers["down_shared"] = _llama._repack_p4_for_shards(
+                    layers["down_shared"], tp
+                )
+        else:
+            i = cfg.intermediate_size
+            layers["gate_up"] = _llama._permute_cols(
+                layers["gate_up"], _llama._rank_major_perm([i, i], tp)
+            )
+            layers["down"] = _llama._repack_p4_for_shards(layers["down"], tp)
+        layers["o"] = _llama._repack_p4_for_shards(layers["o"], tp)
+        return layers
+
+    out = dict(params)
+    if "dense_layers" in params:
+        out["dense_layers"] = fix_group(params["dense_layers"], moe=False)
+    out["moe_layers"] = fix_group(params["moe_layers"], moe=True)
+    return out

@@ -51,11 +51,15 @@ def new_kv_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
     model_dtype=jnp.bfloat16,
+    store_v: bool = True,
 ) -> KVCache:
+    """store_v=False → zero-width v (MLA latent caches keep [ckv|k_pe] in k
+    only, ref: concat_and_cache_mla, csrc/cache_kernels.cu:503)."""
     shape = (num_blocks, block_size, num_kv_heads, head_dim)
+    v_shape = shape if store_v else (num_blocks, block_size, num_kv_heads, 0)
     quantized = dtype in (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
     k = jnp.zeros(shape, dtype=dtype)
-    v = jnp.zeros(shape, dtype=dtype)
+    v = jnp.zeros(v_shape, dtype=dtype)
     if quantized:
         s = jnp.ones(shape[:3], dtype=jnp.float32)
         return KVCache(k, v, s, s)
