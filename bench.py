@@ -71,7 +71,7 @@ def _build_engine(on_tpu: bool):
         )
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
         num_reqs, prompt_len, decode_len = 64, 128, 128
-        cache = CacheConfig(block_size=16, num_blocks=1536)
+        cache = CacheConfig(block_size=32, num_blocks=768)
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,

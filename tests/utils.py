@@ -40,9 +40,7 @@ def make_single_seq_metadata(
 
 def make_kv_cache_stack(num_layers, num_blocks, block_size, num_kv_heads, head_dim,
                         dtype=jnp.float32):
-    import jax
-
-    kv = new_kv_cache(num_blocks, block_size, num_kv_heads, head_dim, dtype)
-    return jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a[None], (num_layers,) + a.shape).copy(), kv
+    """Flat all-layer page pool (layer l owns pages [l*NB, (l+1)*NB))."""
+    return new_kv_cache(
+        num_layers * num_blocks, block_size, num_kv_heads, head_dim, dtype
     )

@@ -85,17 +85,17 @@ class ModelRunner:
         cc = self.cache_cfg
         kv_dtype = cc.kv_dtype(self.model_cfg.dtype)
         kv_spec = self.model.kv_cache_spec(self.model_cfg)
-        kv = new_kv_cache(
-            cc.num_blocks,
+        nl = kv_spec["num_layers"]
+        # one flat page pool for all layers (layer l owns pages
+        # [l*num_blocks, (l+1)*num_blocks)) so the per-layer cache update is
+        # an in-place scatter on the scan carry — no per-step stacked copies
+        self.kv_cache = new_kv_cache(
+            nl * cc.num_blocks,
             cc.block_size,
             kv_spec["num_kv_heads"],
             kv_spec["head_dim"],
             kv_dtype,
             store_v=kv_spec.get("store_v", True),
-        )
-        nl = kv_spec["num_layers"]
-        self.kv_cache = jax.tree_util.tree_map(
-            lambda a: jnp.zeros((nl,) + a.shape, a.dtype), kv
         )
         if self.tp_size > 1:
             from jax.sharding import NamedSharding
@@ -105,7 +105,9 @@ class ModelRunner:
                 self.kv_cache,
                 self._kv_specs(),
             )
-        self.num_slots = cc.num_blocks * cc.block_size
+        # per-layer slot space; pads use an >=all-layers sentinel so adding a
+        # layer offset keeps them out of bounds
+        self.num_slots = nl * cc.num_blocks * cc.block_size
         self.max_blocks_per_req = cdiv(self.model_cfg.max_model_len, cc.block_size)
 
         sched = config.scheduler_config
@@ -116,8 +118,11 @@ class ModelRunner:
         )
 
         self.requests: dict[str, CachedReqState] = {}
-        self._step_fn = self._build_step_fn()
-        self._multi_step_fns: dict[tuple[int, int], object] = {}
+        # jitted step variants keyed by the static sampler mode
+        # (all_greedy, need_logprobs) — a pure-greedy no-logprob step is a
+        # single argmax, the common serving case
+        self._step_fns: dict[tuple[bool, bool], object] = {}
+        self._multi_step_fns: dict[tuple, object] = {}
 
     # ------------------------------------------------------------ build
 
@@ -163,8 +168,8 @@ class ModelRunner:
         from vllm_metax_tpu.ops.kv_cache import KVCache
         from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
-        val = P(None, None, None, "tp", None)  # (L, NB, BS, H, D)
-        scale = P(None, None, None, "tp")  # (L, NB, BS, H)
+        val = P(None, None, "tp", None)  # (L*NB, BS, H, D)
+        scale = P(None, None, "tp")  # (L*NB, BS, H)
         has_scale = self.kv_cache.k_scale is not None
         specs = KVCache(
             k=val,
@@ -176,7 +181,13 @@ class ModelRunner:
             lambda a, s: _sanitize_spec(s, a.shape), self.kv_cache, specs
         )
 
-    def _build_step_fn(self):
+    def _get_step_fn(self, all_greedy: bool, need_logprobs: bool):
+        key = (all_greedy, need_logprobs)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step_fn(all_greedy, need_logprobs)
+        return self._step_fns[key]
+
+    def _build_step_fn(self, all_greedy: bool = False, need_logprobs: bool = True):
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
         axis_name = "tp" if tp > 1 else None
@@ -208,7 +219,7 @@ class ModelRunner:
                     True, mode="drop"
                 )
                 logits = apply_penalties(logits, counts, seen, st)
-            out = sample(logits, st)
+            out = sample(logits, st, all_greedy, need_logprobs)
             return out, kv_cache
 
         if tp == 1:
@@ -264,7 +275,8 @@ class ModelRunner:
 
     # ------------------------------------------------------------ multi-step
 
-    def _build_multi_step_fn(self, rb: int, m: int):
+    def _build_multi_step_fn(self, rb: int, m: int, all_greedy: bool = False,
+                             need_logprobs: bool = True):
         """M decode steps fused into one jitted lax.scan: forward → sample →
         feed the token back, KV appended in place each step. One host round
         trip per M tokens instead of per token."""
@@ -315,7 +327,7 @@ class ModelRunner:
                     frequency_penalty=st.frequency_penalty,
                     repetition_penalty=st.repetition_penalty,
                 )
-                out = sample(logits, st_step)
+                out = sample(logits, st_step, all_greedy, need_logprobs)
                 return (kv, out.token_ids, pos + 1), (
                     out.token_ids,
                     out.chosen_logprob,
@@ -370,9 +382,19 @@ class ModelRunner:
             bids = np.asarray(st.block_ids, np.int32)
             block_tables[i, : len(bids)] = bids
 
-        key = (rb, m)
+        all_greedy = all(
+            self.requests[rid].sampling_params.temperature == 0.0
+            for rid in req_ids
+        )
+        need_lp = any(
+            self.requests[rid].sampling_params.logprobs is not None
+            for rid in req_ids
+        )
+        key = (rb, m, all_greedy, need_lp)
         if key not in self._multi_step_fns:
-            self._multi_step_fns[key] = self._build_multi_step_fn(rb, m)
+            self._multi_step_fns[key] = self._build_multi_step_fn(
+                rb, m, all_greedy, need_lp
+            )
         fn = self._multi_step_fns[key]
 
         st_tensors = self._build_sampling_tensors(req_ids, rb)
@@ -491,7 +513,16 @@ class ModelRunner:
             hist_ids = jnp.asarray(hist_ids_np)
             hist_is_out = jnp.asarray(hist_out_np)
 
-        out, self.kv_cache = self._step_fn(
+        all_greedy = all(
+            self.requests[rid].sampling_params.temperature == 0.0
+            for rid in req_ids
+        )
+        need_lp = any(
+            self.requests[rid].sampling_params.logprobs is not None
+            for rid in req_ids
+        )
+        step_fn = self._get_step_fn(all_greedy, need_lp)
+        out, self.kv_cache = step_fn(
             self.params,
             self.kv_cache,
             jnp.asarray(input_ids),

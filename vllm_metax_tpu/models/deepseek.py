@@ -212,46 +212,54 @@ def forward(
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    from vllm_metax_tpu.ops.attention import layer_view
+
+    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    slots_per_layer = nb_layer * kv_cache.k.shape[1]
+
     def dense_layer(carry, xs):
-        hidden, residual = carry
-        lp, kv_l = xs
+        hidden, residual, kv = carry
+        lp, layer_idx = xs
+        md_l = layer_view(md, layer_idx, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
-        attn_out, kv_l = _mla_block(
-            lp, normed, kv_l, md, cfg, hq, rope_cache, maybe_psum
+        attn_out, kv = _mla_block(
+            lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
         )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         mlp = maybe_psum(
             apply_linear(lp["down"], act_fn(apply_linear(lp["gate_up"], normed)))
         )
-        return (mlp, residual), kv_l
+        return (mlp, residual, kv), None
 
     def moe_layer(carry, xs):
-        hidden, residual = carry
-        lp, kv_l = xs
+        hidden, residual, kv = carry
+        lp, layer_idx = xs
+        md_l = layer_view(md, layer_idx, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
-        attn_out, kv_l = _mla_block(
-            lp, normed, kv_l, md, cfg, hq, rope_cache, maybe_psum
+        attn_out, kv = _mla_block(
+            lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
         )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         moe = _moe_block(lp, normed, cfg, act_fn, maybe_psum)
-        return (moe, residual), kv_l
+        return (moe, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
-    carry = (hidden, residual)
-    kv_dense = jax.tree_util.tree_map(lambda a: a[:k_dense], kv_cache)
-    kv_moe = jax.tree_util.tree_map(lambda a: a[k_dense:], kv_cache)
-    new_dense = kv_dense
+    carry = (hidden, residual, kv_cache)
     if k_dense > 0:
-        carry, new_dense = jax.lax.scan(
-            dense_layer, carry, (params["dense_layers"], kv_dense)
+        carry, _ = jax.lax.scan(
+            dense_layer,
+            carry,
+            (params["dense_layers"], jnp.arange(k_dense, dtype=jnp.int32)),
         )
-    carry, new_moe = jax.lax.scan(
-        moe_layer, carry, (params["moe_layers"], kv_moe)
+    carry, _ = jax.lax.scan(
+        moe_layer,
+        carry,
+        (
+            params["moe_layers"],
+            jnp.arange(k_dense, cfg.num_hidden_layers, dtype=jnp.int32),
+        ),
     )
-    hidden, residual = carry
-    new_kv = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), new_dense, new_moe
-    )
+    hidden, residual, new_kv = carry
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
         cfg.dtype
     )

@@ -38,7 +38,11 @@ from jax.sharding import PartitionSpec as P
 from vllm_metax_tpu.config import ModelConfig, QuantizationConfig
 from vllm_metax_tpu.layers.linear import apply_linear
 from vllm_metax_tpu.ops.activation import ACT2FN
-from vllm_metax_tpu.ops.attention import AttentionMetadata, ragged_paged_attention
+from vllm_metax_tpu.ops.attention import (
+    AttentionMetadata,
+    layer_view,
+    ragged_paged_attention,
+)
 from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
 from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
 from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
@@ -70,9 +74,18 @@ def forward(
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    # KV cache layout: ONE flat block pool shared by all layers — layer l's
+    # pages live at [l*NB, (l+1)*NB). The cache rides the scan CARRY and is
+    # updated with a scatter per layer, which XLA keeps in place inside the
+    # while loop (scanning it as xs/ys materializes a full cache copy per
+    # step — measured ~25ms/step at 8B).
+    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    slots_per_layer = nb_layer * kv_cache.k.shape[1]
+
     def layer_fn(carry, xs):
-        hidden, residual = carry
-        lp, kv_l = xs
+        hidden, residual, kv = carry
+        lp, layer_idx = xs
+        md_l = layer_view(md, layer_idx, nb_layer, slots_per_layer)
 
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
 
@@ -87,9 +100,9 @@ def forward(
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
         q, k = apply_rope(q, k, md.positions, rope_cache)
-        kv_l = write_to_kv_cache(kv_l, k, v, md.slot_mapping)
+        kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
         attn = ragged_paged_attention(
-            q, kv_l, md, sm_scale, sliding_window=cfg.sliding_window
+            q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
         )
         attn_out = maybe_psum(apply_linear(lp["o"], attn.reshape(t, hq * d)))
 
@@ -98,11 +111,13 @@ def forward(
         gate_up = apply_linear(lp["gate_up"], normed)
         mlp_out = maybe_psum(apply_linear(lp["down"], act_fn(gate_up)))
 
-        return (mlp_out, residual), kv_l
+        return (mlp_out, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
-    (hidden, residual), new_kv = jax.lax.scan(
-        layer_fn, (hidden, residual), (params["layers"], kv_cache)
+    (hidden, residual, new_kv), _ = jax.lax.scan(
+        layer_fn,
+        (hidden, residual, kv_cache),
+        (params["layers"], jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)),
     )
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
         cfg.dtype

@@ -45,6 +45,23 @@ class AttentionMetadata:
     num_seqs: jnp.ndarray  # () int32
 
 
+def layer_view(
+    md: AttentionMetadata, layer_idx, nb_layer: int, slots_per_layer: int
+) -> AttentionMetadata:
+    """Rebase the step metadata onto layer `layer_idx`'s page range of the
+    flat all-layer block pool (layer l owns pages [l*NB, (l+1)*NB)). Padding
+    slots use an >=total sentinel, so the offset keeps them out of bounds."""
+    return AttentionMetadata(
+        slot_mapping=md.slot_mapping + layer_idx * slots_per_layer,
+        block_tables=md.block_tables + layer_idx * nb_layer,
+        seq_lens=md.seq_lens,
+        query_start_loc=md.query_start_loc,
+        req_idx=md.req_idx,
+        positions=md.positions,
+        num_seqs=md.num_seqs,
+    )
+
+
 def ragged_paged_attention(
     q: jnp.ndarray,  # (T, HQ, D)
     kv_cache: KVCache,

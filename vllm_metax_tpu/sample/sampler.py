@@ -67,53 +67,91 @@ def apply_penalties(
     return logits
 
 
+# Per-row top-k is applied via a k-th-value threshold from a partial top-k of
+# this width — the TPU-idiomatic replacement for the full-vocab sort
+# (csrc/sampler.cu:251 top_k_per_row). Rows asking for more are clamped.
+TOP_K_CAP = 128
+
+
+def _nucleus_threshold(probs: jnp.ndarray, top_p: jnp.ndarray, iters: int = 30):
+    """Binary-search the probability threshold t such that keeping
+    {p_i >= t} is the smallest set with mass >= top_p — the nucleus set,
+    computed without sorting (O(iters) masked reductions instead)."""
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    lo = jnp.zeros_like(pmax)
+    hi = pmax
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1, keepdims=True)
+        ok = mass >= top_p[:, None]
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
 def sample(
     logits: jnp.ndarray,  # (R, V) f32
     st: SamplingTensors,
+    all_greedy: bool = False,
+    need_logprobs: bool = True,
 ) -> SamplerOutput:
+    """Batched sampling without a full-vocab sort.
+
+    `all_greedy` / `need_logprobs` are STATIC fast-path switches (the runner
+    compiles a variant per combination): a pure-greedy no-logprob decode step
+    is a single argmax over the logits — the common serving case.
+    """
     r, v = logits.shape
     logits = logits.astype(jnp.float32)
-
-    # logprobs of the *pre-temperature* distribution (vLLM semantics: logprobs
-    # reflect sampling distribution; we report raw-logit logprobs like
-    # greedy-compatible engines — see RequestOutput docs)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    topk_lps, topk_ids = jax.lax.top_k(logprobs, NUM_TOPK_LOGPROBS)
-
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # --- random path: sort once, mask in sorted space
-    temp = jnp.maximum(st.temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    sorted_logits, sorted_ids = jax.lax.sort_key_val(
-        -scaled, jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), (r, v)), dimension=-1
-    )
-    sorted_logits = -sorted_logits  # descending
-    ranks = jax.lax.broadcasted_iota(jnp.int32, (r, v), 1)
+    if need_logprobs:
+        # logprobs of the pre-temperature distribution (vLLM semantics)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        topk_lps, topk_ids = jax.lax.top_k(logprobs, NUM_TOPK_LOGPROBS)
+    else:
+        topk_ids = jnp.zeros((r, NUM_TOPK_LOGPROBS), jnp.int32)
+        topk_lps = jnp.zeros((r, NUM_TOPK_LOGPROBS), jnp.float32)
 
-    mask = jnp.ones((r, v), dtype=bool)
-    # top-k
-    k = jnp.where(st.top_k > 0, st.top_k, v)[:, None]
-    mask &= ranks < k
-    # top-p (in sorted space): keep the smallest prefix with cumprob >= top_p
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    mask &= (cum - probs) < st.top_p[:, None]
-    # min-p
-    pmax = probs[:, :1]
-    mask &= probs >= st.min_p[:, None] * pmax
+    if all_greedy:
+        token_ids = greedy_ids
+    else:
+        temp = jnp.maximum(st.temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        # top-k via the k-th value threshold (partial top-k, no full sort)
+        cap = min(TOP_K_CAP, v)
+        kvals = jax.lax.top_k(scaled, cap)[0]  # (R, cap) descending
+        k_eff = jnp.clip(st.top_k, 0, cap)
+        kth = jnp.take_along_axis(
+            kvals, jnp.maximum(k_eff - 1, 0)[:, None], axis=-1
+        )
+        masked = jnp.where(
+            (st.top_k[:, None] > 0) & (scaled < kth), _NEG_INF, scaled
+        )
+        probs = jax.nn.softmax(masked, axis=-1)
+        # top-p (nucleus) via threshold bisection
+        tau = _nucleus_threshold(probs, st.top_p)
+        masked = jnp.where(probs < tau, _NEG_INF, masked)
+        # min-p
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        masked = jnp.where(probs < st.min_p[:, None] * pmax, _NEG_INF, masked)
+        # seeded gumbel-argmax categorical
+        keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s))(
+            st.seeds
+        )
+        gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (v,), jnp.float32))(
+            keys
+        )
+        sampled_ids = jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
+        token_ids = jnp.where(st.temperature == 0.0, greedy_ids, sampled_ids)
 
-    masked = jnp.where(mask, sorted_logits, _NEG_INF)
-    # seeded gumbel-argmax categorical
-    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s))(st.seeds)
-    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (v,), dtype=jnp.float32))(keys)
-    sampled_rank = jnp.argmax(masked + gumbel, axis=-1)
-    sampled_ids = jnp.take_along_axis(
-        sorted_ids, sampled_rank[:, None], axis=-1
-    )[:, 0].astype(jnp.int32)
-
-    token_ids = jnp.where(st.temperature == 0.0, greedy_ids, sampled_ids)
-    chosen_lp = jnp.take_along_axis(logprobs, token_ids[:, None], axis=-1)[:, 0]
+    if need_logprobs:
+        chosen_lp = jnp.take_along_axis(logprobs, token_ids[:, None], axis=-1)[:, 0]
+    else:
+        chosen_lp = jnp.zeros((r,), jnp.float32)
     return SamplerOutput(token_ids, chosen_lp, topk_ids, topk_lps)
 
 
