@@ -1,0 +1,189 @@
+"""OpenAI API server e2e: completions, chat, streaming, metrics, concurrency.
+
+Pattern of the reference's RemoteOpenAIServer-driven suites (tests/utils.py:253,
+tests/benchmarks/test_serve_cli.py) — here the server runs in-process on a
+tiny real checkpoint.
+"""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from transformers import AutoTokenizer, LlamaConfig, LlamaForCausalLM
+
+    tmp = tmp_path_factory.mktemp("srv")
+    cfg = LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=32000,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(cfg).eval()
+    path = str(tmp / "tiny")
+    m.save_pretrained(path, safe_serialization=True)
+    _make_tiny_tokenizer(path)
+
+    from vllm_metax_tpu.entrypoints.api_server import build_server
+
+    srv = build_server(
+        "127.0.0.1", 0, path, dtype="float32", max_model_len=256, max_num_seqs=8
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.state.engine.shutdown()
+
+
+def _make_tiny_tokenizer(path):
+    """Build a small byte-level BPE tokenizer locally (no network)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=1024,
+        special_tokens=["<s>", "</s>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    corpus = ["hello world this is a test request " * 5, "abc def ghi " * 10]
+    tok.train_from_iterator(corpus, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, bos_token="<s>", eos_token="</s>"
+    )
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n{% endfor %}"
+        "assistant:"
+    )
+    fast.save_pretrained(path)
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.read().decode()
+
+
+def test_health_and_models(server):
+    assert json.loads(_get(server, "/health"))["status"] == "ok"
+    models = json.loads(_get(server, "/v1/models"))
+    assert models["data"][0]["object"] == "model"
+
+
+def test_completions(server):
+    out = _post(
+        server,
+        "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 8, "temperature": 0.0},
+    )
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] == 8
+    assert isinstance(out["choices"][0]["text"], str)
+    assert out["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+def test_completions_token_ids_prompt(server):
+    out = _post(
+        server,
+        "/v1/completions",
+        {"prompt": [1, 20, 30], "max_tokens": 4, "temperature": 0.0},
+    )
+    assert out["usage"]["prompt_tokens"] == 3
+
+
+def test_chat_completions(server):
+    out = _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 6,
+            "temperature": 0.0,
+        },
+    )
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming_completions(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps(
+            {"prompt": "abc", "max_tokens": 6, "temperature": 0.0, "stream": True}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                chunks.append(line[len("data: "):])
+    assert chunks[-1] == "[DONE]"
+    parsed = [json.loads(c) for c in chunks[:-1]]
+    assert parsed, "no stream chunks"
+    assert parsed[-1]["choices"][0]["finish_reason"] in ("length", "stop")
+    # streamed text equals the non-streamed result for the same greedy request
+    streamed = "".join(p["choices"][0]["text"] for p in parsed)
+    full = _post(
+        server,
+        "/v1/completions",
+        {"prompt": "abc", "max_tokens": 6, "temperature": 0.0},
+    )["choices"][0]["text"]
+    assert streamed == full
+
+
+def test_concurrent_requests_batch(server):
+    results = {}
+
+    def worker(i):
+        results[i] = _post(
+            server,
+            "/v1/completions",
+            {"prompt": f"request {i}", "max_tokens": 8, "temperature": 0.0},
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 6
+    for out in results.values():
+        assert out["usage"]["completion_tokens"] == 8
+
+
+def test_metrics_endpoint(server):
+    text = _get(server, "/metrics")
+    assert "vllm:generation_tokens_total" in text
+    assert 'model_name="' in text
+
+
+def test_tokenize_roundtrip(server):
+    toks = _post(server, "/tokenize", {"prompt": "hello"})["tokens"]
+    text = _post(server, "/detokenize", {"tokens": toks})["prompt"]
+    assert "hello" in text

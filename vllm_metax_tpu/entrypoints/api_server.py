@@ -1,0 +1,353 @@
+"""OpenAI-compatible HTTP server (stdlib-only; no fastapi in the image).
+
+Endpoints (the surface the reference's serving tests drive through
+RemoteOpenAIServer, tests/utils.py:253):
+  POST /v1/completions        — incl. SSE streaming
+  POST /v1/chat/completions   — chat template + SSE streaming
+  GET  /v1/models
+  GET  /health
+  GET  /metrics               — Prometheus text format (vllm:* names,
+                                tests/v1/test_metrics_reader.py:19-31)
+  POST /tokenize, /detokenize
+
+Run: python -m vllm_metax_tpu.entrypoints.api_server --model <path> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from vllm_metax_tpu.entrypoints.async_engine import AsyncEngine
+from vllm_metax_tpu.entrypoints.detokenizer import IncrementalDetokenizer
+from vllm_metax_tpu.entrypoints.llm import _build_engine_config
+from vllm_metax_tpu.logger import init_logger
+from vllm_metax_tpu.sample.params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+class ServerState:
+    def __init__(self, config, tokenizer, served_model: str):
+        self.engine = AsyncEngine(config)
+        self.tokenizer = tokenizer
+        self.served_model = served_model
+        self.eos_token_id = tokenizer.eos_token_id if tokenizer else None
+
+
+def _sampling_from_request(body: dict) -> SamplingParams:
+    return SamplingParams(
+        max_tokens=body.get("max_tokens") or body.get("max_completion_tokens") or 16,
+        temperature=body.get("temperature", 1.0),
+        top_p=body.get("top_p", 1.0),
+        top_k=body.get("top_k", 0),
+        min_p=body.get("min_p", 0.0),
+        presence_penalty=body.get("presence_penalty", 0.0),
+        frequency_penalty=body.get("frequency_penalty", 0.0),
+        repetition_penalty=body.get("repetition_penalty", 1.0),
+        stop=body.get("stop"),
+        seed=body.get("seed"),
+        logprobs=(
+            body.get("logprobs")
+            if isinstance(body.get("logprobs"), int)
+            else (body.get("top_logprobs") if body.get("logprobs") else None)
+        ),
+        ignore_eos=body.get("ignore_eos", False),
+    )
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through our logger
+            logger.debug("%s " + fmt, self.client_address[0], *args)
+
+        # ------------------------------------------------------- helpers
+
+        def _json(self, obj, code: int = 200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, msg: str, code: int = 400):
+            self._json(
+                {"error": {"message": msg, "type": "invalid_request_error"}}, code
+            )
+
+        def _read_body(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if not length:
+                return {}
+            return json.loads(self.rfile.read(length))
+
+        def _start_sse(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _sse(self, obj):
+            payload = b"data: " + json.dumps(obj).encode() + b"\n\n"
+            self.wfile.write(f"{len(payload):x}\r\n".encode())
+            self.wfile.write(payload + b"\r\n")
+
+        def _sse_done(self):
+            payload = b"data: [DONE]\n\n"
+            self.wfile.write(f"{len(payload):x}\r\n".encode())
+            self.wfile.write(payload + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        # ------------------------------------------------------- routes
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(
+                    {
+                        "object": "list",
+                        "data": [
+                            {
+                                "id": state.served_model,
+                                "object": "model",
+                                "created": int(time.time()),
+                                "owned_by": "vllm-metax-tpu",
+                            }
+                        ],
+                    }
+                )
+            elif self.path == "/metrics":
+                self._metrics()
+            else:
+                self._error("not found", 404)
+
+        def _metrics(self):
+            s = state.engine.get_stats()
+            lines = []
+            for name, key in [
+                ("vllm:num_requests_waiting", "num_waiting"),
+                ("vllm:generation_tokens_total", "num_generated_tokens"),
+                ("vllm:prompt_tokens_total", "num_scheduled_tokens"),
+                ("vllm:gpu_cache_usage_perc", "kv_cache_usage"),
+                ("vllm:num_preemptions_total", "num_preemptions"),
+                ("vllm:prefix_cache_hits_total", "prefix_cached_tokens"),
+            ]:
+                lines.append(f"# TYPE {name} gauge")
+                lines.append(
+                    f'{name}{{model_name="{state.served_model}",engine="0"}} '
+                    f"{s.get(key, 0)}"
+                )
+            data = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            try:
+                body = self._read_body()
+            except json.JSONDecodeError:
+                return self._error("invalid JSON body")
+            try:
+                if self.path == "/v1/completions":
+                    self._completions(body)
+                elif self.path == "/v1/chat/completions":
+                    self._chat(body)
+                elif self.path == "/tokenize":
+                    self._json(
+                        {"tokens": state.tokenizer.encode(body.get("prompt", ""))}
+                    )
+                elif self.path == "/detokenize":
+                    self._json(
+                        {"prompt": state.tokenizer.decode(body.get("tokens", []))}
+                    )
+                else:
+                    self._error("not found", 404)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # surface engine errors as 500s
+                logger.exception("request failed")
+                try:
+                    self._error(str(e), 500)
+                except Exception:
+                    pass
+
+        # ------------------------------------------------------- completions
+
+        def _completions(self, body: dict):
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                token_ids = prompt
+                prompt_text = None
+            else:
+                if isinstance(prompt, list):
+                    prompt = prompt[0]
+                token_ids = state.tokenizer.encode(prompt)
+                prompt_text = prompt
+            sp = _sampling_from_request(body)
+            rid = f"cmpl-{uuid.uuid4().hex[:16]}"
+            self._generate(body, token_ids, sp, rid, chat=False)
+
+        def _chat(self, body: dict):
+            messages = body.get("messages", [])
+            token_ids = state.tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True
+            )
+            sp = _sampling_from_request(body)
+            rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+            self._generate(body, token_ids, sp, rid, chat=True)
+
+        def _generate(self, body, token_ids, sp, rid, chat: bool):
+            created = int(time.time())
+            obj = "chat.completion" if chat else "text_completion"
+            detok = IncrementalDetokenizer(state.tokenizer, stop=sp.stop)
+            eos = None if sp.ignore_eos else state.eos_token_id
+            stream = state.engine.stream(token_ids, sp, eos)
+
+            if body.get("stream"):
+                self._start_sse()
+                ntok = 0
+                finish_reason = None
+                first = True
+                for item in stream:
+                    ntok += len(item.new_token_ids)
+                    text = detok.push(item.new_token_ids)
+                    if item.finished:
+                        text += detok.finish()
+                        finish_reason = item.finish_reason
+                    if text or item.finished:
+                        if chat:
+                            delta = {"content": text}
+                            if first:
+                                delta["role"] = "assistant"
+                                first = False
+                            choice = {
+                                "index": 0,
+                                "delta": delta,
+                                "finish_reason": item.finish_reason
+                                if item.finished
+                                else None,
+                            }
+                        else:
+                            choice = {
+                                "index": 0,
+                                "text": text,
+                                "finish_reason": item.finish_reason
+                                if item.finished
+                                else None,
+                            }
+                        self._sse(
+                            {
+                                "id": rid,
+                                "object": obj + (".chunk" if chat else ""),
+                                "created": created,
+                                "model": state.served_model,
+                                "choices": [choice],
+                            }
+                        )
+                self._sse_done()
+                return
+
+            # non-streaming
+            all_tokens: list[int] = []
+            finish_reason = None
+            for item in stream:
+                all_tokens.extend(item.new_token_ids)
+                detok.push(item.new_token_ids)
+                if item.finished:
+                    finish_reason = item.finish_reason
+            detok.finish()
+            text = detok.emitted
+            usage = {
+                "prompt_tokens": len(token_ids),
+                "completion_tokens": len(all_tokens),
+                "total_tokens": len(token_ids) + len(all_tokens),
+            }
+            if chat:
+                choice = {
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": finish_reason,
+                }
+            else:
+                choice = {"index": 0, "text": text, "finish_reason": finish_reason}
+            self._json(
+                {
+                    "id": rid,
+                    "object": obj,
+                    "created": created,
+                    "model": state.served_model,
+                    "choices": [choice],
+                    "usage": usage,
+                }
+            )
+
+    return Handler
+
+
+def build_server(
+    host: str, port: int, model: str, served_model_name: str = "", **engine_kwargs
+) -> ThreadingHTTPServer:
+    config = _build_engine_config(model, **engine_kwargs)
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model)
+    state = ServerState(config, tokenizer, served_model_name or model)
+    server = ThreadingHTTPServer((host, port), make_handler(state))
+    server.state = state
+    return server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="vllm-metax-tpu OpenAI API server")
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--served-model-name", default="")
+    parser.add_argument("--max-model-len", type=int, default=None)
+    parser.add_argument("--max-num-seqs", type=int, default=64)
+    parser.add_argument("--max-num-batched-tokens", type=int, default=1024)
+    parser.add_argument("--block-size", type=int, default=16)
+    parser.add_argument("--kv-cache-dtype", default="auto")
+    parser.add_argument("--quantization", default=None)
+    parser.add_argument("--tensor-parallel-size", type=int, default=1)
+    parser.add_argument("--num-decode-steps", type=int, default=1)
+    parser.add_argument("--dtype", default="auto")
+    parser.add_argument("--load-format", default="auto")
+    args = parser.parse_args(argv)
+
+    server = build_server(
+        args.host,
+        args.port,
+        args.model,
+        served_model_name=args.served_model_name,
+        max_model_len=args.max_model_len,
+        max_num_seqs=args.max_num_seqs,
+        max_num_batched_tokens=args.max_num_batched_tokens,
+        block_size=args.block_size,
+        kv_cache_dtype=args.kv_cache_dtype,
+        quantization=args.quantization,
+        num_decode_steps=args.num_decode_steps,
+        tensor_parallel_size=args.tensor_parallel_size,
+        dtype=args.dtype,
+        load_format=args.load_format,
+    )
+    logger.info("serving %s on %s:%d", args.model, args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.state.engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ def _build_engine_config(
     max_num_seqs: int = 64,
     max_num_batched_tokens: int = 1024,
     enable_chunked_prefill: bool = True,
+    num_decode_steps: int = 1,
     tensor_parallel_size: int = 1,
     load_format: str = "auto",
     quantization: Optional[str] = None,
@@ -80,6 +81,7 @@ def _build_engine_config(
             max_num_seqs=max_num_seqs,
             max_num_batched_tokens=max_num_batched_tokens,
             enable_chunked_prefill=enable_chunked_prefill,
+            num_decode_steps=num_decode_steps,
         ),
         parallel_config=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
         load_config=LoadConfig(load_format=load_format, seed=seed),
