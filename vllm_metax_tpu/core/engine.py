@@ -29,6 +29,7 @@ class EngineCore:
             config.scheduler_config,
             config.cache_config,
             config.model_config.max_model_len,
+            speculative_config=config.speculative_config,
         )
         self.stats = EngineStats()
 

@@ -168,8 +168,8 @@ class ModelRunner:
         from vllm_metax_tpu.ops.kv_cache import KVCache
         from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
-        val = P(None, None, "tp", None)  # (L*NB, BS, H, D)
-        scale = P(None, None, "tp")  # (L*NB, BS, H)
+        val = P(None, "tp", None, None)  # (L*NB, H, BS, D)
+        scale = P(None, "tp", None)  # (L*NB, H, BS)
         has_scale = self.kv_cache.k_scale is not None
         specs = KVCache(
             k=val,
@@ -448,6 +448,9 @@ class ModelRunner:
         rb = pick_bucket(self.req_buckets, num_reqs)
         bs = self.cache_cfg.block_size
         maxb = self.max_blocks_per_req
+        # speculative rows: S logits rows per request (1 + max drafts)
+        spec = so.num_scheduled_spec_tokens
+        s_rows = 1 + max((len(d) for d in spec.values()), default=0)
 
         input_ids = np.zeros(tb, np.int32)
         positions = np.zeros(tb, np.int32)
@@ -456,7 +459,7 @@ class ModelRunner:
         qsl = np.zeros(rb + 1, np.int32)
         seq_lens = np.zeros(rb, np.int32)
         block_tables = np.zeros((rb, maxb), np.int32)
-        logits_indices = np.zeros(rb, np.int32)
+        logits_indices = np.zeros(rb * s_rows, np.int32)
 
         offset = 0
         any_penalty = False
@@ -466,6 +469,9 @@ class ModelRunner:
             n = so.num_scheduled_tokens[rid]
             start = st.num_computed_tokens
             toks = st.token_ids[start : start + n]
+            drafts = spec.get(rid, [])
+            if drafts:
+                toks = toks + list(drafts)
             assert len(toks) == n, (rid, start, n, len(st.token_ids))
             input_ids[offset : offset + n] = toks
             positions[offset : offset + n] = np.arange(start, start + n)
@@ -476,7 +482,15 @@ class ModelRunner:
             req_idx[offset : offset + n] = i
             seq_lens[i] = start + n
             qsl[i + 1] = qsl[i] + n
-            logits_indices[i] = offset + n - 1
+            if s_rows == 1:
+                logits_indices[i] = offset + n - 1
+            else:
+                # rows for the verify step: the last (1+len(drafts)) positions,
+                # padded by repeating the final row
+                n_rows = 1 + len(drafts)
+                rows = [offset + n - n_rows + j for j in range(n_rows)]
+                rows += [rows[-1]] * (s_rows - n_rows)
+                logits_indices[i * s_rows : (i + 1) * s_rows] = rows
             offset += n
             sp = st.sampling_params
             if (
@@ -488,7 +502,7 @@ class ModelRunner:
             hist_lens.append(len(st.token_ids))
         qsl[num_reqs + 1 :] = qsl[num_reqs]
 
-        st_tensors = self._build_sampling_tensors(req_ids, rb)
+        st_tensors = self._build_sampling_tensors(req_ids, rb, s_rows)
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(slot_mapping),
             block_tables=jnp.asarray(block_tables),
@@ -501,15 +515,19 @@ class ModelRunner:
 
         hist_ids = hist_is_out = None
         if any_penalty:
+            # NOTE: with spec decode the penalty history reflects committed
+            # tokens only (draft rows share their request's history) — the
+            # same approximation the reference's rejection path makes.
             vocab = self.model_cfg.vocab_size
             hb = pick_bucket(self.hist_buckets, max(hist_lens))
-            hist_ids_np = np.full((rb, hb), vocab, np.int32)
-            hist_out_np = np.zeros((rb, hb), bool)
+            hist_ids_np = np.full((rb * s_rows, hb), vocab, np.int32)
+            hist_out_np = np.zeros((rb * s_rows, hb), bool)
             for i, rid in enumerate(req_ids):
                 stt = self.requests[rid]
                 n_all = min(len(stt.token_ids), hb)
-                hist_ids_np[i, :n_all] = stt.token_ids[:n_all]
-                hist_out_np[i, stt.prompt_len : n_all] = True
+                rows = slice(i * s_rows, (i + 1) * s_rows)
+                hist_ids_np[rows, :n_all] = stt.token_ids[:n_all]
+                hist_out_np[rows, stt.prompt_len : n_all] = True
             hist_ids = jnp.asarray(hist_ids_np)
             hist_is_out = jnp.asarray(hist_out_np)
 
@@ -532,7 +550,7 @@ class ModelRunner:
             hist_ids,
             hist_is_out,
         )
-        return self._make_output(req_ids, out, so)
+        return self._make_output(req_ids, out, so, s_rows)
 
     def _needs_per_step_host_state(self, so: SchedulerOutput) -> bool:
         """Penalty sampling needs the token-history tensors rebuilt host-side
@@ -547,31 +565,41 @@ class ModelRunner:
                 return True
         return False
 
-    def _build_sampling_tensors(self, req_ids: list[str], rb: int) -> SamplingTensors:
-        temp = np.zeros(rb, np.float32)
-        top_k = np.zeros(rb, np.int32)
-        top_p = np.ones(rb, np.float32)
-        min_p = np.zeros(rb, np.float32)
-        seeds = np.zeros(rb, np.uint32)
-        pres = np.zeros(rb, np.float32)
-        freq = np.zeros(rb, np.float32)
-        rep = np.ones(rb, np.float32)
+    def _build_sampling_tensors(
+        self, req_ids: list[str], rb: int, s_rows: int = 1
+    ) -> SamplingTensors:
+        """Per-row sampling params; with s_rows>1 (spec-decode verify), each
+        request owns s_rows consecutive rows with per-position seeds."""
+        n = rb * s_rows
+        temp = np.zeros(n, np.float32)
+        top_k = np.zeros(n, np.int32)
+        top_p = np.ones(n, np.float32)
+        min_p = np.zeros(n, np.float32)
+        seeds = np.zeros(n, np.uint32)
+        pres = np.zeros(n, np.float32)
+        freq = np.zeros(n, np.float32)
+        rep = np.ones(n, np.float32)
         for i, rid in enumerate(req_ids):
             st = self.requests[rid]
             sp = st.sampling_params
-            temp[i] = sp.temperature
-            top_k[i] = sp.top_k
-            top_p[i] = sp.top_p
-            min_p[i] = sp.min_p
-            pres[i] = sp.presence_penalty
-            freq[i] = sp.frequency_penalty
-            rep[i] = sp.repetition_penalty
-            if st.generator_seed is not None:
-                seeds[i] = np.uint32(
-                    hash((st.generator_seed, len(st.token_ids))) & 0xFFFFFFFF
-                )
-            else:
-                seeds[i] = self.rng.integers(0, 2**32, dtype=np.uint32)
+            rows = slice(i * s_rows, (i + 1) * s_rows)
+            temp[rows] = sp.temperature
+            top_k[rows] = sp.top_k
+            top_p[rows] = sp.top_p
+            min_p[rows] = sp.min_p
+            pres[rows] = sp.presence_penalty
+            freq[rows] = sp.frequency_penalty
+            rep[rows] = sp.repetition_penalty
+            for j in range(s_rows):
+                if st.generator_seed is not None:
+                    seeds[i * s_rows + j] = np.uint32(
+                        hash((st.generator_seed, len(st.token_ids) + j))
+                        & 0xFFFFFFFF
+                    )
+                else:
+                    seeds[i * s_rows + j] = self.rng.integers(
+                        0, 2**32, dtype=np.uint32
+                    )
         return SamplingTensors(
             temperature=jnp.asarray(temp),
             top_k=jnp.asarray(top_k),
@@ -584,12 +612,21 @@ class ModelRunner:
         )
 
     def _make_output(
-        self, req_ids: list[str], out: SamplerOutput, so: SchedulerOutput
+        self, req_ids: list[str], out: SamplerOutput, so: SchedulerOutput,
+        s_rows: int = 1,
     ) -> ModelRunnerOutput:
         tokens = np.asarray(out.token_ids)
         chosen_lp = np.asarray(out.chosen_logprob)
         topk_ids = np.asarray(out.topk_ids)
         topk_lps = np.asarray(out.topk_logprobs)
+
+        def row_lp(row, tok):
+            lps = {
+                int(topk_ids[row, j]): float(topk_lps[row, j])
+                for j in range(topk_ids.shape[1])
+            }
+            lps[tok] = float(chosen_lp[row])
+            return lps
 
         result = ModelRunnerOutput()
         for i, rid in enumerate(req_ids):
@@ -597,20 +634,26 @@ class ModelRunner:
             n = so.num_scheduled_tokens[rid]
             result.req_ids.append(rid)
             # token only valid if the whole context was computed this step
-            if st.num_computed_tokens + n >= len(st.token_ids):
-                tok = int(tokens[i])
-                result.sampled_token_ids.append([tok])
-                st.token_ids.append(tok)
-                if st.sampling_params.logprobs is not None:
-                    lps = {
-                        int(topk_ids[i, j]): float(topk_lps[i, j])
-                        for j in range(topk_ids.shape[1])
-                    }
-                    lps[tok] = float(chosen_lp[i])
-                    result.logprobs.append([lps])
-                else:
-                    result.logprobs.append(None)
-            else:
+            if st.num_computed_tokens + n < len(st.token_ids):
                 result.sampled_token_ids.append([])
                 result.logprobs.append(None)
+                continue
+            want_lp = st.sampling_params.logprobs is not None
+            drafts = so.num_scheduled_spec_tokens.get(rid, [])
+            emitted: list[int] = []
+            lps: list[dict] = []
+            # draft verification: accept the prefix the target reproduces;
+            # the first mismatching sampled token is the corrected output
+            # (exactly rejection sampling for point-mass ngram proposals)
+            for j in range(1 + len(drafts)):
+                row = i * s_rows + j
+                tok = int(tokens[row])
+                emitted.append(tok)
+                if want_lp:
+                    lps.append(row_lp(row, tok))
+                if j < len(drafts) and tok != drafts[j]:
+                    break
+            result.sampled_token_ids.append(emitted)
+            st.token_ids.extend(emitted)
+            result.logprobs.append(lps if want_lp else None)
         return result

@@ -76,9 +76,23 @@ class Scheduler:
         scheduler_config: SchedulerConfig,
         cache_config: CacheConfig,
         max_model_len: int,
+        speculative_config=None,
     ):
         self.config = scheduler_config
         self.max_model_len = max_model_len
+        self.proposer = None
+        if speculative_config is not None and speculative_config.enabled:
+            if speculative_config.method != "ngram":
+                raise ValueError(
+                    f"unsupported speculative method {speculative_config.method!r}"
+                )
+            from vllm_metax_tpu.spec_decode import NgramProposer
+
+            self.proposer = NgramProposer(
+                speculative_config.prompt_lookup_min,
+                speculative_config.prompt_lookup_max,
+                speculative_config.num_speculative_tokens,
+            )
         self.kv_manager = KVCacheManager(
             cache_config.num_blocks,
             cache_config.block_size,
@@ -129,6 +143,23 @@ class Scheduler:
         out = SchedulerOutput()
         out.finished_req_ids, self.finished_req_ids = self.finished_req_ids, set()
         token_budget = self.config.max_num_batched_tokens
+
+        # Speculative decoding: propose ngram drafts for decode-ready
+        # requests (each then schedules 1 + num_drafts tokens; the runner
+        # verifies them in one forward and the update truncates rejects).
+        if self.proposer is not None:
+            for req in self.running:
+                req.spec_token_ids = []
+                if (
+                    req.status == RequestStatus.RUNNING
+                    and req.num_tokens - req.num_computed_tokens == 1
+                    and req.num_output_tokens > 0
+                ):
+                    room = self.max_model_len - req.num_tokens - 1
+                    drafts = self.proposer.propose(req.all_token_ids)[: max(room, 0)]
+                    req.spec_token_ids = drafts
+                    if drafts:
+                        out.num_scheduled_spec_tokens[req.req_id] = list(drafts)
 
         # Multi-step decode: when every running request is decode-ready and
         # nothing is waiting, reserve KV slots for M steps so the runner can
@@ -265,7 +296,13 @@ class Scheduler:
             req = self.requests.get(req_id)
             if req is None or req.status != RequestStatus.RUNNING:
                 continue
-            req.num_computed_tokens += num_scheduled
+            # draft rows only become real context if accepted (accounted for
+            # through the emitted-token count below)
+            num_draft = len(
+                scheduler_output.num_scheduled_spec_tokens.get(req_id, ())
+            )
+            req.spec_token_ids = []
+            req.num_computed_tokens += num_scheduled - num_draft
             new_tokens = sampled_tokens.get(req_id, [])
             finished = False
             emitted: list[int] = []

@@ -14,34 +14,63 @@ All weights are stored (in_features, out_features): `y = x @ W`, the natural
 MXU orientation. The reference's equivalents are GPTQLinearMethod.apply
 (vllm_metax/quant_config/gptq.py:131) and cutlass_scaled_mm
 (csrc/torch_bindings.cpp:251).
+
+Stacked mode: when called under a lax.scan over layers, pass the WHOLE
+stacked dict (leaves have a leading L axis) plus `layer_idx`. Quantized
+layouts route the stacked bank straight into the Pallas kernel, whose
+BlockSpec index map selects the layer — avoiding the dynamic-slice
+materialization (a full extra weight read+write per layer) that scanning
+weights as xs incurs.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 
-def apply_linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _idx(arr, layer_idx):
+    return jax.lax.dynamic_index_in_dim(arr, layer_idx, keepdims=False)
+
+
+def apply_linear(p: dict, x: jnp.ndarray, layer_idx=None) -> jnp.ndarray:
+    stacked = layer_idx is not None
+
+    def leaf(name):
+        return _idx(p[name], layer_idx) if stacked else p[name]
+
     if "w" in p:
-        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, leaf("w"), preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
     elif "w_p4" in p:
         from vllm_metax_tpu.ops.quant import int4_matmul
 
-        y = int4_matmul(x, p["w_p4"], p["s"], p["zs"], p.get("perm"))
+        perm = leaf("perm") if "perm" in p else None
+        if stacked:
+            y = int4_matmul(x, p["w_p4"], p["s"], p["zs"], perm, layer_idx)
+        else:
+            y = int4_matmul(x, p["w_p4"], p["s"], p["zs"], perm)
     elif "w_i8" in p and "a8" in p:
         from vllm_metax_tpu.ops.quant import w8a8_int8_matmul
 
-        y = w8a8_int8_matmul(x, p["w_i8"], p["s"])
+        y = w8a8_int8_matmul(x, leaf("w_i8"), leaf("s"))
     elif "w_i8" in p:
         from vllm_metax_tpu.ops.quant import int8_wo_matmul
 
-        y = int8_wo_matmul(x, p["w_i8"], p["s"])
+        if stacked:
+            y = int8_wo_matmul(x, p["w_i8"], p["s"], layer_idx)
+        else:
+            y = int8_wo_matmul(x, p["w_i8"], p["s"])
     elif "w_f8" in p:
         from vllm_metax_tpu.ops.quant import fp8_matmul
 
-        y = fp8_matmul(x, p["w_f8"], p["s"], p.get("act_s"))
+        act_s = leaf("act_s") if "act_s" in p else None
+        y = fp8_matmul(x, leaf("w_f8"), leaf("s"), act_s)
     else:
         raise ValueError(f"unknown linear param keys: {list(p)}")
     if "b" in p:
-        y = y + p["b"].astype(y.dtype)
+        y = y + leaf("b").astype(y.dtype)
     return y

@@ -78,10 +78,10 @@ def mla_attention(
     derivation). Returns (T, H_local, kv_lora_rank)."""
     t, h, dq = q.shape
     r, maxb = md.block_tables.shape
-    bs = kv_cache.k.shape[1]
+    bs = kv_cache.block_size
     ctx = maxb * bs
 
-    latent = jnp.take(kv_cache.k, md.block_tables, axis=0)  # (R, MAXB, BS, 1, D)
+    latent = jnp.take(kv_cache.k, md.block_tables, axis=0)  # (R, MAXB, 1, BS, D)
     latent = latent.reshape(r, ctx, dq)
     lat_tok = latent[md.req_idx].astype(jnp.float32)  # (T, CTX, D)
 
@@ -215,26 +215,30 @@ def forward(
     from vllm_metax_tpu.ops.attention import layer_view
 
     nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
-    slots_per_layer = nb_layer * kv_cache.k.shape[1]
+    slots_per_layer = nb_layer * kv_cache.block_size
 
-    def dense_layer(carry, xs):
+    def dense_layer(carry, l):
         hidden, residual, kv = carry
-        lp, layer_idx = xs
-        md_l = layer_view(md, layer_idx, nb_layer, slots_per_layer)
+        layers = params["dense_layers"]
+        lp = jax.tree_util.tree_map(lambda a: a[l], layers)
+        md_l = layer_view(md, l, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
         attn_out, kv = _mla_block(
             lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
         )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         mlp = maybe_psum(
-            apply_linear(lp["down"], act_fn(apply_linear(lp["gate_up"], normed)))
+            apply_linear(layers["down"],
+                         act_fn(apply_linear(layers["gate_up"], normed,
+                                             layer_idx=l)),
+                         layer_idx=l)
         )
         return (mlp, residual, kv), None
 
-    def moe_layer(carry, xs):
+    def moe_layer(carry, l):
         hidden, residual, kv = carry
-        lp, layer_idx = xs
-        md_l = layer_view(md, layer_idx, nb_layer, slots_per_layer)
+        lp = jax.tree_util.tree_map(lambda a: a[l - k_dense], params["moe_layers"])
+        md_l = layer_view(md, l, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
         attn_out, kv = _mla_block(
             lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
@@ -247,17 +251,12 @@ def forward(
     carry = (hidden, residual, kv_cache)
     if k_dense > 0:
         carry, _ = jax.lax.scan(
-            dense_layer,
-            carry,
-            (params["dense_layers"], jnp.arange(k_dense, dtype=jnp.int32)),
+            dense_layer, carry, jnp.arange(k_dense, dtype=jnp.int32)
         )
     carry, _ = jax.lax.scan(
         moe_layer,
         carry,
-        (
-            params["moe_layers"],
-            jnp.arange(k_dense, cfg.num_hidden_layers, dtype=jnp.int32),
-        ),
+        jnp.arange(k_dense, cfg.num_hidden_layers, dtype=jnp.int32),
     )
     hidden, residual, new_kv = carry
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(

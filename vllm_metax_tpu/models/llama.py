@@ -80,36 +80,48 @@ def forward(
     # while loop (scanning it as xs/ys materializes a full cache copy per
     # step — measured ~25ms/step at 8B).
     nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
-    slots_per_layer = nb_layer * kv_cache.k.shape[1]
+    slots_per_layer = nb_layer * kv_cache.block_size
 
-    def layer_fn(carry, xs):
+    # Layer weights stay CLOSED OVER (scan constants) and the scan runs over
+    # the layer index only: big quantized banks are indexed inside the Pallas
+    # matmul via a prefetched layer id — scanning weights as xs would
+    # materialize a dynamic-slice copy of every layer's weights every step
+    # (a full extra model read+write, profiled at ~6ms/step for 8B-int4).
+    layers = params["layers"]
+
+    def layer_fn(carry, l):
         hidden, residual, kv = carry
-        lp, layer_idx = xs
-        md_l = layer_view(md, layer_idx, nb_layer, slots_per_layer)
+        md_l = layer_view(md, l, nb_layer, slots_per_layer)
 
-        normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
+        normed, residual = fused_add_rms_norm(hidden, residual,
+                                              layers["ln1"][l], eps)
 
         # --- attention
-        qkv = apply_linear(lp["qkv"], normed)
+        qkv = apply_linear(layers["qkv"], normed, layer_idx=l)
         t = qkv.shape[0]
         q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
         q = q.reshape(t, hq, d)
         k = k.reshape(t, hkv, d)
         v = v.reshape(t, hkv, d)
-        if "q_norm" in lp:
-            q = rms_norm(q, lp["q_norm"], eps)
-            k = rms_norm(k, lp["k_norm"], eps)
+        if "q_norm" in layers:
+            q = rms_norm(q, layers["q_norm"][l], eps)
+            k = rms_norm(k, layers["k_norm"][l], eps)
         q, k = apply_rope(q, k, md.positions, rope_cache)
         kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
         attn = ragged_paged_attention(
             q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
         )
-        attn_out = maybe_psum(apply_linear(lp["o"], attn.reshape(t, hq * d)))
+        attn_out = maybe_psum(
+            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
+        )
 
         # --- mlp
-        normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
-        gate_up = apply_linear(lp["gate_up"], normed)
-        mlp_out = maybe_psum(apply_linear(lp["down"], act_fn(gate_up)))
+        normed, residual = fused_add_rms_norm(attn_out, residual,
+                                              layers["ln2"][l], eps)
+        gate_up = apply_linear(layers["gate_up"], normed, layer_idx=l)
+        mlp_out = maybe_psum(
+            apply_linear(layers["down"], act_fn(gate_up), layer_idx=l)
+        )
 
         return (mlp_out, residual, kv), None
 
@@ -117,7 +129,7 @@ def forward(
     (hidden, residual, new_kv), _ = jax.lax.scan(
         layer_fn,
         (hidden, residual, kv_cache),
-        (params["layers"], jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)),
+        jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
     )
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
         cfg.dtype

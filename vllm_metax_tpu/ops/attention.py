@@ -105,8 +105,8 @@ def ragged_paged_attention_xla(
     test_attention.py:50 ref_masked_attention, extended to paged+ragged)."""
     t, hq, d = q.shape
     r, maxb = metadata.block_tables.shape
-    bs = kv_cache.k.shape[1]
-    hkv = kv_cache.k.shape[2]
+    bs = kv_cache.block_size
+    hkv = kv_cache.num_kv_heads
     g = hq // hkv
     ctx = maxb * bs
 

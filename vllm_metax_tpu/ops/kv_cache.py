@@ -28,11 +28,16 @@ _FP8_E5M2_MAX = 57344.0
 
 
 class KVCache(NamedTuple):
-    """Single-layer paged KV cache (a pytree leaf group)."""
+    """Paged KV cache (a pytree leaf group).
 
-    k: jnp.ndarray  # (NB, BS, H, D) model dtype or int8/fp8
+    Layout is HEAD-MAJOR within a page — (NB, H, BS, D) — so one page DMA
+    delivers a (H, BS, D) block the attention kernel consumes per-head
+    without transposition (ragged_attention.py keeps (HKV, rows, D) operands
+    throughout)."""
+
+    k: jnp.ndarray  # (NB, H, BS, D) model dtype or int8/fp8
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None  # (NB, BS, H) f32 if quantized
+    k_scale: Optional[jnp.ndarray] = None  # (NB, H, BS) f32 if quantized
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -40,8 +45,16 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
     @property
+    def block_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k.shape[1]
+
+    @property
     def num_slots(self) -> int:
-        return self.k.shape[0] * self.k.shape[1]
+        return self.k.shape[0] * self.k.shape[2]
 
 
 def new_kv_cache(
@@ -55,8 +68,8 @@ def new_kv_cache(
 ) -> KVCache:
     """store_v=False → zero-width v (MLA latent caches keep [ckv|k_pe] in k
     only, ref: concat_and_cache_mla, csrc/cache_kernels.cu:503)."""
-    shape = (num_blocks, block_size, num_kv_heads, head_dim)
-    v_shape = shape if store_v else (num_blocks, block_size, num_kv_heads, 0)
+    shape = (num_blocks, num_kv_heads, block_size, head_dim)
+    v_shape = shape if store_v else (num_blocks, num_kv_heads, block_size, 0)
     quantized = dtype in (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
     k = jnp.zeros(shape, dtype=dtype)
     v = jnp.zeros(v_shape, dtype=dtype)
@@ -100,15 +113,18 @@ def write_to_kv_cache(
     an out-of-range sentinel (>= num_slots) which the scatter drops. NOTE:
     negative padding indices would wrap in JAX — callers must use OOB values.
     """
-    nb, bs, h, d = kv_cache.k.shape
+    nb, h, bs, d = kv_cache.k.shape
     cache_dtype = kv_cache.k.dtype
+    block_idx = slot_mapping // bs
+    off_idx = slot_mapping % bs
+    # keep OOB sentinels out of bounds after the block/offset split
+    block_idx = jnp.where(slot_mapping >= nb * bs, nb, block_idx)
 
     def scatter(cache_arr, vals):
-        flat = cache_arr.reshape(nb * bs, *cache_arr.shape[2:])
-        flat = flat.at[slot_mapping].set(
+        # vals (T, H, ...) → advanced-index scatter at [block, :, off]
+        return cache_arr.at[block_idx, :, off_idx].set(
             vals, mode="drop", unique_indices=True, indices_are_sorted=False
         )
-        return flat.reshape(cache_arr.shape)
 
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
@@ -135,17 +151,16 @@ def gather_kv_for_requests(
     Reference analog: gather_and_maybe_dequant_cache (cache_kernels.cu:725).
     """
     r, maxb = block_tables.shape
-    nb, bs, h, d = kv_cache.k.shape
-    k = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, BS, H, D)
+    nb, h, bs, d = kv_cache.k.shape
+    k = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, H, BS, D)
     v = jnp.take(kv_cache.v, block_tables, axis=0)
     if kv_cache.quantized:
-        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)
+        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)  # (R, MAXB, H, BS)
         vs = jnp.take(kv_cache.v_scale, block_tables, axis=0)
-        k = dequantize_kv(k, ks, out_dtype)
-        v = dequantize_kv(v, vs, out_dtype)
-    else:
-        k = k.astype(out_dtype)
-        v = v.astype(out_dtype)
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
+    k = jnp.transpose(k, (0, 1, 3, 2, 4)).astype(out_dtype)  # (R,MAXB,BS,H,D)
+    v = jnp.transpose(v, (0, 1, 3, 2, 4)).astype(out_dtype)
     return k.reshape(r, maxb * bs, h, d), v.reshape(r, maxb * bs, h, d)
 
 

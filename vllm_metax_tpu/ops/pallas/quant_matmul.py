@@ -80,17 +80,35 @@ def _int4_kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, kc, gs):
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _int4_stacked_kernel(
+    lidx_ref, x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, kc, gs
+):
+    """Stacked-layer variant: blocks carry a leading singleton layer dim that
+    the index maps resolved from the prefetched layer index."""
+    _int4_kernel(
+        x_ref, w_ref.at[0], s_ref.at[0], zs_ref.at[0], out_ref, acc_ref,
+        kc=kc, gs=gs,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int4_matmul_pallas(
     x: jnp.ndarray,  # (T, K)
-    w_p4: jnp.ndarray,  # (K/2, N)
-    s: jnp.ndarray,  # (G, N)
-    zs: jnp.ndarray,  # (G, N)
+    w_p4: jnp.ndarray,  # (K/2, N) or (L, K/2, N) with layer_idx
+    s: jnp.ndarray,  # (G, N) or (L, G, N)
+    zs: jnp.ndarray,
+    layer_idx=None,  # () int32 — selects the layer of a stacked weight bank
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Fused dequant matmul. With `layer_idx`, the packed weights stay stacked
+    (L, K/2, N) and the kernel's BlockSpec index map selects layer blocks via
+    a scalar-prefetched index — no XLA dynamic-slice materialization of the
+    whole layer (which costs a full extra weight read+write per step when
+    called under lax.scan over layers)."""
+    stacked = w_p4.ndim == 3
     t, k = x.shape
-    k_half, n = w_p4.shape
-    g = s.shape[0]
+    k_half, n = w_p4.shape[-2:]
+    g = s.shape[-2]
     gs = k // g
     tt = _choose_tile(t, (128, 64, 32, 16, 8))
     tn = _choose_tile(n)
@@ -99,34 +117,64 @@ def int4_matmul_pallas(
     kc = _choose_chunk(k_half, gs)
 
     grid = (t // tt, n // tn)
-    kernel = functools.partial(_int4_kernel, kc=kc, gs=gs)
     flops = 2 * t * k * n
     bytes_accessed = (
-        w_p4.size * (t // tt)  # packed weight per T-tile
+        k_half * n * (t // tt)
         + x.size * x.dtype.itemsize * (n // tn)
-        + (s.size + zs.size) * 4
+        + 2 * g * n * 4
         + t * n * x.dtype.itemsize
+    )
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+    )
+    if not stacked:
+        kernel = functools.partial(_int4_kernel, kc=kc, gs=gs)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (k_half, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((g, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tt, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x, w_p4, s, zs)
+
+    if layer_idx is None:
+        raise ValueError("stacked weights need layer_idx")
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kernel = functools.partial(_int4_stacked_kernel, kc=kc, gs=gs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, k_half, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, g, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, g, tn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_half, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tt, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
-        ),
+        grid_spec=grid_spec,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
         interpret=interpret,
-    )(x, w_p4, s, zs)
+    )(lidx, x, w_p4, s, zs)
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):
@@ -152,16 +200,23 @@ def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _int8_stacked_kernel(lidx_ref, x_ref, w_ref, s_ref, out_ref, acc_ref, *,
+                         kc, gs):
+    _int8_kernel(x_ref, w_ref.at[0], s_ref.at[0], out_ref, acc_ref, kc=kc, gs=gs)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int8_wo_matmul_pallas(
     x: jnp.ndarray,  # (T, K)
-    w_i8: jnp.ndarray,  # (K, N)
-    s: jnp.ndarray,  # (G, N) or (1, N)
+    w_i8: jnp.ndarray,  # (K, N) or (L, K, N) with layer_idx
+    s: jnp.ndarray,  # (G, N) or (1, N) [stacked: leading L]
+    layer_idx=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    stacked = w_i8.ndim == 3
     t, k = x.shape
-    _, n = w_i8.shape
-    g = s.shape[0]
+    n = w_i8.shape[-1]
+    g = s.shape[-2]
     gs = k // g if g > 1 else k
     tt = _choose_tile(t, (128, 64, 32, 16, 8))
     tn = _choose_tile(n)
@@ -169,27 +224,54 @@ def int8_wo_matmul_pallas(
         raise ValueError(f"bad tiling: T={t} N={n}")
     kc = _choose_chunk(k, gs if g > 1 else -1)
 
-    kernel = functools.partial(_int8_kernel, kc=kc, gs=gs)
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=2 * t * k * n,
+        bytes_accessed=k * n * (t // tt)
+        + x.size * x.dtype.itemsize * (n // tn)
+        + t * n * x.dtype.itemsize,
+        transcendentals=0,
+    )
+    if not stacked:
+        kernel = functools.partial(_int8_kernel, kc=kc, gs=gs)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+            grid=(t // tt, n // tn),
+            in_specs=[
+                pl.BlockSpec((tt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tt, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x, w_i8, s)
+
+    if layer_idx is None:
+        raise ValueError("stacked weights need layer_idx")
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kernel = functools.partial(_int8_stacked_kernel, kc=kc, gs=gs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // tt, n // tn),
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, k, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, g, tn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
-        grid=(t // tt, n // tn),
-        in_specs=[
-            pl.BlockSpec((tt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tt, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * t * k * n,
-            bytes_accessed=w_i8.size * (t // tt)
-            + x.size * x.dtype.itemsize * (n // tn)
-            + t * n * x.dtype.itemsize,
-            transcendentals=0,
-        ),
+        grid_spec=grid_spec,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
         interpret=interpret,
-    )(x, w_i8, s)
+    )(lidx, x, w_i8, s)

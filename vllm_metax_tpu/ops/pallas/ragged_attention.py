@@ -42,7 +42,7 @@ _NEG_INF = -1e30
 
 def pallas_attention_supported(q, kv_cache: KVCache, md) -> bool:
     t, hq, d = q.shape
-    nb, bs, hkv, dk = kv_cache.k.shape
+    nb, hkv, bs, dk = kv_cache.k.shape
     return (
         kv_cache.k_scale is None  # quantized-KV kernel variant lands next
         and d % 128 == 0
@@ -59,12 +59,12 @@ def _attn_kernel(
     # array inputs
     q_ref,  # (1, HKV, TQ*G, D) VMEM
     pos_ref,  # (1, TQ*G, 1) i32 VMEM; -1 on invalid rows
-    k_hbm,  # (NB, BS, HKV, D) ANY
+    k_hbm,  # (NB, HKV, BS, D) ANY
     v_hbm,
     # outputs
     out_ref,  # (1, HKV, TQ*G, D) VMEM
     # scratch
-    k_buf,  # (2, CKV, HKV, D)
+    k_buf,  # (2, HKV, CKV, D)
     v_buf,
     acc_ref,  # (HKV, TQ*G, D) f32
     m_ref,  # (HKV, TQ*G, 1) f32
@@ -79,10 +79,10 @@ def _attn_kernel(
 ):
     t_idx = pl.program_id(0)
     req = tile_req_ref[t_idx]
-    hkv = k_buf.shape[2]
+    hkv = k_buf.shape[1]
     rows = q_ref.shape[2]  # TQ*G
     d = q_ref.shape[3]
-    bs = k_hbm.shape[1]
+    bs = k_hbm.shape[2]
     ppc = ckv // bs
 
     valid_tile = req >= 0
@@ -103,16 +103,16 @@ def _attn_kernel(
         def chunk_dma(c, slot, kind):
             base = req * maxb + (c * ppc)
 
-            def per_page(p, _):
+            for p in range(ppc):  # static unroll: back-to-back DMA issue
                 page = bt_ref[base + p]
                 k_dma = pltpu.make_async_copy(
                     k_hbm.at[page],
-                    k_buf.at[slot, pl.ds(p * bs, bs)],
+                    k_buf.at[slot, :, pl.ds(p * bs, bs)],
                     sem.at[slot, 0, p],
                 )
                 v_dma = pltpu.make_async_copy(
                     v_hbm.at[page],
-                    v_buf.at[slot, pl.ds(p * bs, bs)],
+                    v_buf.at[slot, :, pl.ds(p * bs, bs)],
                     sem.at[slot, 1, p],
                 )
                 if kind == "start":
@@ -121,9 +121,6 @@ def _attn_kernel(
                 else:
                     k_dma.wait()
                     v_dma.wait()
-                return 0
-
-            jax.lax.fori_loop(0, ppc, per_page, 0)
 
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
@@ -141,51 +138,53 @@ def _attn_kernel(
             chunk_dma(c, slot, "wait")
 
             kv_pos = c * ckv + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, ckv), 1
-            )  # (TQ*G, CKV)
-            mask = (kv_pos <= qp) & (kv_pos < seq_len) & (qp >= 0)
+                jnp.int32, (1, rows, ckv), 2
+            )  # (1, TQ*G, CKV)
+            qp3 = qp[None]  # (1, TQ*G, 1)
+            mask = (kv_pos <= qp3) & (kv_pos < seq_len) & (qp3 >= 0)
             if sliding_window > 0:
-                mask &= kv_pos > qp - sliding_window
+                mask &= kv_pos > qp3 - sliding_window
 
-            for h in range(hkv):
-                q_h = q_ref[0, h]  # (TQ*G, D)
-                k_h = k_buf[slot, :, h, :]  # (CKV, D)
-                v_h = v_buf[slot, :, h, :]
-                s = jax.lax.dot_general(
-                    q_h,
-                    k_h,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (TQ*G, CKV)
-                s = s * sm_scale
-                if logits_soft_cap > 0.0:
-                    s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
-                s = jnp.where(mask, s, _NEG_INF)
+            # all kv heads in one batched pass (HKV as the batch dim): one
+            # matmul + one softmax-update op sequence instead of HKV small
+            # ones — per-op overhead dominated the decode path otherwise
+            q_all = q_ref[0]  # (HKV, TQ*G, D)
+            k_all = k_buf[slot]  # (HKV, CKV, D)
+            v_all = v_buf[slot]
+            s = jax.lax.dot_general(
+                q_all,
+                k_all,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (HKV, TQ*G, CKV)
+            s = s * sm_scale
+            if logits_soft_cap > 0.0:
+                s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+            s = jnp.where(mask, s, _NEG_INF)
 
-                m_prev = m_ref[h]  # (TQ*G, 1)
-                l_prev = l_ref[h]
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                p = jnp.exp(s - m_new)  # masked lanes → exp(-inf)=0
-                alpha = jnp.exp(m_prev - m_new)
-                l_ref[h] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_prev = m_ref[...]  # (HKV, TQ*G, 1)
+            l_prev = l_ref[...]
+            m_cur = jnp.max(s, axis=2, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)  # masked lanes → exp(-inf)=0
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[...] = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-                pv = jax.lax.dot_general(
-                    p.astype(v_h.dtype),
-                    v_h,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (TQ*G, D)
-                acc_ref[h] = acc_ref[h] * alpha + pv
-                m_ref[h] = m_new
+            pv = jax.lax.dot_general(
+                p.astype(v_all.dtype),
+                v_all,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (HKV, TQ*G, D)
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = m_new
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
-        for h in range(hkv):
-            out_ref[0, h] = (
-                acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
-            ).astype(out_ref.dtype)
+        out_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        ).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -202,7 +201,7 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     t, hq, d = q.shape
-    nb, bs, hkv, _ = kv_cache.k.shape
+    nb, hkv, bs, _ = kv_cache.k.shape
     g = hq // hkv
     r, maxb = metadata.block_tables.shape
     qsl = metadata.query_start_loc  # (R+1,)
@@ -257,8 +256,8 @@ def ragged_paged_attention_pallas(
         ],
         out_specs=pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ckv, hkv, d), kv_cache.k.dtype),
-            pltpu.VMEM((2, ckv, hkv, d), kv_cache.v.dtype),
+            pltpu.VMEM((2, hkv, ckv, d), kv_cache.k.dtype),
+            pltpu.VMEM((2, hkv, ckv, d), kv_cache.v.dtype),
             pltpu.VMEM((hkv, tq * g, d), jnp.float32),
             pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
             pltpu.VMEM((hkv, tq * g, 1), jnp.float32),

@@ -98,10 +98,11 @@ def dequant_int4(
 
 def int4_matmul(
     x: jnp.ndarray,  # (T, K)
-    w_p4: jnp.ndarray,  # (K/2, N)
-    s: jnp.ndarray,  # (G, N)
-    zs: jnp.ndarray,  # (G, N)
+    w_p4: jnp.ndarray,  # (K/2, N) or stacked (L, K/2, N) with layer_idx
+    s: jnp.ndarray,  # (G, N) / (L, G, N)
+    zs: jnp.ndarray,
     perm: Optional[jnp.ndarray] = None,  # (K,) activation reorder (desc_act)
+    layer_idx=None,
 ) -> jnp.ndarray:
     """Group-quantized int4 matmul: y = x[:, perm] @ dequant(w_p4, s, zs).
 
@@ -113,29 +114,37 @@ def int4_matmul(
     if perm is not None:
         x = jnp.take(x, perm, axis=1)
     k = x.shape[1]
-    gs = k // s.shape[0]
+    gs = k // s.shape[-2]
     if (
         _use_pallas()
-        and _pallas_tiles_ok(x.shape[0], w_p4.shape[1])
+        and _pallas_tiles_ok(x.shape[0], w_p4.shape[-1])
         and (k // 2) % gs == 0
     ):
         from vllm_metax_tpu.ops.pallas.quant_matmul import int4_matmul_pallas
 
-        return int4_matmul_pallas(x, w_p4, s, zs)
+        return int4_matmul_pallas(x, w_p4, s, zs, layer_idx)
+    if layer_idx is not None and w_p4.ndim == 3:
+        w_p4 = jax.lax.dynamic_index_in_dim(w_p4, layer_idx, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(s, layer_idx, keepdims=False)
+        zs = jax.lax.dynamic_index_in_dim(zs, layer_idx, keepdims=False)
     w = dequant_int4(w_p4, s, zs, x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def int8_wo_matmul(
     x: jnp.ndarray,  # (T, K)
-    w_i8: jnp.ndarray,  # (K, N) int8
-    s: jnp.ndarray,  # (G, N) or (1, N) f32 scales
+    w_i8: jnp.ndarray,  # (K, N) int8 or stacked (L, K, N)
+    s: jnp.ndarray,  # (G, N) or (1, N) f32 scales [stacked: leading L]
+    layer_idx=None,
 ) -> jnp.ndarray:
     """Weight-only int8 (per-channel or grouped symmetric)."""
-    if _use_pallas() and _pallas_tiles_ok(x.shape[0], w_i8.shape[1]):
+    if _use_pallas() and _pallas_tiles_ok(x.shape[0], w_i8.shape[-1]):
         from vllm_metax_tpu.ops.pallas.quant_matmul import int8_wo_matmul_pallas
 
-        return int8_wo_matmul_pallas(x, w_i8, s)
+        return int8_wo_matmul_pallas(x, w_i8, s, layer_idx)
+    if layer_idx is not None and w_i8.ndim == 3:
+        w_i8 = jax.lax.dynamic_index_in_dim(w_i8, layer_idx, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(s, layer_idx, keepdims=False)
     k, n = w_i8.shape
     g = s.shape[0]
     wf = w_i8.astype(jnp.float32)
