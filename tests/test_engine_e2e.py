@@ -179,3 +179,73 @@ def test_many_requests_preemption(hf_ckpt):
     outs = llm.generate(sampling_params=sp, prompt_token_ids=prompts)
     for prompt, out in zip(prompts, outs):
         assert out.outputs[0].token_ids == _hf_greedy(hf_model, prompt, 10)
+
+
+def test_sleep_wake_roundtrip(small_model_config):
+    """Sleep (offload weights, drop KV) then wake: outputs identical
+    (ref behavior: patched Worker.sleep/wake_up, device_allocator.py:15)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    config = EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    )
+    engine = EngineCore(config)
+
+    def run(prompt):
+        engine.add_request("r", prompt, SamplingParams(max_tokens=6, temperature=0.0))
+        toks = []
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                toks.extend(out.new_token_ids)
+        return toks
+
+    before = run([1, 2, 3, 4])
+    engine.sleep(level=1)
+    assert engine.is_sleeping
+    engine.wake_up()
+    after = run([1, 2, 3, 4])
+    assert after == before
+
+
+def test_sharded_state_save_load(small_model_config, tmp_path):
+    """Sharded-state fast restart (ref: save_sharded_state.py example):
+    reload skips checkpoint parsing and reproduces outputs exactly."""
+    import dataclasses
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    def make(load_format, model=""):
+        mc = dataclasses.replace(small_model_config, model=model)
+        return EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(max_num_seqs=4,
+                                             max_num_batched_tokens=64),
+            load_config=LoadConfig(load_format=load_format, seed=0),
+        )
+
+    def run(engine, prompt):
+        engine.add_request("r", prompt, SamplingParams(max_tokens=6, temperature=0.0))
+        toks = []
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                toks.extend(out.new_token_ids)
+        return toks
+
+    e1 = EngineCore(make("dummy"))
+    ref = run(e1, [5, 6, 7])
+    path = str(tmp_path / "state")
+    e1.save_sharded_state(path)
+
+    e2 = EngineCore(make("sharded_state", model=path))
+    assert run(e2, [5, 6, 7]) == ref

@@ -161,3 +161,26 @@ def test_bf16(rng):
     q = q.astype(jnp.bfloat16)
     kv = KVCache(kv.k.astype(jnp.bfloat16), kv.v.astype(jnp.bfloat16))
     _compare(q, kv, md, atol=3e-2)
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8"])
+def test_quantized_kv(rng, kv_dtype):
+    """INT8/FP8 KV-cache attention — beyond the reference, whose MACA fp8-KV
+    dispatch is stubbed off (csrc/quantization/fp8/metax/quant_utils.cuh:29)."""
+    dt = jnp.int8 if kv_dtype == "int8" else jnp.float8_e4m3fn
+    # rebuild the case with a quantized cache: re-run writes through the
+    # quantizing write path
+    from vllm_metax_tpu.ops.kv_cache import new_kv_cache as _new
+
+    import tests.test_pallas_attention as me
+
+    q, kv_f, md = _make_case(rng, seq_lens_ctx=[100, 20], qlens=[1, 9])
+    # re-write the dense cache contents into a quantized cache
+    nb = kv_f.k.shape[0]
+    kvq = _new(nb, BS, kv_f.num_kv_heads, D, dt, store_v=True)
+    # walk every slot that holds data: easiest is re-quantizing the full cache
+    k_tokens = kv_f.k.transpose(0, 2, 1, 3).reshape(nb * BS, kv_f.num_kv_heads, D)
+    v_tokens = kv_f.v.transpose(0, 2, 1, 3).reshape(nb * BS, kv_f.num_kv_heads, D)
+    slots = jnp.arange(nb * BS, dtype=jnp.int32)
+    kvq = write_to_kv_cache(kvq, k_tokens, v_tokens, slots)
+    _compare(q, kvq, md, atol=0.15)  # quantization noise bound

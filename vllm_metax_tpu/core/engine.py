@@ -58,6 +58,28 @@ class EngineCore:
     def abort_request(self, req_id: str) -> None:
         self.scheduler.abort_request(req_id)
 
+    # ----------------------------------------------------------- sleep/wake
+
+    def sleep(self, level: int = 1) -> None:
+        """Offload/free device memory between serving bursts (RLHF weight
+        sync pattern; ref: patched Worker.sleep, device_allocator.py:15)."""
+        if self.has_unfinished_requests():
+            raise RuntimeError("cannot sleep with unfinished requests")
+        self.runner.sleep(level)
+        self.scheduler.kv_manager.reset_prefix_cache()
+
+    def wake_up(self) -> None:
+        self.runner.wake_up()
+
+    @property
+    def is_sleeping(self) -> bool:
+        return self.runner.is_sleeping
+
+    def save_sharded_state(self, path: str) -> None:
+        from vllm_metax_tpu.weights.sharded_state import save_sharded_state
+
+        save_sharded_state(self.runner.params, path)
+
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()
 

@@ -83,28 +83,8 @@ class ModelRunner:
         self.params = params
 
         cc = self.cache_cfg
-        kv_dtype = cc.kv_dtype(self.model_cfg.dtype)
-        kv_spec = self.model.kv_cache_spec(self.model_cfg)
-        nl = kv_spec["num_layers"]
-        # one flat page pool for all layers (layer l owns pages
-        # [l*num_blocks, (l+1)*num_blocks)) so the per-layer cache update is
-        # an in-place scatter on the scan carry — no per-step stacked copies
-        self.kv_cache = new_kv_cache(
-            nl * cc.num_blocks,
-            cc.block_size,
-            kv_spec["num_kv_heads"],
-            kv_spec["head_dim"],
-            kv_dtype,
-            store_v=kv_spec.get("store_v", True),
-        )
-        if self.tp_size > 1:
-            from jax.sharding import NamedSharding
-
-            self.kv_cache = jax.tree_util.tree_map(
-                lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
-                self.kv_cache,
-                self._kv_specs(),
-            )
+        nl = self.model.kv_cache_spec(self.model_cfg)["num_layers"]
+        self._alloc_kv_cache()
         # per-layer slot space; pads use an >=all-layers sentinel so adding a
         # layer offset keeps them out of bounds
         self.num_slots = nl * cc.num_blocks * cc.block_size
@@ -118,16 +98,87 @@ class ModelRunner:
         )
 
         self.requests: dict[str, CachedReqState] = {}
+        self._host_params = None  # sleep-mode weight backup
         # jitted step variants keyed by the static sampler mode
         # (all_greedy, need_logprobs) — a pure-greedy no-logprob step is a
         # single argmax, the common serving case
         self._step_fns: dict[tuple[bool, bool], object] = {}
         self._multi_step_fns: dict[tuple, object] = {}
 
+    def _alloc_kv_cache(self) -> None:
+        # one flat page pool for all layers (layer l owns pages
+        # [l*num_blocks, (l+1)*num_blocks)) so the per-layer cache update is
+        # an in-place scatter on the scan carry — no per-step stacked copies
+        cc = self.cache_cfg
+        kv_spec = self.model.kv_cache_spec(self.model_cfg)
+        self.kv_cache = new_kv_cache(
+            kv_spec["num_layers"] * cc.num_blocks,
+            cc.block_size,
+            kv_spec["num_kv_heads"],
+            kv_spec["head_dim"],
+            cc.kv_dtype(self.model_cfg.dtype),
+            store_v=kv_spec.get("store_v", True),
+        )
+        if self.tp_size > 1:
+            from jax.sharding import NamedSharding
+
+            self.kv_cache = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s)),
+                self.kv_cache,
+                self._kv_specs(),
+            )
+
+    # --------------------------------------------------------- sleep / wake
+
+    def sleep(self, level: int = 1) -> None:
+        """Free device memory (TPU-native analog of the reference's CuMem
+        sleep mode, device_allocator/cumem.py + csrc/cumem_allocator.cpp —
+        no VA remapping needed: arrays are deleted and re-materialized).
+        level 1: weights offloaded to host, KV discarded; level 2: weights
+        dropped entirely (wake reloads from the checkpoint)."""
+        if level == 1:
+            self._host_params = jax.device_get(self.params)
+        else:
+            self._host_params = None
+        self.params = None
+        self.kv_cache = None
+
+    def wake_up(self) -> None:
+        if self.params is not None:
+            return
+        if self._host_params is not None:
+            # already merged/quantized/TP-prepared — just reshard
+            params = self._host_params
+            self._host_params = None
+            if self.tp_size > 1:
+                from vllm_metax_tpu.parallel.mesh import shard_params
+
+                specs = self.model.param_specs(
+                    self.model_cfg, self.config.quant_config
+                )
+                params = shard_params(params, specs, self.mesh)
+            else:
+                params = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            params = self._load_params()
+            if self.tp_size > 1:
+                params = self._shard_params(params)
+        self.params = params
+        self._alloc_kv_cache()
+
+    @property
+    def is_sleeping(self) -> bool:
+        return self.params is None
+
     # ------------------------------------------------------------ build
 
     def _load_params(self):
         lc = self.config.load_config
+        if lc.load_format == "sharded_state":
+            from vllm_metax_tpu.weights.sharded_state import load_sharded_state
+
+            logger.info("loading sharded state from %s", self.model_cfg.model)
+            return load_sharded_state(None, self.model_cfg.model)
         if lc.load_format == "dummy" or not self.model_cfg.model:
             logger.info("initializing dummy weights (load_format=dummy)")
             return self.model.init_params(

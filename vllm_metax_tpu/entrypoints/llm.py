@@ -208,5 +208,14 @@ class LLM:
             )
         return results
 
+    def sleep(self, level: int = 1) -> None:
+        self.engine.sleep(level)
+
+    def wake_up(self) -> None:
+        self.engine.wake_up()
+
+    def save_sharded_state(self, path: str) -> None:
+        self.engine.save_sharded_state(path)
+
     def get_stats(self) -> dict:
         return self.engine.stats.snapshot()

@@ -117,14 +117,31 @@ def write_to_kv_cache(
     cache_dtype = kv_cache.k.dtype
     block_idx = slot_mapping // bs
     off_idx = slot_mapping % bs
-    # keep OOB sentinels out of bounds after the block/offset split
-    block_idx = jnp.where(slot_mapping >= nb * bs, nb, block_idx)
+    # flat row addressing: row(t, head) = (block*H + head)*BS + off. A plain
+    # 1-D row scatter aliases in place inside the layer loop; the equivalent
+    # advanced-index form at[block, :, off] made XLA copy the whole cache at
+    # the loop boundary (profiled: 2×2.5s per step at 8B).
+    rows = (
+        (block_idx[:, None] * h + jnp.arange(h, dtype=jnp.int32)[None, :]) * bs
+        + off_idx[:, None]
+    )  # (T, H)
+    rows = jnp.where(
+        (slot_mapping >= nb * bs)[:, None], nb * h * bs, rows
+    )
 
     def scatter(cache_arr, vals):
-        # vals (T, H, ...) → advanced-index scatter at [block, :, off]
-        return cache_arr.at[block_idx, :, off_idx].set(
-            vals, mode="drop", unique_indices=True, indices_are_sorted=False
+        # cache (NB, H, BS, ...) viewed as (NB*H*BS, ...); vals (T, H, ...)
+        if cache_arr.size == 0:  # zero-width v of MLA latent caches
+            return cache_arr
+        tail = cache_arr.shape[3:]
+        flat = cache_arr.reshape((nb * h * bs,) + tail)
+        flat = flat.at[rows.reshape(-1)].set(
+            vals.reshape((-1,) + tail),
+            mode="drop",
+            unique_indices=True,
+            indices_are_sorted=False,
         )
+        return flat.reshape(cache_arr.shape)
 
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)

@@ -43,12 +43,7 @@ _NEG_INF = -1e30
 def pallas_attention_supported(q, kv_cache: KVCache, md) -> bool:
     t, hq, d = q.shape
     nb, hkv, bs, dk = kv_cache.k.shape
-    return (
-        kv_cache.k_scale is None  # quantized-KV kernel variant lands next
-        and d % 128 == 0
-        and hq % hkv == 0
-        and bs % 8 == 0
-    )
+    return d % 128 == 0 and hq % hkv == 0 and bs % 8 == 0
 
 
 def _attn_kernel(
@@ -61,22 +56,20 @@ def _attn_kernel(
     pos_ref,  # (1, TQ*G, 1) i32 VMEM; -1 on invalid rows
     k_hbm,  # (NB, HKV, BS, D) ANY
     v_hbm,
-    # outputs
-    out_ref,  # (1, HKV, TQ*G, D) VMEM
-    # scratch
-    k_buf,  # (2, HKV, CKV, D)
-    v_buf,
-    acc_ref,  # (HKV, TQ*G, D) f32
-    m_ref,  # (HKV, TQ*G, 1) f32
-    l_ref,  # (HKV, TQ*G, 1) f32
-    sem,  # DMA sems (2, 2, PPC)
-    *,
+    *rest,  # [k_scale_hbm, v_scale_hbm (NB, HKV, BS) ANY,] out, scratch...
     sm_scale,
     ckv,
     maxb,
     sliding_window,
     logits_soft_cap,
+    quantized,
 ):
+    if quantized:
+        (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
+         acc_ref, m_ref, l_ref, sem) = rest
+    else:
+        out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, sem = rest
+        ks_hbm = vs_hbm = ks_buf = vs_buf = None
     t_idx = pl.program_id(0)
     req = tile_req_ref[t_idx]
     hkv = k_buf.shape[1]
@@ -105,22 +98,38 @@ def _attn_kernel(
 
             for p in range(ppc):  # static unroll: back-to-back DMA issue
                 page = bt_ref[base + p]
-                k_dma = pltpu.make_async_copy(
-                    k_hbm.at[page],
-                    k_buf.at[slot, :, pl.ds(p * bs, bs)],
-                    sem.at[slot, 0, p],
-                )
-                v_dma = pltpu.make_async_copy(
-                    v_hbm.at[page],
-                    v_buf.at[slot, :, pl.ds(p * bs, bs)],
-                    sem.at[slot, 1, p],
-                )
-                if kind == "start":
-                    k_dma.start()
-                    v_dma.start()
-                else:
-                    k_dma.wait()
-                    v_dma.wait()
+                dmas = [
+                    pltpu.make_async_copy(
+                        k_hbm.at[page],
+                        k_buf.at[slot, :, pl.ds(p * bs, bs)],
+                        sem.at[slot, 0, p],
+                    ),
+                    pltpu.make_async_copy(
+                        v_hbm.at[page],
+                        v_buf.at[slot, :, pl.ds(p * bs, bs)],
+                        sem.at[slot, 1, p],
+                    ),
+                ]
+                if quantized:
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            ks_hbm.at[page],
+                            ks_buf.at[slot, :, pl.ds(p * bs, bs)],
+                            sem.at[slot, 2, p],
+                        )
+                    )
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            vs_hbm.at[page],
+                            vs_buf.at[slot, :, pl.ds(p * bs, bs)],
+                            sem.at[slot, 3, p],
+                        )
+                    )
+                for dma in dmas:
+                    if kind == "start":
+                        dma.start()
+                    else:
+                        dma.wait()
 
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
@@ -151,12 +160,19 @@ def _attn_kernel(
             q_all = q_ref[0]  # (HKV, TQ*G, D)
             k_all = k_buf[slot]  # (HKV, CKV, D)
             v_all = v_buf[slot]
+            if quantized:
+                # int8/fp8 KV: cast for the MXU; per-token scales fold into
+                # the scores (k) and the probabilities (v) — O(CKV) work per
+                # head instead of O(CKV*D) dequant
+                k_all = k_all.astype(q_all.dtype)
             s = jax.lax.dot_general(
                 q_all,
                 k_all,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (HKV, TQ*G, CKV)
+            if quantized:
+                s = s * ks_buf[slot][:, None, :]  # (HKV, 1, CKV)
             s = s * sm_scale
             if logits_soft_cap > 0.0:
                 s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
@@ -170,9 +186,14 @@ def _attn_kernel(
             alpha = jnp.exp(m_prev - m_new)
             l_ref[...] = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
 
+            if quantized:
+                p = p * vs_buf[slot][:, None, :]
+                v_mm = v_all.astype(q_all.dtype)
+            else:
+                v_mm = v_all
             pv = jax.lax.dot_general(
-                p.astype(v_all.dtype),
-                v_all,
+                p.astype(v_mm.dtype),
+                v_mm,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (HKV, TQ*G, D)
@@ -245,24 +266,48 @@ def ragged_paged_attention_pallas(
         pos_rows.reshape(nt, tq), g, axis=1
     ).reshape(nt, tq * g, 1)
 
+    quantized = kv_cache.quantized
+    in_specs = [
+        pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
+        pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [
+        tile_req,
+        metadata.seq_lens,
+        metadata.block_tables.reshape(-1),
+        q_tiled,
+        pos_tiled,
+        kv_cache.k,
+        kv_cache.v,
+    ]
+    scratch = [
+        pltpu.VMEM((2, hkv, ckv, d), kv_cache.k.dtype),
+        pltpu.VMEM((2, hkv, ckv, d), kv_cache.v.dtype),
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [kv_cache.k_scale, kv_cache.v_scale]
+        scratch += [
+            pltpu.VMEM((2, hkv, ckv), jnp.float32),
+            pltpu.VMEM((2, hkv, ckv), jnp.float32),
+        ]
+    scratch += [
+        pltpu.VMEM((hkv, tq * g, d), jnp.float32),
+        pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
+        pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, ckv // bs)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, hkv, ckv, d), kv_cache.k.dtype),
-            pltpu.VMEM((2, hkv, ckv, d), kv_cache.v.dtype),
-            pltpu.VMEM((hkv, tq * g, d), jnp.float32),
-            pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
-            pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, ckv // bs)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _attn_kernel,
@@ -271,6 +316,7 @@ def ragged_paged_attention_pallas(
         maxb=maxb,
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
+        quantized=quantized,
     )
     out_tiled = pl.pallas_call(
         kernel,
@@ -280,15 +326,7 @@ def ragged_paged_attention_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        tile_req,
-        metadata.seq_lens,
-        metadata.block_tables.reshape(-1),
-        q_tiled,
-        pos_tiled,
-        kv_cache.k,
-        kv_cache.v,
-    )
+    )(*inputs)
 
     # back to token-major: (NT, HKV, TQ*G, D) → (NT*TQ, HQ, D) → gather rows
     out_rows = (
