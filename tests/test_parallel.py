@@ -94,3 +94,71 @@ def test_tp_rejects_bad_head_count(small_model_config):
     mesh = make_tp_mesh(8)
     with pytest.raises(ValueError, match="head counts"):
         _run_engine(_make_config(small_model_config, 8), mesh=mesh)
+
+
+def _moe_config_for_parallel():
+    from vllm_metax_tpu.config import ModelConfig
+
+    return ModelConfig(
+        architecture="MixtralForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=128,
+        dtype="float32",
+    )
+
+
+def test_ep_matches_single_device():
+    """Expert parallelism (experts sharded over the ep mesh axis) must be
+    numerically identical to single-device (BASELINE config 5 slice)."""
+    from vllm_metax_tpu.config import ParallelConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    mc = _moe_config_for_parallel()
+    ref = _run_engine(_make_config(mc, 1))
+
+    cfg = _make_config(mc, 1)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=1, expert_parallel_size=2
+    )
+    out = _run_engine(cfg, mesh=make_tp_mesh(1, 2))
+    assert out == ref
+
+
+def test_ep_x_tp_matches_single_device():
+    from vllm_metax_tpu.config import ParallelConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    mc = _moe_config_for_parallel()
+    ref = _run_engine(_make_config(mc, 1))
+
+    cfg = _make_config(mc, 2)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=2, expert_parallel_size=2
+    )
+    out = _run_engine(cfg, mesh=make_tp_mesh(2, 2))
+    assert out == ref
+
+
+def test_ep4_quantized_int8():
+    from vllm_metax_tpu.config import ParallelConfig, QuantizationConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    mc = _moe_config_for_parallel()
+    qc = QuantizationConfig(method="int8", bits=8)
+    ref = _run_engine(_make_config(mc, 1, qc))
+
+    cfg = _make_config(mc, 1, qc)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=1, expert_parallel_size=4
+    )
+    out = _run_engine(cfg, mesh=make_tp_mesh(1, 4))
+    assert out == ref

@@ -66,6 +66,13 @@ class ModelRunner:
         self.model = get_model(self.model_cfg.architecture)
         self.mesh = mesh
         self.tp_size = config.parallel_config.tensor_parallel_size if mesh else 1
+        self.ep_size = config.parallel_config.expert_parallel_size if mesh else 1
+        if self.ep_size > 1:
+            if self.model_cfg.num_experts % self.ep_size:
+                raise ValueError(
+                    f"num_experts={self.model_cfg.num_experts} must divide "
+                    f"expert_parallel_size={self.ep_size}"
+                )
         if self.tp_size > 1:
             mc = self.model_cfg
             kv_ok = mc.use_mla or mc.num_kv_heads % self.tp_size == 0
@@ -78,7 +85,7 @@ class ModelRunner:
 
         if params is None:
             params = self._load_params()
-        if self.tp_size > 1:
+        if self.tp_size > 1 or self.ep_size > 1:
             params = self._shard_params(params)
         self.params = params
 
@@ -119,7 +126,7 @@ class ModelRunner:
             cc.kv_dtype(self.model_cfg.dtype),
             store_v=kv_spec.get("store_v", True),
         )
-        if self.tp_size > 1:
+        if self.tp_size > 1 or self.ep_size > 1:
             from jax.sharding import NamedSharding
 
             self.kv_cache = jax.tree_util.tree_map(
@@ -150,7 +157,7 @@ class ModelRunner:
             # already merged/quantized/TP-prepared — just reshard
             params = self._host_params
             self._host_params = None
-            if self.tp_size > 1:
+            if self.tp_size > 1 or self.ep_size > 1:
                 from vllm_metax_tpu.parallel.mesh import shard_params
 
                 specs = self.model.param_specs(
@@ -161,7 +168,7 @@ class ModelRunner:
                 params = jax.tree_util.tree_map(jnp.asarray, params)
         else:
             params = self._load_params()
-            if self.tp_size > 1:
+            if self.tp_size > 1 or self.ep_size > 1:
                 params = self._shard_params(params)
         self.params = params
         self._alloc_kv_cache()
@@ -242,6 +249,7 @@ class ModelRunner:
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
         axis_name = "tp" if tp > 1 else None
+        ep_axis = "ep" if self.ep_size > 1 else None
 
         def step(params, kv_cache, input_ids, md, logits_indices, st,
                  hist_ids, hist_is_out):
@@ -254,6 +262,7 @@ class ModelRunner:
                 num_q_heads=cfg.num_q_heads // tp,
                 num_kv_heads=cfg.num_kv_heads // tp,
                 axis_name=axis_name,
+                ep_axis_name=ep_axis,
             )
             sel = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sel, cfg, axis_name=axis_name)
@@ -273,7 +282,7 @@ class ModelRunner:
             out = sample(logits, st, all_greedy, need_logprobs)
             return out, kv_cache
 
-        if tp == 1:
+        if tp == 1 and self.ep_size == 1:
             return jax.jit(step, donate_argnums=(1,), static_argnums=())
 
         # TP: one SPMD program over the mesh. Weights/KV are sharded by the
@@ -334,6 +343,7 @@ class ModelRunner:
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
         axis_name = "tp" if tp > 1 else None
+        ep_axis = "ep" if self.ep_size > 1 else None
         bs = self.cache_cfg.block_size
         num_slots = self.num_slots
 
@@ -365,6 +375,7 @@ class ModelRunner:
                     num_q_heads=cfg.num_q_heads // tp,
                     num_kv_heads=cfg.num_kv_heads // tp,
                     axis_name=axis_name,
+                    ep_axis_name=ep_axis,
                 )
                 logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
                 # decorrelate steps without a host round trip
@@ -393,7 +404,7 @@ class ModelRunner:
             )
             return ys, kv_cache
 
-        if tp == 1:
+        if tp == 1 and self.ep_size == 1:
             return jax.jit(run, donate_argnums=(1,))
 
         from jax.sharding import PartitionSpec as P

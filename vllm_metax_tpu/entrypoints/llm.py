@@ -41,6 +41,7 @@ def _build_engine_config(
     enable_chunked_prefill: bool = True,
     num_decode_steps: int = 1,
     tensor_parallel_size: int = 1,
+    expert_parallel_size: int = 1,
     load_format: str = "auto",
     quantization: Optional[str] = None,
     seed: int = 0,
@@ -83,7 +84,10 @@ def _build_engine_config(
             enable_chunked_prefill=enable_chunked_prefill,
             num_decode_steps=num_decode_steps,
         ),
-        parallel_config=ParallelConfig(tensor_parallel_size=tensor_parallel_size),
+        parallel_config=ParallelConfig(
+            tensor_parallel_size=tensor_parallel_size,
+            expert_parallel_size=expert_parallel_size,
+        ),
         load_config=LoadConfig(load_format=load_format, seed=seed),
         quant_config=quant_config,
         speculative_config=spec_cfg,
@@ -103,10 +107,13 @@ class LLM:
             engine_config = _build_engine_config(model, **kwargs)
         self.config = engine_config
         mesh = None
-        if engine_config.parallel_config.tensor_parallel_size > 1:
+        pc = engine_config.parallel_config
+        if pc.tensor_parallel_size > 1 or pc.expert_parallel_size > 1:
             from vllm_metax_tpu.parallel.mesh import make_tp_mesh
 
-            mesh = make_tp_mesh(engine_config.parallel_config.tensor_parallel_size)
+            mesh = make_tp_mesh(
+                pc.tensor_parallel_size, pc.expert_parallel_size
+            )
         self.engine = EngineCore(engine_config, mesh=mesh)
         self._counter = Counter()
         self.tokenizer = self._load_tokenizer(

@@ -146,7 +146,7 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
     return out, kv_l
 
 
-def _moe_block(lp, normed, cfg: ModelConfig, act_fn, maybe_psum):
+def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name):
     logits = jnp.dot(
         normed, lp["router"]["w"], preferred_element_type=jnp.float32
     )
@@ -182,13 +182,19 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, maybe_psum):
             weights = weights * cfg.routed_scaling_factor
     y = fused_experts(
         normed, lp["experts_gate_up"], lp["experts_down"], weights, ids,
-        act_fn, cfg.num_experts,
+        act_fn, cfg.num_experts, ep_axis=ep_axis_name,
     )
+    axes = tuple(a for a in (ep_axis_name, axis_name) if a)
+    if axes:
+        y = jax.lax.psum(y, axes)
     if "gate_up_shared" in lp:
-        y = y + apply_linear(
+        shared = apply_linear(
             lp["down_shared"], act_fn(apply_linear(lp["gate_up_shared"], normed))
         )
-    return maybe_psum(y)
+        if axis_name:
+            shared = jax.lax.psum(shared, axis_name)
+        y = y + shared
+    return y
 
 
 def forward(
@@ -200,6 +206,7 @@ def forward(
     num_q_heads: Optional[int] = None,
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
 ):
     hq = num_q_heads or cfg.num_q_heads
     eps = cfg.rms_norm_eps
@@ -244,7 +251,7 @@ def forward(
             lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
         )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
-        moe = _moe_block(lp, normed, cfg, act_fn, maybe_psum)
+        moe = _moe_block(lp, normed, cfg, act_fn, axis_name, ep_axis_name)
         return (moe, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
@@ -495,9 +502,9 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
 
     def bank_spec(shard_axis):
         col = (
-            P(None, None, None, "tp")
+            P(None, "ep", None, "tp")
             if shard_axis == 1
-            else P(None, None, "tp", None)
+            else P(None, "ep", "tp", None)
         )
         return {"w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
                 "zs": col}

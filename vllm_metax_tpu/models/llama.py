@@ -59,6 +59,7 @@ def forward(
     num_q_heads: Optional[int] = None,  # local (per-shard) head counts
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,  # unused (dense model)
 ):
     """Returns (hidden (T, E), new kv_cache)."""
     hq = num_q_heads or cfg.num_q_heads

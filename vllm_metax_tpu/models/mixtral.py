@@ -40,7 +40,7 @@ compute_logits = _llama.compute_logits
 kv_cache_spec = _llama.kv_cache_spec
 
 
-def _moe_block(lp, normed, cfg: ModelConfig, act_fn, maybe_psum):
+def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name):
     router_logits = jnp.dot(
         normed, lp["router"]["w"], preferred_element_type=jnp.float32
     )
@@ -54,7 +54,12 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, maybe_psum):
         ids,
         act_fn,
         cfg.num_experts,
+        ep_axis=ep_axis_name,
     )
+    # routed output: partial over BOTH the expert shard and the FFN shard
+    axes = tuple(a for a in (ep_axis_name, axis_name) if a)
+    if axes:
+        y = jax.lax.psum(y, axes)
     if "gate_up_shared" in lp:
         shared = apply_linear(
             lp["down_shared"], act_fn(apply_linear(lp["gate_up_shared"], normed))
@@ -64,8 +69,10 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, maybe_psum):
                 jnp.dot(normed, lp["shared_gate"]["w"]).astype(jnp.float32)
             )
             shared = shared * g.astype(shared.dtype)
+        if axis_name:  # shared expert shards over tp only
+            shared = jax.lax.psum(shared, axis_name)
         y = y + shared
-    return maybe_psum(y)
+    return y
 
 
 def forward(
@@ -77,6 +84,7 @@ def forward(
     num_q_heads: Optional[int] = None,
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
 ):
     hq = num_q_heads or cfg.num_q_heads
     hkv = num_kv_heads or cfg.num_kv_heads
@@ -128,7 +136,7 @@ def forward(
         lp = jax.tree_util.tree_map(
             lambda a: a[l], {k: v for k, v in layers.items() if k in moe_keys}
         )
-        moe_out = _moe_block(lp, normed, cfg, act_fn, maybe_psum)
+        moe_out = _moe_block(lp, normed, cfg, act_fn, axis_name, ep_axis_name)
         return (moe_out, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
@@ -378,11 +386,12 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     layer_spec["router"] = {"w": P(None, None, None), "b": P(None, None)}
 
     def bank_spec(shard_axis):
-        # (L, E, K, N): col-parallel shards N, row-parallel shards K
+        # (L, E, K, N): experts shard over "ep"; col-parallel shards N,
+        # row-parallel shards K over "tp"
         col = (
-            P(None, None, None, "tp")
+            P(None, "ep", None, "tp")
             if shard_axis == 1
-            else P(None, None, "tp", None)
+            else P(None, "ep", "tp", None)
         )
         return {"w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
                 "zs": col}

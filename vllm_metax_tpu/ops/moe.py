@@ -110,16 +110,26 @@ def _dequant_bank(bank: dict, dtype) -> jnp.ndarray:
 
 def fused_experts(
     x: jnp.ndarray,  # (T, H)
-    gate_up_bank: dict,  # {(E, H, 2I) layouts}
-    down_bank: dict,  # {(E, I, H) layouts}
+    gate_up_bank: dict,  # {(E_local, H, 2I) layouts}
+    down_bank: dict,  # {(E_local, I, H) layouts}
     topk_weights: jnp.ndarray,  # (T, K) f32
-    topk_ids: jnp.ndarray,  # (T, K) i32
+    topk_ids: jnp.ndarray,  # (T, K) i32 GLOBAL expert ids
     act_fn,
-    num_experts: int,
-    apply_weight_on_output: bool = True,
+    num_experts: int,  # global count
+    ep_axis: Optional[str] = None,  # mesh axis sharding the expert dim
 ) -> jnp.ndarray:
     """Dropless sorted ragged-GEMM MoE (ref: fused_experts_impl,
-    fused_moe.py:1716)."""
+    fused_moe.py:1716).
+
+    Expert parallelism (replicated-dispatch): every rank routes all tokens,
+    but holds only E/ep experts. The global sort puts each rank's expert span
+    CONTIGUOUSLY in the sorted assignment, so a dynamic roll aligns the local
+    span to row 0 for the local ragged GEMMs; non-local rows are masked out of
+    the combine and the final psum (over ep, done by the caller with the tp
+    reduction) sums the per-rank partials. Weight traffic — the decode
+    bottleneck — is cut by ep; the collective is the psum the MoE output
+    needs anyway (no all-to-all, cf. the reference's all2all backends gate,
+    platform.py:202-217)."""
     t, h = x.shape
     k = topk_ids.shape[1]
     dtype = x.dtype
@@ -133,16 +143,31 @@ def fused_experts(
     sorted_token = flat_token[order]
     sorted_weight = flat_weight[order]
 
-    group_sizes = jnp.zeros(num_experts, jnp.int32).at[flat_expert].add(1)
+    counts = jnp.zeros(num_experts, jnp.int32).at[flat_expert].add(1)
 
     xs = x[sorted_token]  # (T*K, H)
-    w1 = _dequant_bank(gate_up_bank, dtype)  # (E, H, 2I)
-    w2 = _dequant_bank(down_bank, dtype)  # (E, I, H)
+    w1 = _dequant_bank(gate_up_bank, dtype)  # (E_local, H, 2I)
+    w2 = _dequant_bank(down_bank, dtype)  # (E_local, I, H)
+    e_local = w1.shape[0]
 
-    hdn = jax.lax.ragged_dot(xs, w1, group_sizes)  # (T*K, 2I)
-    hdn = act_fn(hdn)
-    ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, group_sizes)  # (T*K, H)
+    if ep_axis is not None and e_local != num_experts:
+        rank = jax.lax.axis_index(ep_axis)
+        e0 = rank * e_local
+        span_start = jnp.sum(jnp.where(jnp.arange(num_experts) < e0, counts, 0))
+        local_sizes = jax.lax.dynamic_slice(counts, (e0,), (e_local,))
+        xs_l = jnp.roll(xs, -span_start, axis=0)
+        hdn = jax.lax.ragged_dot(xs_l, w1, local_sizes)
+        hdn = act_fn(hdn)
+        ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, local_sizes)
+        ys = jnp.roll(ys, span_start, axis=0)
+        local = (sorted_expert >= e0) & (sorted_expert < e0 + e_local)
+        weight = jnp.where(local, sorted_weight, 0.0)
+    else:
+        hdn = jax.lax.ragged_dot(xs, w1, counts)
+        hdn = act_fn(hdn)
+        ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, counts)
+        weight = sorted_weight
 
-    ys = ys.astype(jnp.float32) * sorted_weight[:, None]
+    ys = ys.astype(jnp.float32) * weight[:, None]
     out = jnp.zeros((t, h), jnp.float32).at[sorted_token].add(ys)
     return out.astype(dtype)

@@ -15,16 +15,25 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 TP_AXIS = "tp"
+EP_AXIS = "ep"
 DP_AXIS = "dp"
 
 
-def make_tp_mesh(tp_size: int, devices=None) -> Mesh:
+def make_tp_mesh(tp_size: int, ep_size: int = 1, devices=None) -> Mesh:
+    """Model-parallel mesh: ("ep", "tp") axes over ep*tp devices. Attention
+    and dense layers shard over tp (replicated over ep); MoE expert banks
+    shard over ep (and tp on the FFN dim)."""
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < tp_size:
+    n = tp_size * ep_size
+    if len(devices) < n:
         raise ValueError(
-            f"tensor_parallel_size={tp_size} but only {len(devices)} devices"
+            f"tp={tp_size} x ep={ep_size} needs {n} devices, have {len(devices)}"
         )
-    return Mesh(np.asarray(devices[:tp_size]).reshape(tp_size), (TP_AXIS,))
+    if ep_size == 1:
+        return Mesh(np.asarray(devices[:n]).reshape(n), (TP_AXIS,))
+    return Mesh(
+        np.asarray(devices[:n]).reshape(ep_size, tp_size), (EP_AXIS, TP_AXIS)
+    )
 
 
 def make_mesh(tp_size: int = 1, dp_size: int = 1, devices=None) -> Mesh:
