@@ -235,8 +235,11 @@ class ModelRunner:
             k_scale=scale if has_scale else None,
             v_scale=scale if has_scale else None,
         )
+        mesh_axes = set(self.mesh.axis_names) if self.mesh else None
         return _jax.tree_util.tree_map(
-            lambda a, s: _sanitize_spec(s, a.shape), self.kv_cache, specs
+            lambda a, s: _sanitize_spec(s, a.shape, mesh_axes),
+            self.kv_cache,
+            specs,
         )
 
     def _get_step_fn(self, all_greedy: bool, need_logprobs: bool):
@@ -296,7 +299,8 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import sanitize_specs
 
         param_specs = sanitize_specs(
-            model.param_specs(cfg, self.config.quant_config), self.params
+            model.param_specs(cfg, self.config.quant_config), self.params,
+            self.mesh,
         )
         kv_specs = self._kv_specs()
         sharded = jax.shard_map(
@@ -412,7 +416,8 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import sanitize_specs
 
         param_specs = sanitize_specs(
-            model.param_specs(cfg, self.config.quant_config), self.params
+            model.param_specs(cfg, self.config.quant_config), self.params,
+            self.mesh,
         )
         kv_specs = self._kv_specs()
         sharded = jax.shard_map(

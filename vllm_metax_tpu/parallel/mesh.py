@@ -56,25 +56,35 @@ def filter_specs(specs, params):
     return specs
 
 
-def _sanitize_spec(spec: P, shape: tuple) -> P:
+def _sanitize_spec(spec: P, shape: tuple, mesh_axes=None) -> P:
     """Drop named axes on size-1 dims (e.g. per-channel quant scales with a
-    single group: replication there is exact). Real divisibility errors on
-    larger dims still surface from device_put."""
+    single group: replication there is exact) and axes the mesh doesn't have
+    (e.g. "ep" on a tp-only mesh). Real divisibility errors on larger dims
+    still surface from device_put."""
     axes = list(spec) + [None] * (len(shape) - len(spec))
-    return P(*[None if shape[i] == 1 else ax for i, ax in enumerate(axes)])
+
+    def keep(i, ax):
+        if ax is None or shape[i] == 1:
+            return None
+        if mesh_axes is not None and ax not in mesh_axes:
+            return None
+        return ax
+
+    return P(*[keep(i, ax) for i, ax in enumerate(axes)])
 
 
-def sanitize_specs(specs, params):
-    """filter_specs + per-leaf size-1 axis dropping; the canonical spec tree
-    for both device_put and shard_map in_specs."""
+def sanitize_specs(specs, params, mesh: Optional[Mesh] = None):
+    """filter_specs + per-leaf size-1/unknown-axis dropping; the canonical
+    spec tree for both device_put and shard_map in_specs."""
     specs = filter_specs(specs, params)
+    mesh_axes = set(mesh.axis_names) if mesh is not None else None
     return jax.tree_util.tree_map(
-        lambda a, s: _sanitize_spec(s, a.shape), params, specs
+        lambda a, s: _sanitize_spec(s, a.shape, mesh_axes), params, specs
     )
 
 
 def shard_params(params, specs, mesh: Mesh):
-    specs = sanitize_specs(specs, params)
+    specs = sanitize_specs(specs, params, mesh)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs
     )
