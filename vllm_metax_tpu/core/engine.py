@@ -17,6 +17,7 @@ from vllm_metax_tpu.core.scheduler import EngineCoreOutput, Scheduler
 from vllm_metax_tpu.logger import init_logger
 from vllm_metax_tpu.metrics import EngineStats
 from vllm_metax_tpu.sample.params import SamplingParams
+from vllm_metax_tpu.tracing import RequestTrace, init_tracing
 
 logger = init_logger(__name__)
 
@@ -32,6 +33,10 @@ class EngineCore:
             speculative_config=config.speculative_config,
         )
         self.stats = EngineStats()
+        self.traces: dict[str, RequestTrace] = {}
+        oc = config.observability_config
+        if oc.otlp_traces_endpoint:
+            init_tracing(oc.otlp_traces_endpoint)
 
     def add_request(
         self,
@@ -53,6 +58,9 @@ class EngineCore:
                 eos_token_id=eos_token_id,
                 arrival_time=time.time(),
             )
+        )
+        self.traces[req_id] = RequestTrace(
+            req_id, prompt_tokens=len(prompt_token_ids)
         )
 
     def abort_request(self, req_id: str) -> None:
@@ -90,6 +98,10 @@ class EngineCore:
             if self.scheduler.has_unfinished_requests():
                 logger.warning("scheduler produced an empty step with pending work")
             return []
+        for rid in scheduler_output.num_scheduled_tokens:
+            tr = self.traces.get(rid)
+            if tr:
+                tr.mark_scheduled()
         runner_output = self.runner.execute_model(scheduler_output)
         sampled = dict(zip(runner_output.req_ids, runner_output.sampled_token_ids))
         outputs = self.scheduler.update_from_output(scheduler_output, sampled)
@@ -99,6 +111,15 @@ class EngineCore:
             lp = lp_by_req.get(out.req_id)
             if lp is not None and out.new_token_ids:
                 out.new_logprobs = lp[: len(out.new_token_ids)]
+        for out in outputs:
+            tr = self.traces.get(out.req_id)
+            if tr:
+                if out.new_token_ids:
+                    tr.mark_first_token()
+                    tr.completion_tokens += len(out.new_token_ids)
+                if out.finished:
+                    tr.finish()
+                    del self.traces[out.req_id]
         self.stats.record_step(
             num_tokens=scheduler_output.total_num_scheduled_tokens,
             num_reqs=scheduler_output.num_reqs,

@@ -48,6 +48,7 @@ class CachedReqState:
     prompt_len: int = 0
     num_computed_tokens: int = 0
     generator_seed: Optional[int] = None
+    constraint: Optional[object] = None  # structured-output FSM
 
 
 @dataclass
@@ -255,7 +256,7 @@ class ModelRunner:
         ep_axis = "ep" if self.ep_size > 1 else None
 
         def step(params, kv_cache, input_ids, md, logits_indices, st,
-                 hist_ids, hist_is_out):
+                 hist_ids, hist_is_out, allowed_ids=None):
             hidden, kv_cache = model.forward(
                 params,
                 input_ids,
@@ -282,6 +283,16 @@ class ModelRunner:
                     True, mode="drop"
                 )
                 logits = apply_penalties(logits, counts, seen, st)
+            if allowed_ids is not None:
+                # structured outputs: restrict each constrained row to its
+                # allowed set (unconstrained rows pass through)
+                ids_arr, unconstrained = allowed_ids
+                rows_b = jnp.arange(logits.shape[0], dtype=jnp.int32)[:, None]
+                ok = jnp.zeros(logits.shape, bool).at[
+                    rows_b, ids_arr
+                ].set(True, mode="drop")
+                ok = ok | unconstrained[:, None]
+                logits = jnp.where(ok, logits, -1e30)
             out = sample(logits, st, all_greedy, need_logprobs)
             return out, kv_cache
 
@@ -306,7 +317,7 @@ class ModelRunner:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P()),
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), kv_specs),
             check_vma=False,
         )
@@ -320,6 +331,8 @@ class ModelRunner:
         # NOTE: preempted requests keep their runner state (token ids, sampling
         # params); only their blocks are invalid until resume — vLLM semantics.
         for nr in so.scheduled_new_reqs:
+            from vllm_metax_tpu.structured_output import build_constraint
+
             self.requests[nr.req_id] = CachedReqState(
                 token_ids=list(nr.prompt_token_ids),
                 block_ids=list(nr.block_ids),
@@ -327,6 +340,9 @@ class ModelRunner:
                 prompt_len=len(nr.prompt_token_ids),
                 num_computed_tokens=nr.num_computed_tokens,
                 generator_seed=nr.sampling_params.seed,
+                constraint=build_constraint(
+                    nr.sampling_params, getattr(nr, "eos_token_id", None)
+                ),
             )
         for cr in so.scheduled_cached_reqs:
             st = self.requests[cr.req_id]
@@ -474,9 +490,13 @@ class ModelRunner:
             jnp.asarray(valid),
             st_tensors,
         )
-        tok_steps, lp_steps, topk_id_steps, topk_lp_steps = (
-            np.asarray(y) for y in ys
-        )  # (M, RB), (M, RB), (M, RB, K), (M, RB, K)
+        # fetch only what's needed: each device→host read costs a full
+        # round trip on remote-attached TPUs
+        tok_steps = np.asarray(ys[0])  # (M, RB)
+        if need_lp:
+            lp_steps = np.asarray(ys[1])
+            topk_id_steps = np.asarray(ys[2])
+            topk_lp_steps = np.asarray(ys[3])
 
         result = ModelRunnerOutput()
         for i, rid in enumerate(req_ids):
@@ -580,6 +600,45 @@ class ModelRunner:
             num_seqs=jnp.asarray(num_reqs, jnp.int32),
         )
 
+        # structured outputs: allowed-token rows for constrained requests
+        allowed_ids = None
+        constrained = [
+            (i, rid)
+            for i, rid in enumerate(req_ids)
+            if self.requests[rid].constraint is not None
+        ]
+        if constrained:
+            allow_lists = {}
+            max_allow = 1
+            for i, rid in enumerate(req_ids):
+                st = self.requests[rid]
+                if st.constraint is not None:
+                    allow = st.constraint.allowed_tokens(
+                        st.token_ids[st.prompt_len:]
+                    )
+                    allow_lists[i] = allow
+                    max_allow = max(max_allow, len(allow))
+            ab = pick_bucket(self.req_buckets, max_allow) if max_allow > 8 else 8
+            vocab = self.model_cfg.vocab_size
+            allowed_np = np.full((rb * s_rows, ab), vocab, np.int32)
+            for i in range(rb):
+                rows = slice(i * s_rows, (i + 1) * s_rows)
+                if i in allow_lists:
+                    a = allow_lists[i][:ab]
+                    allowed_np[rows, : len(a)] = a
+                else:
+                    # unconstrained rows: allow everything via full-range...
+                    # cheaper: mark row allowed by filling with the identity
+                    # sentinel handled below
+                    pass
+            # rows without constraints must not be masked: give them a
+            # special full-pass by masking only constrained rows
+            allowed_ids = jnp.asarray(allowed_np)
+            unconstrained = np.ones(rb * s_rows, bool)
+            for i in allow_lists:
+                unconstrained[i * s_rows : (i + 1) * s_rows] = False
+            allowed_ids = (allowed_ids, jnp.asarray(unconstrained))
+
         hist_ids = hist_is_out = None
         if any_penalty:
             # NOTE: with spec decode the penalty history reflects committed
@@ -616,6 +675,7 @@ class ModelRunner:
             st_tensors,
             hist_ids,
             hist_is_out,
+            allowed_ids,
         )
         return self._make_output(req_ids, out, so, s_rows)
 
@@ -629,6 +689,8 @@ class ModelRunner:
                 or sp.frequency_penalty != 0.0
                 or sp.repetition_penalty != 1.0
             ):
+                return True
+            if self.requests[rid].constraint is not None:
                 return True
         return False
 
@@ -683,9 +745,14 @@ class ModelRunner:
         s_rows: int = 1,
     ) -> ModelRunnerOutput:
         tokens = np.asarray(out.token_ids)
-        chosen_lp = np.asarray(out.chosen_logprob)
-        topk_ids = np.asarray(out.topk_ids)
-        topk_lps = np.asarray(out.topk_logprobs)
+        any_lp = any(
+            self.requests[rid].sampling_params.logprobs is not None
+            for rid in req_ids
+        )
+        if any_lp:
+            chosen_lp = np.asarray(out.chosen_logprob)
+            topk_ids = np.asarray(out.topk_ids)
+            topk_lps = np.asarray(out.topk_logprobs)
 
         def row_lp(row, tok):
             lps = {

@@ -29,6 +29,7 @@ class NewReqData:
     block_ids: list[int]
     num_computed_tokens: int
     sampling_params: object
+    eos_token_id: object = None
 
 
 @dataclass
@@ -154,6 +155,9 @@ class Scheduler:
                     req.status == RequestStatus.RUNNING
                     and req.num_tokens - req.num_computed_tokens == 1
                     and req.num_output_tokens > 0
+                    and not getattr(
+                        req.sampling_params, "_guided_token_choices", None
+                    )
                 ):
                     room = self.max_model_len - req.num_tokens - 1
                     drafts = self.proposer.propose(req.all_token_ids)[: max(room, 0)]
@@ -261,6 +265,7 @@ class Scheduler:
                         block_ids=self.kv_manager.get_block_ids(req.req_id),
                         num_computed_tokens=num_computed,
                         sampling_params=req.sampling_params,
+                        eos_token_id=req.eos_token_id,
                     )
                 )
             out.num_scheduled_tokens[req.req_id] = num_new

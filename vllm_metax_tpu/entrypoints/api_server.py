@@ -57,6 +57,8 @@ def _sampling_from_request(body: dict) -> SamplingParams:
             else (body.get("top_logprobs") if body.get("logprobs") else None)
         ),
         ignore_eos=body.get("ignore_eos", False),
+        guided_choice=(body.get("guided_choice")
+                       or (body.get("extra_body") or {}).get("guided_choice")),
     )
 
 
@@ -195,6 +197,11 @@ def make_handler(state: ServerState):
                 token_ids = state.tokenizer.encode(prompt)
                 prompt_text = prompt
             sp = _sampling_from_request(body)
+            if sp.guided_choice:
+                sp._guided_token_choices = [
+                    state.tokenizer.encode(c, add_special_tokens=False)
+                    for c in sp.guided_choice
+                ]
             rid = f"cmpl-{uuid.uuid4().hex[:16]}"
             self._generate(body, token_ids, sp, rid, chat=False)
 

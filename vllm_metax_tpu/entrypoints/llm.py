@@ -161,6 +161,13 @@ class LLM:
 
         req_ids = []
         for toks, sp in zip(prompt_token_ids, sampling_params):
+            if sp.guided_choice and self.tokenizer is not None and not getattr(
+                sp, "_guided_token_choices", None
+            ):
+                sp._guided_token_choices = [
+                    self.tokenizer.encode(c, add_special_tokens=False)
+                    for c in sp.guided_choice
+                ]
             rid = str(next(self._counter))
             req_ids.append(rid)
             self.engine.add_request(rid, list(toks), sp, self.eos_token_id)

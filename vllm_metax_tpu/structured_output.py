@@ -1,0 +1,44 @@
+"""Structured (guided) decoding — token-level constraint FSMs.
+
+Reference analog: vLLM's structured-output stack (xgrammar-backed; the
+reference inherits it and its tests/v1/structured_output coverage). Built
+natively here: a constraint exposes the set of allowed next tokens given the
+tokens emitted so far; the runner masks the logits to that set host-side per
+step. Currently implemented: choice constraints (`guided_choice`) — each
+choice tokenized to a sequence, allowed tokens = next tokens of the choices
+matching the emitted prefix, then EOS once a full choice is emitted.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class ChoiceConstraint:
+    """Trie over the token sequences of the allowed choices."""
+
+    def __init__(self, token_choices: list[list[int]], eos_token_id: Optional[int]):
+        self.choices = [tuple(c) for c in token_choices if c]
+        self.eos = eos_token_id
+
+    def allowed_tokens(self, emitted: list[int]) -> list[int]:
+        prefix = tuple(emitted)
+        nxt = set()
+        done = False
+        for c in self.choices:
+            if c == prefix:
+                done = True
+            elif c[: len(prefix)] == prefix and len(c) > len(prefix):
+                nxt.add(c[len(prefix)])
+        if done and self.eos is not None:
+            nxt.add(self.eos)
+        if not nxt and self.eos is not None:
+            return [self.eos]  # dead end → stop
+        return sorted(nxt)
+
+
+def build_constraint(sampling_params, eos_token_id):
+    tc = getattr(sampling_params, "_guided_token_choices", None)
+    if tc:
+        return ChoiceConstraint(tc, eos_token_id)
+    return None
