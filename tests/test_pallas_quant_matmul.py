@@ -75,3 +75,68 @@ def test_int4_pallas_bf16_activation(rng):
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref, np.float32), rtol=0.02, atol=0.05
     )
+
+
+def test_tiled_layout_roundtrip(rng):
+    from vllm_metax_tpu.ops.pallas.quant_matmul import (
+        TILE_N, tile_packed_weight, untile_packed_weight,
+    )
+
+    w = jnp.asarray(rng.integers(0, 255, size=(256, 1024)).astype(np.uint8))
+    t1 = tile_packed_weight(w, tp=1)
+    assert t1.shape == (1024 // TILE_N, 256, TILE_N)
+    np.testing.assert_array_equal(np.asarray(untile_packed_weight(t1)),
+                                  np.asarray(w))
+    # tp=2 rank-major: first half of tiles == rank 0's columns
+    t2 = tile_packed_weight(w, tp=2)
+    nt_local = t2.shape[0] // 2
+    r0 = untile_packed_weight(t2[:nt_local])
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(w[:, :512]))
+
+
+def test_int4_tiled_kernel_matches_reference(rng):
+    from vllm_metax_tpu.ops.pallas.quant_matmul import (
+        int4_matmul_tiled_pallas, tile_packed_weight,
+    )
+    from vllm_metax_tpu.ops.quant import dequant_int4
+
+    L, t, k, n, gs = 3, 16, 512, 512, 128
+    x = jnp.asarray(rng.standard_normal((t, k), dtype=np.float32))
+    banks, ss, zss = [], [], []
+    for _ in range(L):
+        w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32)) * 0.05
+        w_p4, s, zs = quantize_int4_grouped(w, gs)
+        banks.append(tile_packed_weight(w_p4, tp=1))
+        ss.append(s)
+        zss.append(zs)
+    w_p4t = jnp.stack(banks)
+    s_all, zs_all = jnp.stack(ss), jnp.stack(zss)
+    from vllm_metax_tpu.ops.pallas.quant_matmul import untile_packed_weight
+
+    for l in range(L):
+        y = int4_matmul_tiled_pallas(x, w_p4t, s_all, zs_all, l, interpret=True)
+        w_ref = dequant_int4(untile_packed_weight(w_p4t[l]), ss[l], zss[l],
+                             jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_ref),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_int4_matmul_tiled_xla_fallback(rng):
+    import os
+    from vllm_metax_tpu.ops.pallas.quant_matmul import tile_packed_weight
+    from vllm_metax_tpu.ops.quant import dequant_int4, int4_matmul_tiled
+
+    L, t, k, n, gs = 2, 8, 256, 512, 64
+    x = jnp.asarray(rng.standard_normal((t, k), dtype=np.float32))
+    banks, ss, zss = [], [], []
+    for _ in range(L):
+        w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32)) * 0.05
+        w_p4, s, zs = quantize_int4_grouped(w, gs)
+        banks.append((tile_packed_weight(w_p4, 1), w_p4, s, zs))
+    w_p4t = jnp.stack([b[0] for b in banks])
+    s_all = jnp.stack([b[2] for b in banks])
+    zs_all = jnp.stack([b[3] for b in banks])
+    y = int4_matmul_tiled(x, w_p4t, s_all, zs_all, layer_idx=1)
+    w_ref = dequant_int4(banks[1][1], banks[1][2], banks[1][3], jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_ref),
+                               rtol=1e-5, atol=1e-4)

@@ -86,6 +86,7 @@ class ModelRunner:
 
         if params is None:
             params = self._load_params()
+        params = self._finalize_quant_layout(params)
         if self.tp_size > 1 or self.ep_size > 1:
             params = self._shard_params(params)
         self.params = params
@@ -112,6 +113,49 @@ class ModelRunner:
         # single argmax, the common serving case
         self._step_fns: dict[tuple[bool, bool], object] = {}
         self._multi_step_fns: dict[tuple, object] = {}
+
+    def _finalize_quant_layout(self, params):
+        """Convert stacked packed-int4 linears to the pre-tiled contiguous
+        layout the Pallas kernel streams at full HBM bandwidth (see
+        quant_matmul.tile_packed_weight). Runs pre-shard: the tile dim is
+        rank-major so the TP split stays contiguous. Skipped off-TPU (the XLA
+        fallback handles both layouts; tests exercise tiled via interpret)."""
+        import jax as _jax
+
+        from vllm_metax_tpu import envs
+
+        impl = envs.METAX_TPU_QUANT_IMPL
+        on_tpu = _jax.devices()[0].platform not in ("cpu", "gpu")
+        if impl == "xla" or (impl == "auto" and not on_tpu):
+            return params
+        from vllm_metax_tpu.ops.pallas.quant_matmul import (
+            TILE_N,
+            tile_packed_weight,
+        )
+
+        tp = self.tp_size
+
+        def fix(node):
+            if not isinstance(node, dict):
+                return node
+            out = {}
+            for key, val in node.items():
+                if isinstance(val, dict):
+                    out[key] = fix(val)
+                else:
+                    out[key] = val
+            if "w_p4" in out and out["w_p4"].ndim == 3:
+                w = out.pop("w_p4")  # (L, K/2, N)
+                n = w.shape[-1]
+                if n % (tp * TILE_N) == 0:
+                    out["w_p4t"] = _jax.jit(
+                        _jax.vmap(lambda a: tile_packed_weight(a, tp))
+                    )(w)
+                else:
+                    out["w_p4"] = w  # odd shape: keep flat layout
+            return out
+
+        return fix(params)
 
     def _alloc_kv_cache(self) -> None:
         # one flat page pool for all layers (layer l owns pages

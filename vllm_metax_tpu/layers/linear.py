@@ -45,6 +45,11 @@ def apply_linear(p: dict, x: jnp.ndarray, layer_idx=None) -> jnp.ndarray:
         y = jnp.dot(x, leaf("w"), preferred_element_type=jnp.float32).astype(
             x.dtype
         )
+    elif "w_p4t" in p:
+        from vllm_metax_tpu.ops.quant import int4_matmul_tiled
+
+        perm = leaf("perm") if "perm" in p else None
+        y = int4_matmul_tiled(x, p["w_p4t"], p["s"], p["zs"], perm, layer_idx)
     elif "w_p4" in p:
         from vllm_metax_tpu.ops.quant import int4_matmul
 

@@ -494,9 +494,14 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
 def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     def linear_spec(shard_axis):
         col = P(None, None, "tp") if shard_axis == 1 else P(None, "tp", None)
+        p4t = (
+            P(None, "tp", None, None)
+            if shard_axis == 1
+            else P(None, None, "tp", None)
+        )
         return {
-            "w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
-            "zs": col, "a8": P(),
+            "w": col, "w_i8": col, "w_p4": col, "w_p4t": p4t, "w_f8": col,
+            "s": col, "zs": col, "a8": P(),
             "b": P(None, "tp") if shard_axis == 1 else P(None, None),
         }
 

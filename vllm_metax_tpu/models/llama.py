@@ -470,11 +470,19 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     def linear_spec(shard_axis: int):
         # covers dense and quantized key layouts; leading L axis prepended
         col = P(None, None, "tp") if shard_axis == 1 else P(None, "tp", None)
+        # tiled packed-int4 (L, NT, K/2, TN): col shards the tile dim,
+        # row shards the packed-K dim
+        p4t = (
+            P(None, "tp", None, None)
+            if shard_axis == 1
+            else P(None, None, "tp", None)
+        )
         spec = {
             "w": col,
             "w_i8": col,
             "w_f8": col,
             "w_p4": col,
+            "w_p4t": p4t,
             "s": col,
             "zs": col,
             "a8": P(),

@@ -28,6 +28,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# experiment knobs (None = default); set via tune scripts only
+_TN_OVERRIDE = None
+_KC_OVERRIDE = None
+_BF16_DEQUANT = False
+
+# Pre-tiled packed-weight layout: a (K/2, N) nibble-packed weight becomes
+# (N/TILE_N, K/2, TILE_N) so each kernel block is one fully CONTIGUOUS run of
+# HBM — the flat layout's (k_half, TN) blocks read 256-byte strided bursts
+# and cap the kernel at ~40% of HBM bandwidth (measured).
+TILE_N = 256
+
+
+def tile_packed_weight(w_p4: jnp.ndarray, tp: int = 1) -> jnp.ndarray:
+    """(K/2, N) → (N/TILE_N, K/2, TILE_N), rank-major over tp so a contiguous
+    split of the tile dim gives each TP rank exactly its N columns."""
+    k_half, n = w_p4.shape
+    nt_local = n // tp // TILE_N
+    w = w_p4.reshape(k_half, tp, nt_local, TILE_N)
+    return w.transpose(1, 2, 0, 3).reshape(tp * nt_local, k_half, TILE_N)
+
+
+def untile_packed_weight(w_p4t: jnp.ndarray) -> jnp.ndarray:
+    """(NT, K/2, TILE_N) → (K/2, NT*TILE_N) (single-shard view)."""
+    nt, k_half, tn = w_p4t.shape
+    return w_p4t.transpose(1, 0, 2).reshape(k_half, nt * tn)
+
+
 def _choose_tile(dim: int, candidates=(256, 128)) -> int:
     for t in candidates:
         if dim % t == 0:
@@ -59,20 +86,29 @@ def _int4_kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, kc, gs):
     for c in range(num_chunks):  # static unroll; K is static
         if c < half_chunks:
             packed = w_ref[c * kc : (c + 1) * kc, :].astype(jnp.int32)
-            q = (packed & 0xF).astype(jnp.float32)
+            q = packed & 0xF
         else:
             packed = w_ref[
                 (c - half_chunks) * kc : (c - half_chunks + 1) * kc, :
             ].astype(jnp.int32)
-            q = ((packed >> 4) & 0xF).astype(jnp.float32)
+            q = (packed >> 4) & 0xF
         g0 = (c * kc) // gs
         ng = kc // gs
-        s = s_ref[g0 : g0 + ng, :].astype(jnp.float32)
-        zs = zs_ref[g0 : g0 + ng, :].astype(jnp.float32)
         tn = q.shape[1]
-        w = (q.reshape(ng, gs, tn) * s[:, None, :] - zs[:, None, :]).reshape(
-            kc, tn
-        )
+        if _BF16_DEQUANT:
+            qb = q.astype(jnp.bfloat16)
+            s = s_ref[g0 : g0 + ng, :].astype(jnp.bfloat16)
+            zs = zs_ref[g0 : g0 + ng, :].astype(jnp.bfloat16)
+            w = (
+                qb.reshape(ng, gs, tn) * s[:, None, :] - zs[:, None, :]
+            ).reshape(kc, tn)
+        else:
+            s = s_ref[g0 : g0 + ng, :].astype(jnp.float32)
+            zs = zs_ref[g0 : g0 + ng, :].astype(jnp.float32)
+            w = (
+                q.astype(jnp.float32).reshape(ng, gs, tn) * s[:, None, :]
+                - zs[:, None, :]
+            ).reshape(kc, tn)
         x_chunk = x_ref[:, c * kc : (c + 1) * kc]
         acc_ref[:] += jnp.dot(
             x_chunk, w.astype(in_dtype), preferred_element_type=jnp.float32
@@ -111,10 +147,10 @@ def int4_matmul_pallas(
     g = s.shape[-2]
     gs = k // g
     tt = _choose_tile(t, (128, 64, 32, 16, 8))
-    tn = _choose_tile(n)
+    tn = _TN_OVERRIDE or _choose_tile(n)
     if t % tt or n % tn or n % 128 or k != 2 * k_half:
         raise ValueError(f"bad tiling: T={t} N={n} K={k}")
-    kc = _choose_chunk(k_half, gs)
+    kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
 
     grid = (t // tt, n // tn)
     flops = 2 * t * k * n
@@ -175,6 +211,65 @@ def int4_matmul_pallas(
         cost_estimate=cost,
         interpret=interpret,
     )(lidx, x, w_p4, s, zs)
+
+
+def _int4_tiled_kernel(
+    lidx_ref, x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, kc, gs
+):
+    """Tiled-layout stacked variant: w block (1, 1, K/2, TN) is one
+    contiguous HBM run."""
+    _int4_kernel(
+        x_ref, w_ref.at[0, 0], s_ref.at[0], zs_ref.at[0], out_ref, acc_ref,
+        kc=kc, gs=gs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_tiled_pallas(
+    x: jnp.ndarray,  # (T, K)
+    w_p4t: jnp.ndarray,  # (L, NT, K/2, TILE_N) stacked tiled
+    s: jnp.ndarray,  # (L, G, N)
+    zs: jnp.ndarray,
+    layer_idx,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, k = x.shape
+    l, nt, k_half, tn = w_p4t.shape
+    n = nt * tn
+    g = s.shape[-2]
+    gs = k // g
+    tt = _choose_tile(t, (128, 64, 32, 16, 8))
+    if t % tt or k != 2 * k_half:
+        raise ValueError(f"bad tiling: T={t} K={k}")
+    kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kernel = functools.partial(_int4_tiled_kernel, kc=kc, gs=gs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // tt, nt),
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, 1, k_half, tn), lambda i, j, l: (l[0], j, 0, 0)),
+            pl.BlockSpec((1, g, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, g, tn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tt, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * k * n,
+            bytes_accessed=k_half * n * (t // tt) + t * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, x, w_p4t, s, zs)
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):

@@ -131,6 +131,33 @@ def int4_matmul(
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def int4_matmul_tiled(
+    x: jnp.ndarray,  # (T, K)
+    w_p4t: jnp.ndarray,  # (L, NT, K/2, TILE_N) pre-tiled stacked bank
+    s: jnp.ndarray,  # (L, G, N)
+    zs: jnp.ndarray,
+    perm: Optional[jnp.ndarray] = None,
+    layer_idx=None,
+) -> jnp.ndarray:
+    """Tiled-layout int4 matmul (see quant_matmul.tile_packed_weight): the
+    production path — each weight block is one contiguous HBM run."""
+    if perm is not None:
+        x = jnp.take(x, perm, axis=1)
+    if _use_pallas():
+        from vllm_metax_tpu.ops.pallas.quant_matmul import (
+            int4_matmul_tiled_pallas,
+        )
+
+        return int4_matmul_tiled_pallas(x, w_p4t, s, zs, layer_idx)
+    from vllm_metax_tpu.ops.pallas.quant_matmul import untile_packed_weight
+
+    w_l = jax.lax.dynamic_index_in_dim(w_p4t, layer_idx, keepdims=False)
+    s_l = jax.lax.dynamic_index_in_dim(s, layer_idx, keepdims=False)
+    zs_l = jax.lax.dynamic_index_in_dim(zs, layer_idx, keepdims=False)
+    w = dequant_int4(untile_packed_weight(w_l), s_l, zs_l, x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def int8_wo_matmul(
     x: jnp.ndarray,  # (T, K)
     w_i8: jnp.ndarray,  # (K, N) int8 or stacked (L, K, N)
