@@ -88,3 +88,17 @@ def test_ppl_windowing(ckpt):
     ours = compute_ppl(runner, token_ids)
     ref = _hf_ppl(m, token_ids)
     assert abs(ours - ref) / ref < PPL_TOL, (ours, ref)
+
+
+def test_llm_embed(ckpt):
+    """Pooled embeddings surface (the reference's pooling-model analog)."""
+    import numpy as np
+    from vllm_metax_tpu.entrypoints.llm import LLM
+
+    _, path = ckpt
+    llm = LLM(model=path, dtype="float32", max_model_len=256)
+    vecs = llm.embed(prompt_token_ids=[[1, 2, 3, 4], [9, 8]])
+    assert len(vecs) == 2
+    assert vecs[0].shape == (64,)
+    mean_vecs = llm.embed(prompt_token_ids=[[1, 2, 3, 4]], pooling="mean")
+    assert not np.allclose(mean_vecs[0], vecs[0])

@@ -222,6 +222,35 @@ class LLM:
             )
         return results
 
+    def embed(
+        self,
+        prompts: Union[str, Sequence[str], None] = None,
+        *,
+        prompt_token_ids: Optional[Sequence[Sequence[int]]] = None,
+        pooling: str = "last",  # "last" | "mean"
+    ):
+        """Pooled hidden-state embeddings (the reference's pooling-model
+        surface, exercised by its MTEB tests). Teacher-forced prefill per
+        prompt; returns one vector per prompt."""
+        import numpy as np
+
+        from vllm_metax_tpu.evaluation.ppl import _prefill_hidden
+
+        if prompts is not None and isinstance(prompts, str):
+            prompts = [prompts]
+        if prompt_token_ids is None:
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer; pass prompt_token_ids")
+            prompt_token_ids = [self.tokenizer.encode(p) for p in prompts]
+        out = []
+        for toks in prompt_token_ids:
+            hidden = _prefill_hidden(self.engine.runner, list(toks))
+            if pooling == "mean":
+                out.append(np.asarray(hidden).mean(axis=0))
+            else:
+                out.append(np.asarray(hidden)[-1])
+        return out
+
     def sleep(self, level: int = 1) -> None:
         self.engine.sleep(level)
 

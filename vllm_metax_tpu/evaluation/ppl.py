@@ -69,6 +69,31 @@ def compute_token_logprobs(runner, token_ids: list[int]) -> np.ndarray:
     return np.concatenate(out)[: n - 1]
 
 
+def _prefill_hidden(runner, token_ids: list[int]) -> jnp.ndarray:
+    """Final-layer hidden states (T, E) for a token sequence (teacher-forced
+    prefill; basis for pooled embeddings)."""
+    mc = runner.model_cfg
+    model, params = runner.model, runner.params
+    bs = runner.cache_cfg.block_size
+    n = len(token_ids)
+    if n > mc.max_model_len:
+        raise ValueError(f"sequence ({n}) exceeds max_model_len")
+    maxb = cdiv(n, bs)
+    ids = jnp.asarray(np.asarray(token_ids, np.int32))
+    md = AttentionMetadata(
+        slot_mapping=jnp.arange(n, dtype=jnp.int32),
+        block_tables=jnp.arange(maxb, dtype=jnp.int32)[None, :],
+        seq_lens=jnp.asarray([n], jnp.int32),
+        query_start_loc=jnp.asarray([0, n], jnp.int32),
+        req_idx=jnp.zeros(n, jnp.int32),
+        positions=jnp.arange(n, dtype=jnp.int32),
+        num_seqs=jnp.asarray(1, jnp.int32),
+    )
+    hidden, kv = model.forward(params, ids, runner.kv_cache, md, mc)
+    runner.kv_cache = kv
+    return hidden
+
+
 def compute_ppl(runner, token_ids: list[int]) -> float:
     """exp(mean NLL) over the sequence (the reference's PPL definition)."""
     lps = compute_token_logprobs(runner, token_ids)

@@ -275,18 +275,24 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
             out["b"] = jnp.concatenate([p["b"] for p in ps], axis=-1)
         return quantize(out)
 
+    def qkv_merged(pre):
+        # Baichuan stores qkv pre-fused as W_pack (ref: models/baichuan.py)
+        if reader.has(f"{pre}.self_attn.W_pack.weight"):
+            return quantize({"w": get(f"{pre}.self_attn.W_pack.weight").T})
+        return merge_linears(
+            [
+                get_linear(f"{pre}.self_attn.q_proj", cfg.attention_bias),
+                get_linear(f"{pre}.self_attn.k_proj", cfg.attention_bias),
+                get_linear(f"{pre}.self_attn.v_proj", cfg.attention_bias),
+            ]
+        )
+
     layers = []
     for i in range(cfg.num_hidden_layers):
         pre = f"model.layers.{i}"
         lp = {
             "ln1": get(f"{pre}.input_layernorm.weight"),
-            "qkv": merge_linears(
-                [
-                    get_linear(f"{pre}.self_attn.q_proj", cfg.attention_bias),
-                    get_linear(f"{pre}.self_attn.k_proj", cfg.attention_bias),
-                    get_linear(f"{pre}.self_attn.v_proj", cfg.attention_bias),
-                ]
-            ),
+            "qkv": qkv_merged(pre),
             "o": quantize(get_linear(f"{pre}.self_attn.o_proj", False)),
             "ln2": get(f"{pre}.post_attention_layernorm.weight"),
             "gate_up": merge_linears(
