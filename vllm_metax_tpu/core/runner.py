@@ -49,6 +49,7 @@ class CachedReqState:
     num_computed_tokens: int = 0
     generator_seed: Optional[int] = None
     constraint: Optional[object] = None  # structured-output FSM
+    eos_token_id: Optional[int] = None
 
 
 @dataclass
@@ -300,7 +301,7 @@ class ModelRunner:
         ep_axis = "ep" if self.ep_size > 1 else None
 
         def step(params, kv_cache, input_ids, md, logits_indices, st,
-                 hist_ids, hist_is_out, allowed_ids=None):
+                 hist_ids, hist_is_out, allowed_ids=None, banned=None):
             hidden, kv_cache = model.forward(
                 params,
                 input_ids,
@@ -337,6 +338,12 @@ class ModelRunner:
                 ].set(True, mode="drop")
                 ok = ok | unconstrained[:, None]
                 logits = jnp.where(ok, logits, -1e30)
+            if banned is not None:
+                # min_tokens / bad_words bans + logit_bias
+                ban_ids, bias_ids, bias_vals = banned
+                rows_b = jnp.arange(logits.shape[0], dtype=jnp.int32)[:, None]
+                logits = logits.at[rows_b, ban_ids].set(-1e30, mode="drop")
+                logits = logits.at[rows_b, bias_ids].add(bias_vals, mode="drop")
             out = sample(logits, st, all_greedy, need_logprobs)
             return out, kv_cache
 
@@ -361,7 +368,7 @@ class ModelRunner:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), kv_specs),
             check_vma=False,
         )
@@ -387,6 +394,7 @@ class ModelRunner:
                 constraint=build_constraint(
                     nr.sampling_params, getattr(nr, "eos_token_id", None)
                 ),
+                eos_token_id=getattr(nr, "eos_token_id", None),
             )
         for cr in so.scheduled_cached_reqs:
             st = self.requests[cr.req_id]
@@ -683,6 +691,53 @@ class ModelRunner:
                 unconstrained[i * s_rows : (i + 1) * s_rows] = False
             allowed_ids = (allowed_ids, jnp.asarray(unconstrained))
 
+        # min_tokens / logit_bias: per-row banned ids and additive biases
+        banned = None
+        ban_lists = {}
+        bias_lists = {}
+        for i, rid in enumerate(req_ids):
+            st = self.requests[rid]
+            sp = st.sampling_params
+            bans = []
+            out_len = len(st.token_ids) - st.prompt_len
+            if sp.min_tokens and out_len < sp.min_tokens:
+                if self.requests[rid].constraint is None:
+                    eos = getattr(st, "eos_token_id", None)
+                    for t_ban in ([eos] if eos is not None else []) + list(
+                        sp.stop_token_ids or []
+                    ):
+                        bans.append(int(t_ban))
+            if sp.bad_words_token_ids:
+                bans.extend(sp.bad_words_token_ids)
+            if bans:
+                ban_lists[i] = bans
+            if sp.logit_bias:
+                bias_lists[i] = sp.logit_bias
+        if ban_lists or bias_lists:
+            vocab = self.model_cfg.vocab_size
+            nb_max = max(
+                [len(b) for b in ban_lists.values()]
+                + [len(b) for b in bias_lists.values()]
+                + [1]
+            )
+            bb = max(8, int(2 ** np.ceil(np.log2(nb_max))))
+            ban_np = np.full((rb * s_rows, bb), vocab, np.int32)
+            bias_id_np = np.full((rb * s_rows, bb), vocab, np.int32)
+            bias_val_np = np.zeros((rb * s_rows, bb), np.float32)
+            for i, bans in ban_lists.items():
+                rows = slice(i * s_rows, (i + 1) * s_rows)
+                ban_np[rows, : len(bans)] = bans[:bb]
+            for i, lb in bias_lists.items():
+                rows = slice(i * s_rows, (i + 1) * s_rows)
+                items = list(lb.items())[:bb]
+                bias_id_np[rows, : len(items)] = [int(t) for t, _ in items]
+                bias_val_np[rows, : len(items)] = [float(v) for _, v in items]
+            banned = (
+                jnp.asarray(ban_np),
+                jnp.asarray(bias_id_np),
+                jnp.asarray(bias_val_np),
+            )
+
         hist_ids = hist_is_out = None
         if any_penalty:
             # NOTE: with spec decode the penalty history reflects committed
@@ -720,6 +775,7 @@ class ModelRunner:
             hist_ids,
             hist_is_out,
             allowed_ids,
+            banned,
         )
         return self._make_output(req_ids, out, so, s_rows)
 
@@ -735,6 +791,12 @@ class ModelRunner:
             ):
                 return True
             if self.requests[rid].constraint is not None:
+                return True
+            if sp.logit_bias:
+                return True
+            if sp.min_tokens and len(
+                self.requests[rid].token_ids
+            ) - self.requests[rid].prompt_len < sp.min_tokens:
                 return True
         return False
 

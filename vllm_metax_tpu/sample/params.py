@@ -32,6 +32,8 @@ class SamplingParams:
     guided_regex: Optional[str] = None
     guided_choice: Optional[list[str]] = None
     bad_words: list[str] = field(default_factory=list)
+    # token-id form of bad_words (single tokens), filled by the tokenizer layer
+    bad_words_token_ids: list[int] = field(default_factory=list)
     logit_bias: Optional[dict[int, float]] = None
 
     def __post_init__(self):
