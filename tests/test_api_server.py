@@ -187,3 +187,31 @@ def test_tokenize_roundtrip(server):
     toks = _post(server, "/tokenize", {"prompt": "hello"})["tokens"]
     text = _post(server, "/detokenize", {"tokens": toks})["prompt"]
     assert "hello" in text
+
+
+def test_client_disconnect_aborts(server):
+    """Closing a streaming connection mid-generation aborts the request
+    (ref: tests/v1/shutdown/test_delete.py behavior)."""
+    import http.client, time, urllib.parse
+
+    u = urllib.parse.urlparse(server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=60)
+    conn.request(
+        "POST",
+        "/v1/completions",
+        body=json.dumps({"prompt": "hello", "max_tokens": 500,
+                         "temperature": 0.0, "stream": True,
+                         "ignore_eos": True}),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    resp.read(64)  # receive a bit, then drop the connection
+    conn.close()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        stats = json.loads(_get(server, "/metrics").split("\n")[1].split()[-1])
+        # vllm:num_requests_waiting gauge reaches 0 once aborted
+        if stats == 0:
+            break
+        time.sleep(0.5)
+    assert stats == 0

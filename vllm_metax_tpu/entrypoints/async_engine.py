@@ -81,12 +81,17 @@ class AsyncEngine:
         eos_token_id: Optional[int] = None,
         timeout: float = 600.0,
     ) -> Iterator[StreamItem]:
-        _, q = self.submit(prompt_token_ids, sampling_params, eos_token_id)
-        while True:
-            item = q.get(timeout=timeout)
-            yield item
-            if item.finished:
-                return
+        req_id, q = self.submit(prompt_token_ids, sampling_params, eos_token_id)
+        try:
+            while True:
+                item = q.get(timeout=timeout)
+                yield item
+                if item.finished:
+                    return
+        finally:
+            # consumer went away mid-stream (client disconnect): free the
+            # request (ref behavior: tests/v1/shutdown/test_delete.py)
+            self.abort(req_id)
 
     def abort(self, req_id: str) -> None:
         self._aborted.add(req_id)
