@@ -70,8 +70,11 @@ def _build_engine(on_tpu: bool):
             dtype="bfloat16",
         )
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
-        num_reqs, prompt_len, decode_len = 64, 128, 128
-        cache = CacheConfig(block_size=32, num_blocks=768)
+        # BASELINE config 3 single-chip slice: INT4 weights + INT8 KV cache;
+        # high concurrency amortizes the per-step weight read
+        num_reqs, prompt_len, decode_len = 128, 128, 128
+        cache = CacheConfig(block_size=32, num_blocks=1100,
+                            kv_cache_dtype="int8")
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,
@@ -182,7 +185,12 @@ def main():
                 "vs_baseline": round(res["decode_tok_s"] / roofline, 4),
                 "detail": {
                     "model": engine.config.model_config.model or "tiny-cpu",
-                    "quant": "gptq-int4-g128",
+                    "quant": "gptq-int4-g128"
+                    + (
+                        "+int8kv"
+                        if engine.config.cache_config.kv_quantized
+                        else ""
+                    ),
                     "num_reqs": num_reqs,
                     "p50_ttft_s": round(res["p50_ttft_s"], 4),
                     "roofline_tok_s": round(roofline, 1),

@@ -215,3 +215,49 @@ def test_client_disconnect_aborts(server):
             break
         time.sleep(0.5)
     assert stats == 0
+
+
+def test_dp_pool(tmp_path_factory):
+    """Data-parallel engine pool: least-loaded dispatch across replicas
+    (ref: tests/v1/test_internal_lb_dp.py surface)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    tmp = tmp_path_factory.mktemp("dp")
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=512,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).save_pretrained(str(tmp / "m"), safe_serialization=True)
+
+    from vllm_metax_tpu.entrypoints.async_engine import EnginePool
+    from vllm_metax_tpu.entrypoints.llm import _build_engine_config
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    config = _build_engine_config(str(tmp / "m"), dtype="float32",
+                                  max_model_len=128)
+    pool = EnginePool(config, dp_size=2)
+    try:
+        assert len(pool.engines) == 2
+        outs = []
+        for i in range(4):
+            toks = []
+            for item in pool.stream([1, 2, 3 + i],
+                                    SamplingParams(max_tokens=4,
+                                                   temperature=0.0)):
+                toks.extend(item.new_token_ids)
+            outs.append(toks)
+        assert all(len(o) == 4 for o in outs)
+        stats = pool.get_stats()
+        assert stats["num_engines"] == 2
+        # both replicas produce identical greedy output for the same prompt
+        t_a = []
+        for item in pool.engines[0].stream([9, 9], SamplingParams(max_tokens=4, temperature=0.0)):
+            t_a.extend(item.new_token_ids)
+        t_b = []
+        for item in pool.engines[1].stream([9, 9], SamplingParams(max_tokens=4, temperature=0.0)):
+            t_b.extend(item.new_token_ids)
+        assert t_a == t_b
+    finally:
+        pool.shutdown()

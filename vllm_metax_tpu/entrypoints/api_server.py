@@ -22,7 +22,7 @@ import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from vllm_metax_tpu.entrypoints.async_engine import AsyncEngine
+from vllm_metax_tpu.entrypoints.async_engine import EnginePool
 from vllm_metax_tpu.entrypoints.detokenizer import IncrementalDetokenizer
 from vllm_metax_tpu.entrypoints.llm import _build_engine_config
 from vllm_metax_tpu.logger import init_logger
@@ -32,8 +32,8 @@ logger = init_logger(__name__)
 
 
 class ServerState:
-    def __init__(self, config, tokenizer, served_model: str):
-        self.engine = AsyncEngine(config)
+    def __init__(self, config, tokenizer, served_model: str, dp_size: int = 1):
+        self.engine = EnginePool(config, dp_size)
         self.tokenizer = tokenizer
         self.served_model = served_model
         self.eos_token_id = tokenizer.eos_token_id if tokenizer else None
@@ -303,13 +303,16 @@ def make_handler(state: ServerState):
 
 
 def build_server(
-    host: str, port: int, model: str, served_model_name: str = "", **engine_kwargs
+    host: str, port: int, model: str, served_model_name: str = "",
+    data_parallel_size: int = 1, **engine_kwargs
 ) -> ThreadingHTTPServer:
     config = _build_engine_config(model, **engine_kwargs)
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(model)
-    state = ServerState(config, tokenizer, served_model_name or model)
+    state = ServerState(
+        config, tokenizer, served_model_name or model, data_parallel_size
+    )
     server = ThreadingHTTPServer((host, port), make_handler(state))
     server.state = state
     return server
@@ -328,6 +331,7 @@ def main(argv=None):
     parser.add_argument("--kv-cache-dtype", default="auto")
     parser.add_argument("--quantization", default=None)
     parser.add_argument("--tensor-parallel-size", type=int, default=1)
+    parser.add_argument("--data-parallel-size", type=int, default=1)
     parser.add_argument("--num-decode-steps", type=int, default=1)
     parser.add_argument("--dtype", default="auto")
     parser.add_argument("--load-format", default="auto")
@@ -338,6 +342,7 @@ def main(argv=None):
         args.port,
         args.model,
         served_model_name=args.served_model_name,
+        data_parallel_size=args.data_parallel_size,
         max_model_len=args.max_model_len,
         max_num_seqs=args.max_num_seqs,
         max_num_batched_tokens=args.max_num_batched_tokens,

@@ -43,6 +43,67 @@ class _Pending:
     out_queue: "queue.Queue[StreamItem]" = field(default_factory=queue.Queue)
 
 
+class EnginePool:
+    """Data-parallel engine replicas over disjoint device slices with
+    round-robin dispatch (the reference's DP serving surface: per-DP-rank
+    device env + front-end LB, patch/maca_visible_device.py:28 and the
+    internal/external LB test suites)."""
+
+    def __init__(self, config: EngineConfig, dp_size: int = 1):
+        import jax
+
+        from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+        pc = config.parallel_config
+        per_rank = pc.tensor_parallel_size * pc.expert_parallel_size
+        devices = jax.devices()
+        if dp_size * per_rank > len(devices):
+            raise ValueError(
+                f"dp={dp_size} x (tp*ep)={per_rank} needs "
+                f"{dp_size * per_rank} devices, have {len(devices)}"
+            )
+        self.engines = []
+        for r in range(dp_size):
+            slice_devices = devices[r * per_rank : (r + 1) * per_rank]
+            mesh = (
+                make_tp_mesh(
+                    pc.tensor_parallel_size,
+                    pc.expert_parallel_size,
+                    devices=slice_devices,
+                )
+                if per_rank > 1 or dp_size > 1
+                else None
+            )
+            self.engines.append(AsyncEngine(config, mesh=mesh))
+        self._rr = Counter()
+
+    def pick(self) -> "AsyncEngine":
+        """Least-loaded engine (falls back to round robin on ties)."""
+        loads = [
+            e.engine.scheduler.get_num_unfinished_requests() for e in self.engines
+        ]
+        m = min(loads)
+        candidates = [i for i, l in enumerate(loads) if l == m]
+        return self.engines[candidates[next(self._rr) % len(candidates)]]
+
+    def stream(self, *args, **kwargs):
+        return self.pick().stream(*args, **kwargs)
+
+    def get_stats(self) -> dict:
+        stats = [e.get_stats() for e in self.engines]
+        agg = dict(stats[0])
+        for s in stats[1:]:
+            for k, v in s.items():
+                if isinstance(v, (int, float)):
+                    agg[k] = agg.get(k, 0) + v
+        agg["num_engines"] = len(self.engines)
+        return agg
+
+    def shutdown(self) -> None:
+        for e in self.engines:
+            e.shutdown()
+
+
 class AsyncEngine:
     """Thread-safe front end over EngineCore."""
 
