@@ -249,3 +249,68 @@ def test_sharded_state_save_load(small_model_config, tmp_path):
 
     e2 = EngineCore(make("sharded_state", model=path))
     assert run(e2, [5, 6, 7]) == ref
+
+
+def test_batch_invariance(small_model_config):
+    """A request's greedy output must not change when co-batched with other
+    requests (reference analog: batch-invariant hooks, flash_attn.py:40, and
+    reproducibility examples)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    def make_engine():
+        return EngineCore(EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(max_num_seqs=4,
+                                             max_num_batched_tokens=64),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+
+    def run(engine, prompts):
+        for i, p in enumerate(prompts):
+            engine.add_request(f"r{i}", p,
+                               SamplingParams(max_tokens=6, temperature=0.0))
+        acc = {f"r{i}": [] for i in range(len(prompts))}
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                acc[out.req_id].extend(out.new_token_ids)
+        return acc
+
+    target = [7, 3, 9, 1]
+    solo = run(make_engine(), [target])["r0"]
+    batched = run(make_engine(), [target, [5, 5], [2, 4, 6, 8, 10]])["r0"]
+    assert solo == batched
+
+
+def test_forward_error_surfaces(small_model_config):
+    """Engine errors propagate to the caller instead of hanging (reference:
+    tests/v1/shutdown/test_forward_error.py)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    engine = EngineCore(EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=4,
+                                         max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    ))
+    # over-long prompt rejected at intake
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        engine.add_request("bad", list(range(5000)), SamplingParams(max_tokens=2))
+    # engine still serves afterwards
+    engine.add_request("ok", [1, 2, 3], SamplingParams(max_tokens=2,
+                                                       temperature=0.0))
+    toks = []
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            toks.extend(out.new_token_ids)
+    assert len(toks) == 2
