@@ -70,11 +70,9 @@ def _build_engine(on_tpu: bool):
             dtype="bfloat16",
         )
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
-        # BASELINE config 3 single-chip slice: INT4 weights + INT8 KV cache;
         # high concurrency amortizes the per-step weight read
         num_reqs, prompt_len, decode_len = 128, 128, 128
-        cache = CacheConfig(block_size=32, num_blocks=1100,
-                            kv_cache_dtype="int8")
+        cache = CacheConfig(block_size=32, num_blocks=1100)
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,

@@ -273,7 +273,7 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
         val = P(None, "tp", None, None)  # (L*NB, H, BS, D)
-        scale = P(None, "tp", None)  # (L*NB, H, BS)
+        scale = P(None, None, "tp")  # (L*NB, BS, H) token-major
         has_scale = self.kv_cache.k_scale is not None
         specs = KVCache(
             k=val,

@@ -37,7 +37,9 @@ class KVCache(NamedTuple):
 
     k: jnp.ndarray  # (NB, H, BS, D) model dtype or int8/fp8
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None  # (NB, H, BS) f32 if quantized
+    # scales are TOKEN-major (NB, BS, H) — page slices then cut the sublane
+    # dim, which Mosaic DMA alignment allows for any block size
+    k_scale: Optional[jnp.ndarray] = None  # (NB, BS, H) f32 if quantized
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -74,7 +76,7 @@ def new_kv_cache(
     k = jnp.zeros(shape, dtype=dtype)
     v = jnp.zeros(v_shape, dtype=dtype)
     if quantized:
-        s = jnp.ones(shape[:3], dtype=jnp.float32)
+        s = jnp.ones((num_blocks, block_size, num_kv_heads), dtype=jnp.float32)
         return KVCache(k, v, s, s)
     return KVCache(k, v)
 
@@ -143,14 +145,22 @@ def write_to_kv_cache(
         )
         return flat.reshape(cache_arr.shape)
 
+    def scatter_scale(scale_arr, vals):
+        # token-major scales (NB, BS, H): plain slot-row scatter
+        flat = scale_arr.reshape(nb * bs, h)
+        flat = flat.at[slot_mapping].set(
+            vals, mode="drop", unique_indices=True, indices_are_sorted=False
+        )
+        return flat.reshape(scale_arr.shape)
+
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
         vq, vs = _quantize_kv(v, cache_dtype)
         return KVCache(
             scatter(kv_cache.k, kq),
             scatter(kv_cache.v, vq),
-            scatter(kv_cache.k_scale, ks),
-            scatter(kv_cache.v_scale, vs),
+            scatter_scale(kv_cache.k_scale, ks),
+            scatter_scale(kv_cache.v_scale, vs),
         )
     return KVCache(
         scatter(kv_cache.k, k.astype(cache_dtype)),
@@ -172,10 +182,10 @@ def gather_kv_for_requests(
     k = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, H, BS, D)
     v = jnp.take(kv_cache.v, block_tables, axis=0)
     if kv_cache.quantized:
-        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)  # (R, MAXB, H, BS)
+        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)  # (R, MAXB, BS, H)
         vs = jnp.take(kv_cache.v_scale, block_tables, axis=0)
-        k = k.astype(jnp.float32) * ks[..., None]
-        v = v.astype(jnp.float32) * vs[..., None]
+        k = k.astype(jnp.float32) * jnp.transpose(ks, (0, 1, 3, 2))[..., None]
+        v = v.astype(jnp.float32) * jnp.transpose(vs, (0, 1, 3, 2))[..., None]
     k = jnp.transpose(k, (0, 1, 3, 2, 4)).astype(out_dtype)  # (R,MAXB,BS,H,D)
     v = jnp.transpose(v, (0, 1, 3, 2, 4)).astype(out_dtype)
     return k.reshape(r, maxb * bs, h, d), v.reshape(r, maxb * bs, h, d)
