@@ -314,3 +314,74 @@ def test_forward_error_surfaces(small_model_config):
         for out in engine.step():
             toks.extend(out.new_token_ids)
     assert len(toks) == 2
+
+
+def test_chunked_prefill_long_prompt_matches_hf(tmp_path):
+    """A prompt longer than max_num_batched_tokens is prefetched in chunks;
+    greedy output must still match transformers exactly."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(cfg).eval()
+    path = str(tmp_path / "m")
+    m.save_pretrained(path, safe_serialization=True)
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 256, size=150).tolist()  # >> 32-token budget
+    with torch.no_grad():
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=6,
+                        do_sample=False)[0, len(prompt):].tolist()
+
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    llm = LLM(model=path, dtype="float32", max_model_len=256,
+              max_num_batched_tokens=32, max_num_seqs=2)
+    out = llm.generate(prompt_token_ids=[prompt],
+                       sampling_params=SamplingParams(max_tokens=6,
+                                                      temperature=0.0))
+    assert out[0].outputs[0].token_ids == hf
+
+
+def test_prefix_cache_reuse(small_model_config):
+    """A second request sharing a long prefix reuses cached blocks (fewer
+    scheduled tokens) and produces identical output (reference behavior:
+    tests/v1/core/test_prefix_caching.py)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    engine = EngineCore(EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64,
+                                 enable_prefix_caching=True),
+        scheduler_config=SchedulerConfig(max_num_seqs=4,
+                                         max_num_batched_tokens=256),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    ))
+    prefix = list(range(1, 65))  # 64 tokens = 4 full blocks
+
+    def run(rid, tail):
+        engine.add_request(rid, prefix + tail,
+                           SamplingParams(max_tokens=4, temperature=0.0))
+        toks = []
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                toks.extend(out.new_token_ids)
+        return toks
+
+    first = run("a", [100, 101])
+    cached_before = engine.scheduler.num_prefix_cached_tokens
+    second = run("b", [100, 101])
+    cached_after = engine.scheduler.num_prefix_cached_tokens
+    assert second == first
+    assert cached_after - cached_before >= 48  # ≥3 blocks reused
