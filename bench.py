@@ -72,7 +72,7 @@ def _build_engine(on_tpu: bool):
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
         # high concurrency amortizes the per-step weight read
         num_reqs, prompt_len, decode_len = 128, 128, 128
-        cache = CacheConfig(block_size=64, num_blocks=550)
+        cache = CacheConfig(block_size=32, num_blocks=1100)
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,
