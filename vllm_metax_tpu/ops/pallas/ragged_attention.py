@@ -72,9 +72,10 @@ def _attn_kernel(
 ):
     if quantized:
         (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
-         acc_ref, m_ref, l_ref, sem) = rest
+         acc_ref, m_ref, l_ref, state_ref, sem) = rest
     else:
-        out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, sem = rest
+        (out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, state_ref,
+         sem) = rest
         ks_hbm = vs_hbm = ks_buf = vs_buf = None
     t_idx = pl.program_id(0)
     req = tile_req_ref[t_idx]
@@ -85,6 +86,10 @@ def _attn_kernel(
     ppc = ckv // bs
 
     valid_tile = req >= 0
+
+    @pl.when(t_idx == 0)
+    def _():
+        state_ref[0] = -1
 
     @pl.when(jnp.logical_not(valid_tile))
     def _():
@@ -99,8 +104,8 @@ def _attn_kernel(
         kv_limit = jnp.minimum(seq_len, max_q_pos + 1)
         num_chunks = jnp.maximum((kv_limit + ckv - 1) // ckv, 1)
 
-        def chunk_dma(c, slot, kind):
-            base = req * maxb + (c * ppc)
+        def chunk_dma(c, slot, kind, dma_req=None):
+            base = (req if dma_req is None else dma_req) * maxb + (c * ppc)
 
             for p in range(ppc):  # static unroll: back-to-back DMA issue
                 page = bt_ref[base + p]
@@ -144,14 +149,23 @@ def _attn_kernel(
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-        chunk_dma(0, 0, "start")
+        # Cross-tile prefetch: the previous tile started our chunk-0 DMA
+        # while it was still computing (state_ref = [prefetched_tile, slot],
+        # persisted across grid steps), hiding the first-chunk DMA latency
+        # that otherwise stalls every tile of a decode batch.
+        prefetched = state_ref[0] == t_idx
+        slot0 = jnp.where(prefetched, state_ref[1], 0)
+
+        @pl.when(jnp.logical_not(prefetched))
+        def _():
+            chunk_dma(0, 0, "start")
 
         def chunk_body(c, _):
-            slot = c % 2
+            slot = (slot0 + c) % 2
 
             @pl.when(c + 1 < num_chunks)
             def _():
-                chunk_dma(c + 1, (c + 1) % 2, "start")
+                chunk_dma(c + 1, (slot0 + c + 1) % 2, "start")
 
             chunk_dma(c, slot, "wait")
 
@@ -212,7 +226,28 @@ def _attn_kernel(
             m_ref[...] = m_new
             return 0
 
+        # start the NEXT tile's chunk-0 DMA into the slot our last chunk
+        # didn't occupy, then compute the epilogue while it flies
+        last_slot = (slot0 + num_chunks - 1) % 2
+        pf_slot = (last_slot + 1) % 2
+        nt_total = pl.num_programs(0)
+        next_req = jnp.where(
+            t_idx + 1 < nt_total,
+            tile_req_ref[jnp.minimum(t_idx + 1, nt_total - 1)],
+            -1,
+        )
+
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+        @pl.when(next_req >= 0)
+        def _():
+            chunk_dma(0, pf_slot, "start", dma_req=next_req)
+            state_ref[0] = t_idx + 1
+            state_ref[1] = pf_slot
+
+        @pl.when(next_req < 0)
+        def _():
+            state_ref[0] = -1
 
         out_ref[0] = (
             acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
@@ -313,6 +348,7 @@ def ragged_paged_attention_pallas(
         pltpu.VMEM((hkv, tq * g, d), jnp.float32),
         pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
         pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
+        pltpu.SMEM((2,), jnp.int32),  # cross-tile prefetch state
         pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, ckv // bs)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
