@@ -332,6 +332,11 @@ class EngineConfig:
         if mc.use_mla and cc.block_size < 64:
             # MLA kernels want larger pages (ref coerces to 64, platform.py:128-196)
             cc.block_size = 64
+        if cc.kv_quantized and cc.block_size % 128:
+            # native quantized-KV attention DMAs scale pages as 128-lane
+            # slices (ragged_attention.py); keep total KV bytes constant
+            cc.num_blocks = max(1, cc.num_blocks * cc.block_size // 128)
+            cc.block_size = 128
         sc.max_num_batched_tokens = max(
             sc.max_num_batched_tokens, cc.block_size
         )

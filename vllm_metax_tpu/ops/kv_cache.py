@@ -37,9 +37,11 @@ class KVCache(NamedTuple):
 
     k: jnp.ndarray  # (NB, H, BS, D) model dtype or int8/fp8
     v: jnp.ndarray
-    # scales are TOKEN-major (NB, BS, H) — page slices then cut the sublane
-    # dim, which Mosaic DMA alignment allows for any block size
-    k_scale: Optional[jnp.ndarray] = None  # (NB, BS, H) f32 if quantized
+    # scales are head-major like the values — (NB, H, BS) — so a quantized
+    # page DMA lands scale rows in the exact (HKV, CKV) orientation the
+    # kernel multiplies with (no transpose); Mosaic lane alignment then
+    # requires block_size % 128 == 0 for the native quantized path
+    k_scale: Optional[jnp.ndarray] = None  # (NB, H, BS) f32 if quantized
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -76,7 +78,7 @@ def new_kv_cache(
     k = jnp.zeros(shape, dtype=dtype)
     v = jnp.zeros(v_shape, dtype=dtype)
     if quantized:
-        s = jnp.ones((num_blocks, block_size, num_kv_heads), dtype=jnp.float32)
+        s = jnp.ones((num_blocks, num_kv_heads, block_size), dtype=jnp.float32)
         return KVCache(k, v, s, s)
     return KVCache(k, v)
 
@@ -146,10 +148,13 @@ def write_to_kv_cache(
         return flat.reshape(cache_arr.shape)
 
     def scatter_scale(scale_arr, vals):
-        # token-major scales (NB, BS, H): plain slot-row scatter
-        flat = scale_arr.reshape(nb * bs, h)
-        flat = flat.at[slot_mapping].set(
-            vals, mode="drop", unique_indices=True, indices_are_sorted=False
+        # head-major scales (NB, H, BS): same flat-row addressing as values
+        flat = scale_arr.reshape(nb * h * bs)
+        flat = flat.at[rows.reshape(-1)].set(
+            vals.reshape(-1),
+            mode="drop",
+            unique_indices=True,
+            indices_are_sorted=False,
         )
         return flat.reshape(scale_arr.shape)
 
@@ -182,10 +187,10 @@ def gather_kv_for_requests(
     k = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, H, BS, D)
     v = jnp.take(kv_cache.v, block_tables, axis=0)
     if kv_cache.quantized:
-        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)  # (R, MAXB, BS, H)
+        ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)  # (R, MAXB, H, BS)
         vs = jnp.take(kv_cache.v_scale, block_tables, axis=0)
-        k = k.astype(jnp.float32) * jnp.transpose(ks, (0, 1, 3, 2))[..., None]
-        v = v.astype(jnp.float32) * jnp.transpose(vs, (0, 1, 3, 2))[..., None]
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
     k = jnp.transpose(k, (0, 1, 3, 2, 4)).astype(out_dtype)  # (R,MAXB,BS,H,D)
     v = jnp.transpose(v, (0, 1, 3, 2, 4)).astype(out_dtype)
     return k.reshape(r, maxb * bs, h, d), v.reshape(r, maxb * bs, h, d)

@@ -43,11 +43,9 @@ _NEG_INF = -1e30
 def pallas_attention_supported(q, kv_cache: KVCache, md) -> bool:
     t, hq, d = q.shape
     nb, hkv, bs, dk = kv_cache.k.shape
-    # quantized KV: the kernel math is implemented and tested (interpret
-    # mode), but the per-page scale DMA hits Mosaic's 128-lane slice
-    # alignment on real hardware — native path lands with the planned
-    # scale-layout rework; until then quantized KV routes to the XLA impl
-    if kv_cache.quantized:
+    if kv_cache.quantized and bs % 128:
+        # quantized-KV scale pages DMA as 128-lane slices: needs block
+        # size a multiple of 128 (config default coerces for quantized KV)
         return False
     return d % 128 == 0 and hq % hkv == 0 and bs % 8 == 0
 
@@ -122,20 +120,19 @@ def _attn_kernel(
                     ),
                 ]
                 if quantized:
-                    # scale pages are token-major (BS, H): slice the sublane
-                    # dim of the (CKV, H) buffer (lane-dim slices would need
-                    # 128 alignment)
+                    # head-major scale pages (H, BS) land directly in the
+                    # (HKV, CKV) orientation the score multiply wants
                     dmas.append(
                         pltpu.make_async_copy(
                             ks_hbm.at[page],
-                            ks_buf.at[slot, pl.ds(p * bs, bs)],
+                            ks_buf.at[slot, :, pl.ds(p * bs, bs)],
                             sem.at[slot, 2, p],
                         )
                     )
                     dmas.append(
                         pltpu.make_async_copy(
                             vs_hbm.at[page],
-                            vs_buf.at[slot, pl.ds(p * bs, bs)],
+                            vs_buf.at[slot, :, pl.ds(p * bs, bs)],
                             sem.at[slot, 3, p],
                         )
                     )
@@ -195,8 +192,7 @@ def _attn_kernel(
                 preferred_element_type=jnp.float32,
             )  # (HKV, TQ*G, CKV)
             if quantized:
-                ks = jnp.transpose(ks_buf[slot])  # (CKV, HKV) → (HKV, CKV)
-                s = s * ks[:, None, :]
+                s = s * ks_buf[slot][:, None, :]  # (HKV, 1, CKV)
             s = s * sm_scale
             if logits_soft_cap > 0.0:
                 s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
@@ -211,8 +207,7 @@ def _attn_kernel(
             l_ref[...] = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
 
             if quantized:
-                vs = jnp.transpose(vs_buf[slot])
-                p = p * vs[:, None, :]
+                p = p * vs_buf[slot][:, None, :]
                 v_mm = v_all.astype(q_all.dtype)
             else:
                 v_mm = v_all
@@ -341,8 +336,8 @@ def ragged_paged_attention_pallas(
         ]
         inputs += [kv_cache.k_scale, kv_cache.v_scale]
         scratch += [
-            pltpu.VMEM((2, ckv, hkv), jnp.float32),
-            pltpu.VMEM((2, ckv, hkv), jnp.float32),
+            pltpu.VMEM((2, hkv, ckv), jnp.float32),
+            pltpu.VMEM((2, hkv, ckv), jnp.float32),
         ]
     scratch += [
         pltpu.VMEM((hkv, tq * g, d), jnp.float32),
