@@ -71,10 +71,8 @@ def _build_engine(on_tpu: bool):
         )
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
         # high concurrency amortizes the per-step weight read
-        # BASELINE config 3 single-chip slice: INT4 weights + INT8 KV
         num_reqs, prompt_len, decode_len = 128, 128, 128
-        cache = CacheConfig(block_size=128, num_blocks=280,
-                            kv_cache_dtype="int8")
+        cache = CacheConfig(block_size=32, num_blocks=1100)
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,
