@@ -164,3 +164,42 @@ def test_abort():
     s.abort_request("a")
     assert not s.has_unfinished_requests()
     assert s.kv_manager.get_num_free_blocks() == 64
+
+
+def test_preemption_recompute_roundtrip(small_model_config):
+    """KV exhaustion preempts the newest request and resumes it later with
+    identical output (reference behavior: preemption-by-recompute,
+    tests/v1/core/test_scheduler.py)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    def run(num_blocks):
+        engine = EngineCore(EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, num_blocks=num_blocks,
+                                     enable_prefix_caching=False),
+            scheduler_config=SchedulerConfig(max_num_seqs=4,
+                                             max_num_batched_tokens=128),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+        prompts = [list(range(1, 30)), list(range(40, 70)), list(range(80, 110))]
+        for i, p in enumerate(prompts):
+            engine.add_request(f"r{i}", p,
+                               SamplingParams(max_tokens=40, temperature=0.0))
+        acc = {f"r{i}": [] for i in range(3)}
+        steps = 0
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                acc[out.req_id].extend(out.new_token_ids)
+            steps += 1
+            assert steps < 500
+        return [acc[f"r{i}"] for i in range(3)], engine.scheduler.num_preemptions
+
+    plenty, p0 = run(num_blocks=64)
+    tight, p1 = run(num_blocks=12)   # 192 slots < ~210 demanded → pressure
+    assert p0 == 0
+    assert p1 > 0, "expected preemptions under KV pressure"
+    assert tight == plenty, "preempt+recompute changed outputs"
