@@ -114,6 +114,7 @@ class ModelRunner:
         # single argmax, the common serving case
         self._step_fns: dict[tuple[bool, bool], object] = {}
         self._multi_step_fns: dict[tuple, object] = {}
+        self._msd_cache = None  # warm multi-step-window device inputs
 
     def _finalize_quant_layout(self, params):
         """Convert stacked packed-int4 linears to the pre-tiled contiguous
@@ -195,6 +196,7 @@ class ModelRunner:
             self._host_params = None
         self.params = None
         self.kv_cache = None
+        self._msd_cache = None
 
     def wake_up(self) -> None:
         if self.params is not None:
@@ -450,13 +452,16 @@ class ModelRunner:
                     ep_axis_name=ep_axis,
                 )
                 logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
-                # decorrelate steps without a host round trip
+                # decorrelate rows/steps without a host round trip: fold the
+                # absolute position in (deterministic per replay, and lets
+                # the host reuse the same SamplingTensors across windows)
                 st_step = SamplingTensors(
                     temperature=st.temperature,
                     top_k=st.top_k,
                     top_p=st.top_p,
                     min_p=st.min_p,
-                    seeds=st.seeds + step_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B9),
+                    seeds=st.seeds
+                    + pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B9),
                     presence_penalty=st.presence_penalty,
                     frequency_penalty=st.frequency_penalty,
                     repetition_penalty=st.repetition_penalty,
@@ -469,12 +474,12 @@ class ModelRunner:
                     out.topk_logprobs,
                 )
 
-            (kv_cache, _, _), ys = jax.lax.scan(
+            (kv_cache, tokens_next, pos_next), ys = jax.lax.scan(
                 one_step,
                 (kv_cache, tokens0, pos0),
                 jnp.arange(m, dtype=jnp.int32),
             )
-            return ys, kv_cache
+            return ys, kv_cache, tokens_next, pos_next
 
         if tp == 1 and self.ep_size == 1:
             return jax.jit(run, donate_argnums=(1,))
@@ -492,7 +497,7 @@ class ModelRunner:
             run,
             mesh=self.mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
-            out_specs=(P(), kv_specs),
+            out_specs=(P(), kv_specs, P(), P()),
             check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=(1,))
@@ -504,27 +509,53 @@ class ModelRunner:
         rb = pick_bucket(self.req_buckets, num_reqs)
         maxb = self.max_blocks_per_req
 
-        tokens0 = np.zeros(rb, np.int32)
-        pos0 = np.zeros(rb, np.int32)
-        valid = np.zeros(rb, bool)
-        block_tables = np.zeros((rb, maxb), np.int32)
-        for i, rid in enumerate(req_ids):
-            st = self.requests[rid]
-            start = st.num_computed_tokens
-            tokens0[i] = st.token_ids[start]
-            pos0[i] = start
-            valid[i] = True
-            bids = np.asarray(st.block_ids, np.int32)
-            block_tables[i, : len(bids)] = bids
+        # Warm-window reuse: between consecutive pure-decode windows with the
+        # same request set and unchanged block tables, every input the device
+        # needs (next tokens, positions, block tables, validity, sampling
+        # state) is ALREADY on the device from the previous window — skip the
+        # host rebuild + uploads entirely (each transfer rides a full RTT on
+        # remote-attached TPUs).
+        fingerprint = (
+            tuple(req_ids),
+            tuple(len(self.requests[rid].block_ids) for rid in req_ids),
+            rb,
+            m,
+        )
+        cache = self._msd_cache
+        if cache is not None and cache["fp"] == fingerprint:
+            dev_tokens = cache["tokens"]
+            dev_pos = cache["pos"]
+            dev_bt = cache["bt"]
+            dev_valid = cache["valid"]
+            st_tensors = cache["st"]
+            all_greedy, need_lp = cache["mode"]
+        else:
+            tokens0 = np.zeros(rb, np.int32)
+            pos0 = np.zeros(rb, np.int32)
+            valid = np.zeros(rb, bool)
+            block_tables = np.zeros((rb, maxb), np.int32)
+            for i, rid in enumerate(req_ids):
+                st = self.requests[rid]
+                start = st.num_computed_tokens
+                tokens0[i] = st.token_ids[start]
+                pos0[i] = start
+                valid[i] = True
+                bids = np.asarray(st.block_ids, np.int32)
+                block_tables[i, : len(bids)] = bids
+            all_greedy = all(
+                self.requests[rid].sampling_params.temperature == 0.0
+                for rid in req_ids
+            )
+            need_lp = any(
+                self.requests[rid].sampling_params.logprobs is not None
+                for rid in req_ids
+            )
+            dev_tokens = jnp.asarray(tokens0)
+            dev_pos = jnp.asarray(pos0)
+            dev_bt = jnp.asarray(block_tables)
+            dev_valid = jnp.asarray(valid)
+            st_tensors = self._build_sampling_tensors(req_ids, rb)
 
-        all_greedy = all(
-            self.requests[rid].sampling_params.temperature == 0.0
-            for rid in req_ids
-        )
-        need_lp = any(
-            self.requests[rid].sampling_params.logprobs is not None
-            for rid in req_ids
-        )
         key = (rb, m, all_greedy, need_lp)
         if key not in self._multi_step_fns:
             self._multi_step_fns[key] = self._build_multi_step_fn(
@@ -532,16 +563,32 @@ class ModelRunner:
             )
         fn = self._multi_step_fns[key]
 
-        st_tensors = self._build_sampling_tensors(req_ids, rb)
-        ys, self.kv_cache = fn(
+        ys, self.kv_cache, tokens_next, pos_next = fn(
             self.params,
             self.kv_cache,
-            jnp.asarray(tokens0),
-            jnp.asarray(block_tables),
-            jnp.asarray(pos0),
-            jnp.asarray(valid),
+            dev_tokens,
+            dev_bt,
+            dev_pos,
+            dev_valid,
             st_tensors,
         )
+        # prime the next window's inputs (device-resident; no host hop).
+        # fingerprint uses the POST-window block counts so a block-boundary
+        # crossing (scheduler appends a block next window) invalidates it.
+        self._msd_cache = {
+            "fp": (
+                fingerprint[0],
+                fingerprint[1],
+                rb,
+                m,
+            ),
+            "tokens": tokens_next,
+            "pos": pos_next,
+            "bt": dev_bt,
+            "valid": dev_valid,
+            "st": st_tensors,
+            "mode": (all_greedy, need_lp),
+        }
         # fetch only what's needed: each device→host read costs a full
         # round trip on remote-attached TPUs
         tok_steps = np.asarray(ys[0])  # (M, RB)
@@ -575,10 +622,19 @@ class ModelRunner:
 
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
         self._update_states(so)
+        # anything beyond steady-state decode invalidates the warm-window
+        # device inputs (block tables / membership may have changed)
+        if (
+            so.scheduled_new_reqs
+            or so.preempted_req_ids
+            or any(cr.resumed_from_preemption for cr in so.scheduled_cached_reqs)
+        ):
+            self._msd_cache = None
         if so.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
         if so.num_decode_steps > 1 and not self._needs_per_step_host_state(so):
             return self._execute_multi_step(so)
+        self._msd_cache = None
 
         req_ids = list(so.num_scheduled_tokens.keys())
         num_reqs = len(req_ids)
