@@ -18,6 +18,7 @@ once + per-request KV read) / chip HBM bandwidth.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -72,7 +73,12 @@ def _build_engine(on_tpu: bool):
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
         # high concurrency amortizes the per-step weight read
         num_reqs, prompt_len, decode_len = 128, 128, 128
-        cache = CacheConfig(block_size=32, num_blocks=1100)
+        kv_dtype = os.environ.get("BENCH_KV_DTYPE", "auto")
+        if kv_dtype != "auto":
+            cache = CacheConfig(block_size=128, num_blocks=270,
+                                kv_cache_dtype=kv_dtype)
+        else:
+            cache = CacheConfig(block_size=32, num_blocks=1100)
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,
