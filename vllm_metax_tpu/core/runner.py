@@ -290,6 +290,28 @@ class ModelRunner:
             specs,
         )
 
+
+    @staticmethod
+    def _split_kv(kv):
+        """Quantized caches: donating all four leaves trips a PJRT aliasing
+        bug on this backend (runtime InvalidArgument). Split so only the
+        value buffers are donated; the small scale arrays copy per step."""
+        from vllm_metax_tpu.ops.kv_cache import KVCache
+
+        vals = KVCache(kv.k, kv.v)
+        scales = (
+            (kv.k_scale, kv.v_scale) if kv.k_scale is not None else None
+        )
+        return vals, scales
+
+    @staticmethod
+    def _join_kv(vals, scales):
+        from vllm_metax_tpu.ops.kv_cache import KVCache
+
+        if scales is None:
+            return vals
+        return KVCache(vals.k, vals.v, scales[0], scales[1])
+
     def _get_step_fn(self, all_greedy: bool, need_logprobs: bool):
         key = (all_greedy, need_logprobs)
         if key not in self._step_fns:
@@ -349,8 +371,19 @@ class ModelRunner:
             out = sample(logits, st, all_greedy, need_logprobs)
             return out, kv_cache
 
+        def step_split(params, kv_vals, kv_scales, *rest):
+            out, kv = step(params, self._join_kv(kv_vals, kv_scales), *rest)
+            return out, self._split_kv(kv)
+
         if tp == 1 and self.ep_size == 1:
-            return jax.jit(step, donate_argnums=(1,), static_argnums=())
+            inner = jax.jit(step_split, donate_argnums=(1,))
+
+            def outer(params, kv_cache, *rest):
+                vals, scales = self._split_kv(kv_cache)
+                out, (vals, scales) = inner(params, vals, scales, *rest)
+                return out, self._join_kv(vals, scales)
+
+            return outer
 
         # TP: one SPMD program over the mesh. Weights/KV are sharded by the
         # spec trees; everything else (tokens, metadata, sampling state) is
@@ -481,8 +514,21 @@ class ModelRunner:
             )
             return ys, kv_cache, tokens_next, pos_next
 
+        def run_split(params, kv_vals, kv_scales, *rest):
+            ys, kv, tn, pn = run(params, self._join_kv(kv_vals, kv_scales),
+                                 *rest)
+            vals, scales = self._split_kv(kv)
+            return ys, vals, scales, tn, pn
+
         if tp == 1 and self.ep_size == 1:
-            return jax.jit(run, donate_argnums=(1,))
+            inner = jax.jit(run_split, donate_argnums=(1,))
+
+            def outer(params, kv_cache, *rest):
+                vals, scales = self._split_kv(kv_cache)
+                ys, vals, scales, tn, pn = inner(params, vals, scales, *rest)
+                return ys, self._join_kv(vals, scales), tn, pn
+
+            return outer
 
         from jax.sharding import PartitionSpec as P
 
@@ -493,14 +539,23 @@ class ModelRunner:
             self.mesh,
         )
         kv_specs = self._kv_specs()
+        kv_vals_specs, kv_scale_specs = self._split_kv(kv_specs)
         sharded = jax.shard_map(
-            run,
+            run_split,
             mesh=self.mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P()),
-            out_specs=(P(), kv_specs, P(), P()),
+            in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
+                      P(), P(), P()),
+            out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded, donate_argnums=(1,))
+        inner = jax.jit(sharded, donate_argnums=(1,))
+
+        def outer(params, kv_cache, *rest):
+            vals, scales = self._split_kv(kv_cache)
+            ys, vals, scales, tn, pn = inner(params, vals, scales, *rest)
+            return ys, self._join_kv(vals, scales), tn, pn
+
+        return outer
 
     def _execute_multi_step(self, so: SchedulerOutput) -> ModelRunnerOutput:
         req_ids = list(so.num_scheduled_tokens.keys())
