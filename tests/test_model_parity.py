@@ -148,3 +148,43 @@ def test_padded_batch_invariance(tmp_path):
     np.testing.assert_allclose(
         np.asarray(h_pad[:9]), np.asarray(h_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_mistral_sliding_window_parity(tmp_path):
+    """Sliding-window attention e2e vs transformers Mistral (window smaller
+    than the prompt so the mask actually truncates)."""
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        sliding_window=16,
+        vocab_size=256,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = MistralForCausalLM(cfg).eval()
+    path = str(tmp_path / "mistral")
+    m.save_pretrained(path, safe_serialization=True)
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 256, size=40).tolist()  # > window
+    with torch.no_grad():
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=8,
+                        do_sample=False)[0, len(prompt):].tolist()
+
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    llm = LLM(model=path, dtype="float32", max_model_len=256)
+    assert llm.config.model_config.sliding_window == 16
+    out = llm.generate(prompt_token_ids=[prompt],
+                       sampling_params=SamplingParams(max_tokens=8,
+                                                      temperature=0.0))
+    assert out[0].outputs[0].token_ids == hf

@@ -200,3 +200,45 @@ def test_mixtral_vs_transformers(tmp_path):
         sampling_params=SamplingParams(max_tokens=8, temperature=0.0),
     )
     assert out[0].outputs[0].token_ids == hf
+
+
+def test_qwen3_moe_vs_transformers(tmp_path):
+    """Greedy parity with transformers Qwen3MoeForCausalLM (qk-norm + MoE)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg = Qwen3MoeConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        vocab_size=256,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = Qwen3MoeForCausalLM(cfg).eval()
+    path = str(tmp_path / "qwen3moe")
+    m.save_pretrained(path, safe_serialization=True)
+
+    prompt = [1, 5, 9, 13, 200, 47]
+    with torch.no_grad():
+        hf = m.generate(torch.tensor([prompt]), max_new_tokens=8,
+                        do_sample=False)[0, len(prompt):].tolist()
+
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    llm = LLM(model=path, dtype="float32", max_model_len=256)
+    out = llm.generate(prompt_token_ids=[prompt],
+                       sampling_params=SamplingParams(max_tokens=8,
+                                                      temperature=0.0))
+    assert out[0].outputs[0].token_ids == hf
