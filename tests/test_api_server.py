@@ -261,3 +261,47 @@ def test_dp_pool(tmp_path_factory):
         assert t_a == t_b
     finally:
         pool.shutdown()
+
+
+def test_guided_regex_completion(server):
+    import re
+
+    pattern = r"[0-9]{2}\.[0-9]{2}"
+    out = _post(
+        server,
+        "/v1/completions",
+        {
+            "prompt": "pi is about ",
+            "max_tokens": 16,
+            "temperature": 1.0,
+            "seed": 0,
+            "guided_regex": pattern,
+        },
+    )
+    assert re.fullmatch(pattern, out["choices"][0]["text"]), out
+
+
+def test_guided_json_response_format(server):
+    import json as _json
+
+    schema = {
+        "type": "object",
+        "properties": {"n": {"type": "integer"}, "ok": {"type": "boolean"}},
+    }
+    out = _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "give me json"}],
+            "max_tokens": 48,
+            "temperature": 1.0,
+            "seed": 1,
+            "response_format": {
+                "type": "json_schema",
+                "json_schema": {"name": "x", "schema": schema},
+            },
+        },
+    )
+    text = out["choices"][0]["message"]["content"]
+    obj = _json.loads(text)
+    assert isinstance(obj["n"], int) and isinstance(obj["ok"], bool), text

@@ -71,3 +71,197 @@ def test_guided_choice_with_sampling(small_model_config):
     for toks in acc.values():
         body = toks[:-1] if toks and toks[-1] == 2 else toks
         assert body in choices, toks
+
+
+# ---------------------------------------------------------------- regex FSM
+
+def _fsm(pattern, vocab):
+    from vllm_metax_tpu.guided_fsm import TokenFSM
+
+    return TokenFSM(pattern, vocab)
+
+
+def _char_vocab(chars):
+    """Token id i ↦ the i-th char (a synthetic char-level vocabulary)."""
+    return {i: c for i, c in enumerate(chars)}
+
+
+def _fullmatch(fsm, text):
+    st = fsm.advance_str(fsm.init_state, text)
+    return bool(st) and fsm.is_accepting(st)
+
+
+def test_regex_engine_fullmatch():
+    v = _char_vocab("abc0123456789.-xyz")
+    for pat, yes, no in [
+        (r"abc", ["abc"], ["ab", "abcc", ""]),
+        (r"a+b?", ["a", "aa", "ab", "aaab"], ["b", "abb", ""]),
+        (r"(ab|cd)*", ["", "ab", "abcd", "cdabab"], ["a", "abc"]),
+        (r"[0-9]{2,4}", ["12", "123", "1234"], ["1", "12345", "1a"]),
+        (r"-?(0|[1-9][0-9]*)", ["0", "7", "42", "-13"], ["00", "01", "-"]),
+        (r"[^ab]c", ["xc", "0c"], ["ac", "bc", "c"]),
+        (r"a\.b", ["a.b"], ["axb"]),
+        (r"\d{3}", ["123"], ["12", "1234"]),
+    ]:
+        fsm = _fsm(pat, v)
+        for s in yes:
+            assert _fullmatch(fsm, s), (pat, s)
+        for s in no:
+            assert not _fullmatch(fsm, s), (pat, s)
+
+
+def test_token_fsm_allowed_and_multichar_tokens():
+    # vocab mixes single chars and multi-char tokens
+    vocab = {0: "a", 1: "b", 2: "ab", 3: "ba", 4: "abb", 5: "c"}
+    fsm = _fsm(r"ab+", vocab)
+    s0 = fsm.init_state
+    # from start: "a" ok, "ab" ok, "abb" ok; "b"/"ba"/"c" dead
+    assert fsm.allowed_token_ids(s0) == [0, 2, 4]
+    s1 = fsm.advance_token(s0, 2)  # consumed "ab" → accepting, b* continues
+    assert fsm.is_accepting(s1)
+    assert fsm.allowed_token_ids(s1) == [1]
+
+
+def test_fsm_constraint_engine_generates_matching_string(small_model_config):
+    """End-to-end: dummy model + char-level vocab, output must match regex."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.guided_fsm import TokenFSM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    config = EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    )
+    vocab_chars = "0123456789abcdefghij-."
+    tok_strs = {10 + i: c for i, c in enumerate(vocab_chars)}
+    pattern = r"-?[1-9][0-9]{2,5}\.[0-9]{2}"
+    fsm = TokenFSM(pattern, tok_strs)
+
+    engine = EngineCore(config)
+    for i, temp in enumerate([0.0, 1.0]):
+        sp = SamplingParams(max_tokens=16, temperature=temp, seed=i)
+        sp._guided_fsm = fsm
+        engine.add_request(f"r{i}", [1, 2, 3 + i], sp, eos_token_id=2)
+    acc = {"r0": [], "r1": []}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            acc[out.req_id].extend(out.new_token_ids)
+    import re
+
+    for toks in acc.values():
+        body = toks[:-1] if toks and toks[-1] == 2 else toks
+        text = "".join(tok_strs[t] for t in body)
+        assert re.fullmatch(pattern, text), (toks, text)
+
+
+# ------------------------------------------------------- JSON schema → regex
+
+def test_json_schema_to_regex_roundtrip():
+    import re
+
+    from vllm_metax_tpu.guided_fsm import json_schema_to_regex
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+            "score": {"type": "number"},
+            "tags": {"type": "array", "items": {"type": "string"}},
+            "active": {"type": "boolean"},
+            "kind": {"enum": ["cat", "dog"]},
+        },
+    }
+    pat = json_schema_to_regex(schema)
+    good = (
+        '{"name": "Ada", "age": 36, "score": -2.5e3, '
+        '"tags": ["x", "y"], "active": true, "kind": "dog"}'
+    )
+    assert re.fullmatch(pat, good)
+    # wrong key order / missing key / bad type all rejected
+    assert not re.fullmatch(pat, '{"age": 36}')
+    assert not re.fullmatch(pat, good.replace("36", '"36"'))
+
+
+def test_json_guided_engine_output_parses(small_model_config):
+    """Guided-json e2e: generated text must be valid JSON for the schema."""
+    import json as _json
+
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.guided_fsm import TokenFSM, json_schema_to_regex
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    config = EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    )
+    chars = '{}[]":,0123456789truefalsnu airbcd-. '
+    tok_strs = {10 + i: c for i, c in enumerate(dict.fromkeys(chars))}
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"}, "b": {"type": "boolean"}},
+    }
+    fsm = TokenFSM(json_schema_to_regex(schema), tok_strs)
+
+    engine = EngineCore(config)
+    sp = SamplingParams(max_tokens=32, temperature=1.0, seed=0)
+    sp._guided_fsm = fsm
+    engine.add_request("r0", [1, 2, 3], sp, eos_token_id=2)
+    toks = []
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            toks.extend(out.new_token_ids)
+    body = toks[:-1] if toks and toks[-1] == 2 else toks
+    text = "".join(tok_strs[t] for t in body)
+    obj = _json.loads(text)
+    assert isinstance(obj["a"], int) and isinstance(obj["b"], bool), text
+
+
+def test_token_strings_sentencepiece_style():
+    class FakeTok:
+        all_special_ids = [0]
+
+        def __len__(self):
+            return 5
+
+        def convert_ids_to_tokens(self, ids):
+            return ["<s>", "▁hello", "world", "▁", "!"][: len(ids)]
+
+    from vllm_metax_tpu.guided_fsm import token_strings
+
+    ts = token_strings(FakeTok())
+    assert ts == {1: " hello", 2: "world", 3: " ", 4: "!"}
+
+
+def test_token_strings_byte_level():
+    from vllm_metax_tpu.guided_fsm import _bytes_to_unicode, token_strings
+
+    b2u = _bytes_to_unicode()
+
+    def enc(s):
+        return "".join(b2u[b] for b in s.encode("utf-8"))
+
+    toks = ["<|end|>", enc(" the"), enc("Hello"), enc(","), "\udcff"]
+
+    class FakeTok:
+        all_special_ids = [0]
+
+        def __len__(self):
+            return len(toks)
+
+        def convert_ids_to_tokens(self, ids):
+            return toks[: len(ids)]
+
+    ts = token_strings(FakeTok())
+    assert ts[1] == " the" and ts[2] == "Hello" and ts[3] == ","
+    assert 4 not in ts  # unmappable char → skipped

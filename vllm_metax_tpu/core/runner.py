@@ -781,7 +781,13 @@ class ModelRunner:
                     )
                     allow_lists[i] = allow
                     max_allow = max(max_allow, len(allow))
-            ab = pick_bucket(self.req_buckets, max_allow) if max_allow > 8 else 8
+            # bucket the allowed-id width up to full vocab: regex/json FSM
+            # states can allow most of the vocabulary (e.g. inside a JSON
+            # string), and truncating the allow-list would corrupt decoding
+            allow_buckets = default_token_buckets(
+                self.model_cfg.vocab_size, min_bucket=8
+            )
+            ab = pick_bucket(allow_buckets, max_allow)
             vocab = self.model_cfg.vocab_size
             allowed_np = np.full((rb * s_rows, ab), vocab, np.int32)
             for i in range(rb):

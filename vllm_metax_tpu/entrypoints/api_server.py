@@ -59,7 +59,37 @@ def _sampling_from_request(body: dict) -> SamplingParams:
         ignore_eos=body.get("ignore_eos", False),
         guided_choice=(body.get("guided_choice")
                        or (body.get("extra_body") or {}).get("guided_choice")),
+        guided_regex=(body.get("guided_regex")
+                      or (body.get("extra_body") or {}).get("guided_regex")),
+        guided_json=(body.get("guided_json")
+                     or (body.get("extra_body") or {}).get("guided_json")
+                     or _response_format_schema(body)),
     )
+
+
+def _response_format_schema(body: dict):
+    """OpenAI `response_format={"type": "json_schema", ...}` → schema dict."""
+    rf = body.get("response_format") or {}
+    if rf.get("type") == "json_schema":
+        return (rf.get("json_schema") or {}).get("schema")
+    return None
+
+
+def _attach_guided(sp, tokenizer):
+    """Resolve guided-decoding params to token-level constraints."""
+    if sp.guided_choice:
+        sp._guided_token_choices = [
+            tokenizer.encode(c, add_special_tokens=False)
+            for c in sp.guided_choice
+        ]
+    elif sp.guided_regex or sp.guided_json:
+        from vllm_metax_tpu.guided_fsm import (
+            get_token_fsm,
+            json_schema_to_regex,
+        )
+
+        pattern = sp.guided_regex or json_schema_to_regex(sp.guided_json)
+        sp._guided_fsm = get_token_fsm(pattern, tokenizer)
 
 
 def make_handler(state: ServerState):
@@ -197,11 +227,7 @@ def make_handler(state: ServerState):
                 token_ids = state.tokenizer.encode(prompt)
                 prompt_text = prompt
             sp = _sampling_from_request(body)
-            if sp.guided_choice:
-                sp._guided_token_choices = [
-                    state.tokenizer.encode(c, add_special_tokens=False)
-                    for c in sp.guided_choice
-                ]
+            _attach_guided(sp, state.tokenizer)
             rid = f"cmpl-{uuid.uuid4().hex[:16]}"
             self._generate(body, token_ids, sp, rid, chat=False)
 
@@ -211,6 +237,7 @@ def make_handler(state: ServerState):
                 messages, add_generation_prompt=True
             )
             sp = _sampling_from_request(body)
+            _attach_guided(sp, state.tokenizer)
             rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
             self._generate(body, token_ids, sp, rid, chat=True)
 

@@ -168,6 +168,20 @@ class LLM:
                     self.tokenizer.encode(c, add_special_tokens=False)
                     for c in sp.guided_choice
                 ]
+            if (
+                (sp.guided_regex or sp.guided_json)
+                and self.tokenizer is not None
+                and not getattr(sp, "_guided_fsm", None)
+            ):
+                from vllm_metax_tpu.guided_fsm import (
+                    get_token_fsm,
+                    json_schema_to_regex,
+                )
+
+                pattern = sp.guided_regex or json_schema_to_regex(
+                    sp.guided_json
+                )
+                sp._guided_fsm = get_token_fsm(pattern, self.tokenizer)
             rid = str(next(self._counter))
             req_ids.append(rid)
             self.engine.add_request(rid, list(toks), sp, self.eos_token_id)

@@ -37,8 +37,45 @@ class ChoiceConstraint:
         return sorted(nxt)
 
 
+class FSMConstraint:
+    """Regex/JSON-schema constraint backed by a shared TokenFSM.
+
+    Tracks the FSM state for this request incrementally (the runner calls
+    with the full emitted-token list each step; we re-advance only the
+    suffix beyond the last seen prefix)."""
+
+    def __init__(self, fsm, eos_token_id: Optional[int]):
+        self.fsm = fsm
+        self.eos = eos_token_id
+        self._prefix: list[int] = []
+        self._state = fsm.init_state
+
+    def allowed_tokens(self, emitted: list[int]) -> list[int]:
+        n = len(self._prefix)
+        if len(emitted) >= n and emitted[:n] == self._prefix:
+            state, todo = self._state, emitted[n:]
+        else:  # rollback (preemption/resample): replay from scratch
+            state, todo = self.fsm.init_state, emitted
+        for tid in todo:
+            if state:
+                state = self.fsm.advance_token(state, tid)
+        self._prefix = list(emitted)
+        self._state = state
+        if not state:
+            return [self.eos] if self.eos is not None else []
+        allowed = self.fsm.allowed_token_ids(state)
+        if self.fsm.is_accepting(state) and self.eos is not None:
+            allowed = allowed + [self.eos]
+        if not allowed and self.eos is not None:
+            allowed = [self.eos]  # dead end → stop
+        return allowed
+
+
 def build_constraint(sampling_params, eos_token_id):
     tc = getattr(sampling_params, "_guided_token_choices", None)
     if tc:
         return ChoiceConstraint(tc, eos_token_id)
+    fsm = getattr(sampling_params, "_guided_fsm", None)
+    if fsm is not None:
+        return FSMConstraint(fsm, eos_token_id)
     return None
