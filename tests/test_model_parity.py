@@ -188,3 +188,73 @@ def test_mistral_sliding_window_parity(tmp_path):
                        sampling_params=SamplingParams(max_tokens=8,
                                                       temperature=0.0))
     assert out[0].outputs[0].token_ids == hf
+
+
+def _tiny_parity_run(model, path, prompt, max_new=8):
+    """Save `model` to `path`, greedy-generate with HF and with our LLM."""
+    import torch
+
+    model.save_pretrained(path, safe_serialization=True)
+    with torch.no_grad():
+        hf = model.generate(torch.tensor([prompt]), max_new_tokens=max_new,
+                            do_sample=False)[0, len(prompt):].tolist()
+
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    llm = LLM(model=path, dtype="float32", max_model_len=256)
+    out = llm.generate(prompt_token_ids=[prompt],
+                       sampling_params=SamplingParams(max_tokens=max_new,
+                                                      temperature=0.0))
+    return out[0].outputs[0].token_ids, hf
+
+
+def test_gemma_parity(tmp_path):
+    """Gemma 1: (1+w) RMSNorm, sqrt(E)-scaled embeddings, GeGLU, tied head."""
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = GemmaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        vocab_size=256,
+        max_position_embeddings=512,
+    )
+    torch.manual_seed(0)
+    m = GemmaForCausalLM(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "gemma"), [2, 5, 9, 13, 200])
+    assert ours == hf
+
+
+def test_gemma2_parity(tmp_path):
+    """Gemma 2: sandwich norms, attn/final soft-caps, query_pre_attn_scalar,
+    alternating sliding window (window < prompt so the mask truncates)."""
+    import numpy as np
+    import torch
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = Gemma2Config(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        vocab_size=256,
+        max_position_embeddings=512,
+        query_pre_attn_scalar=24,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        sliding_window=16,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    m = Gemma2ForCausalLM(cfg).eval()
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(2, 256, size=40).tolist()  # longer than the window
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "gemma2"), prompt)
+    assert ours == hf

@@ -162,3 +162,35 @@ def test_ep4_quantized_int8():
     )
     out = _run_engine(cfg, mesh=make_tp_mesh(1, 4))
     assert out == ref
+
+
+def test_tp_gemma2_matches_single_device():
+    """Gemma-2 TP: sandwich norms + soft-caps + alternating window under
+    shard_map must match single-device token-for-token."""
+    from vllm_metax_tpu.config import ModelConfig
+
+    mc = ModelConfig(
+        model="dummy-gemma2",
+        architecture="Gemma2ForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        tie_word_embeddings=True,
+        scale_embeddings=True,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        query_pre_attn_scalar=24,
+        sliding_window=16,
+        sliding_window_pattern=2,
+        hidden_act="gelu_pytorch_tanh",
+        dtype="float32",
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    out = _run_engine(_make_config(mc, 2), mesh=make_tp_mesh(2))
+    assert out == ref

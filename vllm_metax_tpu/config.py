@@ -76,6 +76,12 @@ class ModelConfig:
     n_group: int = 0
     topk_group: int = 0
     scoring_func: str = "softmax"
+    # Gemma family
+    scale_embeddings: bool = False  # multiply embedding output by sqrt(E)
+    attn_logit_softcapping: float = 0.0  # 0 = disabled
+    final_logit_softcapping: float = 0.0  # 0 = disabled
+    query_pre_attn_scalar: float = 0.0  # 0 → head_dim (sm_scale base)
+    sliding_window_pattern: int = 0  # 0=uniform; 2=even layers sliding (Gemma-2)
     # MLA (DeepSeek-V2/V3)
     use_mla: bool = False
     q_lora_rank: int = 0
@@ -136,6 +142,21 @@ class ModelConfig:
         if cfg.get("sliding_window") and cfg.get("use_sliding_window", True):
             kw["sliding_window"] = cfg["sliding_window"]
         kw["hidden_act"] = cfg.get("hidden_act", "silu")
+        if archs[0] in ("GemmaForCausalLM", "Gemma2ForCausalLM"):
+            kw["scale_embeddings"] = True
+            kw["tie_word_embeddings"] = cfg.get("tie_word_embeddings", True)
+            kw["hidden_act"] = (
+                cfg.get("hidden_activation")
+                or cfg.get("hidden_act")
+                or "gelu_pytorch_tanh"
+            )
+        if archs[0] == "Gemma2ForCausalLM":
+            kw["attn_logit_softcapping"] = cfg.get("attn_logit_softcapping") or 0.0
+            kw["final_logit_softcapping"] = (
+                cfg.get("final_logit_softcapping") or 0.0
+            )
+            kw["query_pre_attn_scalar"] = cfg.get("query_pre_attn_scalar") or 0.0
+            kw["sliding_window_pattern"] = 2
         # MoE fields across families
         if "num_local_experts" in cfg:  # Mixtral
             kw["num_experts"] = cfg["num_local_experts"]

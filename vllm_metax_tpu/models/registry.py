@@ -22,8 +22,11 @@ _REGISTRY: dict[str, str] = {
     "Qwen2ForCausalLM": "vllm_metax_tpu.models.llama",
     "Qwen3ForCausalLM": "vllm_metax_tpu.models.llama",
     "MistralForCausalLM": "vllm_metax_tpu.models.llama",
-    "Gemma2ForCausalLM": "vllm_metax_tpu.models.llama",
     "BaiChuanForCausalLM": "vllm_metax_tpu.models.llama",
+    # Gemma family (1+w norms, scaled embeddings, Gemma-2 sandwich norms +
+    # soft-caps + alternating sliding window)
+    "GemmaForCausalLM": "vllm_metax_tpu.models.gemma",
+    "Gemma2ForCausalLM": "vllm_metax_tpu.models.gemma",
     # MoE family
     "MixtralForCausalLM": "vllm_metax_tpu.models.mixtral",
     "Qwen2MoeForCausalLM": "vllm_metax_tpu.models.mixtral",
