@@ -258,3 +258,58 @@ def test_gemma2_parity(tmp_path):
     prompt = rng.integers(2, 256, size=40).tolist()  # longer than the window
     ours, hf = _tiny_parity_run(m, str(tmp_path / "gemma2"), prompt)
     assert ours == hf
+
+
+def test_phi3_longrope_parity(tmp_path):
+    """Phi-3: fused qkv_proj/gate_up_proj checkpoint layout + longrope
+    (SU-scaled) rope. Lengths stay inside the original window, where HF's
+    wholesale factor switch and our per-position cache agree exactly."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    cfg = Phi3Config(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=128,
+        original_max_position_embeddings=64,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7],
+            "long_factor": [2.0, 2.1, 2.2, 2.3, 2.4, 2.5, 2.6, 2.7],
+        },
+        tie_word_embeddings=False,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    m = Phi3ForCausalLM(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "phi3"), [2, 5, 9, 13, 200, 47])
+    assert ours == hf
+
+
+def test_longrope_cache_switches_factors():
+    """Positions past the original window must use the long factors."""
+    import numpy as np
+
+    from vllm_metax_tpu.ops.rope import compute_rope_cache
+
+    scaling = {
+        "type": "longrope",
+        "short_factor": [1.0] * 8,
+        "long_factor": [4.0] * 8,
+        "original_max_position_embeddings": 32,
+    }
+    cache = np.asarray(compute_rope_cache(64, 16, 10000.0, scaling))
+    mscale = np.sqrt(1 + np.log(2) / np.log(32))
+    inv = 1.0 / (10000.0 ** (np.arange(0, 16, 2) / 16))
+    np.testing.assert_allclose(
+        cache[31, :8], np.cos(31 * inv) * mscale, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        cache[40, :8], np.cos(40 * inv / 4.0) * mscale, rtol=1e-6
+    )

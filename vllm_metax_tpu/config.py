@@ -142,6 +142,18 @@ class ModelConfig:
         if cfg.get("sliding_window") and cfg.get("use_sliding_window", True):
             kw["sliding_window"] = cfg["sliding_window"]
         kw["hidden_act"] = cfg.get("hidden_act", "silu")
+        if archs[0] == "Phi3ForCausalLM" and kw.get("rope_scaling"):
+            # Phi-3 longrope keeps original_max_position_embeddings at the
+            # config top level; fold it into the scaling dict for the cache
+            rs = dict(kw["rope_scaling"])
+            rs.setdefault(
+                "original_max_position_embeddings",
+                cfg.get(
+                    "original_max_position_embeddings",
+                    kw["max_position_embeddings"],
+                ),
+            )
+            kw["rope_scaling"] = rs
         if archs[0] in ("GemmaForCausalLM", "Gemma2ForCausalLM"):
             kw["scale_embeddings"] = True
             kw["tie_word_embeddings"] = cfg.get("tie_word_embeddings", True)

@@ -276,9 +276,12 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
         return quantize(out)
 
     def qkv_merged(pre):
-        # Baichuan stores qkv pre-fused as W_pack (ref: models/baichuan.py)
+        # Baichuan stores qkv pre-fused as W_pack (ref: models/baichuan.py);
+        # Phi-3 stores it pre-fused as qkv_proj — both are [q|k|v] rows
         if reader.has(f"{pre}.self_attn.W_pack.weight"):
             return quantize({"w": get(f"{pre}.self_attn.W_pack.weight").T})
+        if reader.has(f"{pre}.self_attn.qkv_proj.weight"):
+            return quantize({"w": get(f"{pre}.self_attn.qkv_proj.weight").T})
         return merge_linears(
             [
                 get_linear(f"{pre}.self_attn.q_proj", cfg.attention_bias),
@@ -295,11 +298,16 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
             "qkv": qkv_merged(pre),
             "o": quantize(get_linear(f"{pre}.self_attn.o_proj", False)),
             "ln2": get(f"{pre}.post_attention_layernorm.weight"),
-            "gate_up": merge_linears(
-                [
-                    get_linear(f"{pre}.mlp.gate_proj", cfg.mlp_bias),
-                    get_linear(f"{pre}.mlp.up_proj", cfg.mlp_bias),
-                ]
+            "gate_up": (
+                # Phi-3 stores gate/up pre-fused as gate_up_proj
+                quantize(get_linear(f"{pre}.mlp.gate_up_proj", cfg.mlp_bias))
+                if reader.has(f"{pre}.mlp.gate_up_proj.weight")
+                else merge_linears(
+                    [
+                        get_linear(f"{pre}.mlp.gate_proj", cfg.mlp_bias),
+                        get_linear(f"{pre}.mlp.up_proj", cfg.mlp_bias),
+                    ]
+                )
             ),
             "down": quantize(get_linear(f"{pre}.mlp.down_proj", cfg.mlp_bias)),
         }

@@ -23,6 +23,7 @@ _REGISTRY: dict[str, str] = {
     "Qwen3ForCausalLM": "vllm_metax_tpu.models.llama",
     "MistralForCausalLM": "vllm_metax_tpu.models.llama",
     "BaiChuanForCausalLM": "vllm_metax_tpu.models.llama",
+    "Phi3ForCausalLM": "vllm_metax_tpu.models.llama",
     # Gemma family (1+w norms, scaled embeddings, Gemma-2 sandwich norms +
     # soft-caps + alternating sliding window)
     "GemmaForCausalLM": "vllm_metax_tpu.models.gemma",

@@ -96,6 +96,28 @@ def compute_rope_cache(
             inv_freq = inv_freq / rope_scaling["factor"]
         elif rtype in ("yarn", "deepseek_yarn"):
             inv_freq, mscale = _yarn_inv_freq(rot_dim, theta, rope_scaling)
+        elif rtype == "longrope":
+            # Phi-3 SU-scaled rope: per-frequency rescale factors, selected
+            # per position — short factors for positions inside the original
+            # training window, long factors beyond (the serving-style cache
+            # the reference inherits; HF instead switches wholesale on the
+            # batch max length, which ragged serving batches can't do).
+            orig = int(rope_scaling["original_max_position_embeddings"])
+            short = np.asarray(rope_scaling["short_factor"], np.float64)
+            long = np.asarray(rope_scaling["long_factor"], np.float64)
+            scale = max_position / orig
+            mscale = (
+                1.0
+                if scale <= 1.0
+                else math.sqrt(1 + math.log(scale) / math.log(orig))
+            )
+            f_short = np.outer(positions[:orig], inv_freq / short)
+            f_long = np.outer(positions[orig:], inv_freq / long)
+            freqs = np.concatenate([f_short, f_long], axis=0)
+            cache = np.concatenate(
+                [np.cos(freqs) * mscale, np.sin(freqs) * mscale], axis=-1
+            )
+            return jnp.asarray(cache, dtype=dtype)
         elif rtype in ("default", None, "mrope"):
             pass
         else:
