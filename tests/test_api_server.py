@@ -305,3 +305,39 @@ def test_guided_json_response_format(server):
     text = out["choices"][0]["message"]["content"]
     obj = _json.loads(text)
     assert isinstance(obj["n"], int) and isinstance(obj["ok"], bool), text
+
+
+def test_completions_n_choices(server):
+    out = _post(
+        server,
+        "/v1/completions",
+        {"prompt": "hello", "max_tokens": 6, "temperature": 1.0, "seed": 3,
+         "n": 3},
+    )
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    assert out["usage"]["completion_tokens"] == 18
+    assert all(c["finish_reason"] in ("length", "stop") for c in out["choices"])
+
+
+def test_streaming_n_interleaved(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps(
+            {"prompt": "hi", "max_tokens": 5, "temperature": 1.0, "seed": 9,
+             "n": 2, "stream": True}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    seen = {0: "", 1: ""}
+    finishes = set()
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data:") or line == "data: [DONE]":
+                continue
+            chunk = json.loads(line[5:])
+            c = chunk["choices"][0]
+            seen[c["index"]] += c.get("text", "")
+            if c["finish_reason"]:
+                finishes.add(c["index"])
+    assert finishes == {0, 1}

@@ -85,3 +85,47 @@ def test_min_tokens_with_multi_step(small_model_config):
         eos=eos,
     )
     assert all(t != eos for t in toks[:6])
+
+
+def test_parallel_sampling_n(small_model_config):
+    """n>1 fans out into n completions; seeded children are reproducible
+    (child k uses seed+k) and greedy children are identical."""
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    config = EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=8, max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    )
+    llm = LLM(engine_config=config)
+
+    out = llm.generate(
+        prompt_token_ids=[[1, 2, 3]],
+        sampling_params=SamplingParams(n=3, max_tokens=6, temperature=1.0,
+                                       seed=7),
+    )
+    comps = out[0].outputs
+    assert [c.index for c in comps] == [0, 1, 2]
+    assert all(len(c.token_ids) == 6 for c in comps)
+
+    # child k must equal a standalone request with seed 7+k
+    for k in range(3):
+        ref = llm.generate(
+            prompt_token_ids=[[1, 2, 3]],
+            sampling_params=SamplingParams(max_tokens=6, temperature=1.0,
+                                           seed=7 + k),
+        )
+        assert ref[0].outputs[0].token_ids == comps[k].token_ids, k
+
+    # greedy: all children identical
+    out = llm.generate(
+        prompt_token_ids=[[1, 2, 3]],
+        sampling_params=SamplingParams(n=2, max_tokens=6, temperature=0.0),
+    )
+    a, b = out[0].outputs
+    assert a.token_ids == b.token_ids

@@ -41,6 +41,7 @@ class ServerState:
 
 def _sampling_from_request(body: dict) -> SamplingParams:
     return SamplingParams(
+        n=body.get("n") or 1,
         max_tokens=body.get("max_tokens") or body.get("max_completion_tokens") or 16,
         temperature=body.get("temperature", 1.0),
         top_p=body.get("top_p", 1.0),
@@ -244,29 +245,57 @@ def make_handler(state: ServerState):
         def _generate(self, body, token_ids, sp, rid, chat: bool):
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
-            detok = IncrementalDetokenizer(state.tokenizer, stop=sp.stop)
             eos = None if sp.ignore_eos else state.eos_token_id
-            stream = state.engine.stream(token_ids, sp, eos)
+            # OpenAI n: fan out into n engine requests running concurrently
+            nc = max(1, sp.n)
+            streams = [
+                state.engine.stream(
+                    token_ids, sp if nc == 1 else sp.child(k), eos
+                )
+                for k in range(nc)
+            ]
+            detoks = [
+                IncrementalDetokenizer(state.tokenizer, stop=sp.stop)
+                for _ in range(nc)
+            ]
 
             if body.get("stream"):
                 self._start_sse()
-                ntok = 0
-                finish_reason = None
-                first = True
-                for item in stream:
-                    ntok += len(item.new_token_ids)
-                    text = detok.push(item.new_token_ids)
-                    if item.finished:
-                        text += detok.finish()
-                        finish_reason = item.finish_reason
-                    if text or item.finished:
+                import queue as _queue
+
+                merged: "_queue.Queue" = _queue.Queue()
+
+                def pump(k, s):
+                    try:
+                        for item in s:
+                            merged.put((k, item))
+                    finally:
+                        merged.put((k, None))  # reader gone or stream done
+
+                for k, s in enumerate(streams):
+                    threading.Thread(
+                        target=pump, args=(k, s), daemon=True
+                    ).start()
+                first = [True] * nc
+                live = nc
+                try:
+                    while live:
+                        k, item = merged.get(timeout=600.0)
+                        if item is None:
+                            live -= 1
+                            continue
+                        text = detoks[k].push(item.new_token_ids)
+                        if item.finished:
+                            text += detoks[k].finish()
+                        if not text and not item.finished:
+                            continue
                         if chat:
                             delta = {"content": text}
-                            if first:
+                            if first[k]:
                                 delta["role"] = "assistant"
-                                first = False
+                                first[k] = False
                             choice = {
-                                "index": 0,
+                                "index": k,
                                 "delta": delta,
                                 "finish_reason": item.finish_reason
                                 if item.finished
@@ -274,7 +303,7 @@ def make_handler(state: ServerState):
                             }
                         else:
                             choice = {
-                                "index": 0,
+                                "index": k,
                                 "text": text,
                                 "finish_reason": item.finish_reason
                                 if item.finished
@@ -289,39 +318,51 @@ def make_handler(state: ServerState):
                                 "choices": [choice],
                             }
                         )
+                finally:
+                    for s in streams:
+                        s.close()  # aborts engine requests on disconnect
                 self._sse_done()
                 return
 
-            # non-streaming
-            all_tokens: list[int] = []
-            finish_reason = None
-            for item in stream:
-                all_tokens.extend(item.new_token_ids)
-                detok.push(item.new_token_ids)
-                if item.finished:
-                    finish_reason = item.finish_reason
-            detok.finish()
-            text = detok.emitted
+            # non-streaming: children run concurrently in the engine loop;
+            # draining them in order just buffers in their queues
+            choices = []
+            total_completion = 0
+            for k, s in enumerate(streams):
+                tokens: list[int] = []
+                finish_reason = None
+                for item in s:
+                    tokens.extend(item.new_token_ids)
+                    detoks[k].push(item.new_token_ids)
+                    if item.finished:
+                        finish_reason = item.finish_reason
+                detoks[k].finish()
+                text = detoks[k].emitted
+                total_completion += len(tokens)
+                if chat:
+                    choices.append(
+                        {
+                            "index": k,
+                            "message": {"role": "assistant", "content": text},
+                            "finish_reason": finish_reason,
+                        }
+                    )
+                else:
+                    choices.append(
+                        {"index": k, "text": text, "finish_reason": finish_reason}
+                    )
             usage = {
                 "prompt_tokens": len(token_ids),
-                "completion_tokens": len(all_tokens),
-                "total_tokens": len(token_ids) + len(all_tokens),
+                "completion_tokens": total_completion,
+                "total_tokens": len(token_ids) + total_completion,
             }
-            if chat:
-                choice = {
-                    "index": 0,
-                    "message": {"role": "assistant", "content": text},
-                    "finish_reason": finish_reason,
-                }
-            else:
-                choice = {"index": 0, "text": text, "finish_reason": finish_reason}
             self._json(
                 {
                     "id": rid,
                     "object": obj,
                     "created": created,
                     "model": state.served_model,
-                    "choices": [choice],
+                    "choices": choices,
                     "usage": usage,
                 }
             )

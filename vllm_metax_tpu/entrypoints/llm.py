@@ -182,13 +182,24 @@ class LLM:
                     sp.guided_json
                 )
                 sp._guided_fsm = get_token_fsm(pattern, self.tokenizer)
-            rid = str(next(self._counter))
-            req_ids.append(rid)
-            self.engine.add_request(rid, list(toks), sp, self.eos_token_id)
+            # n>1: fan out into n engine requests (parallel sampling); the
+            # prefix cache dedups the shared-prompt prefill across children
+            children = []
+            for k in range(sp.n):
+                rid = str(next(self._counter))
+                children.append(rid)
+                self.engine.add_request(
+                    rid,
+                    list(toks),
+                    sp if sp.n == 1 else sp.child(k),
+                    self.eos_token_id,
+                )
+            req_ids.append(children)
 
         acc: dict[str, dict] = {
             rid: {"tokens": [], "logprobs": [], "finish_reason": None, "stop": None}
-            for rid in req_ids
+            for children in req_ids
+            for rid in children
         }
         while self.engine.has_unfinished_requests():
             for out in self.engine.step():
@@ -201,36 +212,39 @@ class LLM:
                     a["stop"] = out.stop_reason
 
         results = []
-        for i, rid in enumerate(req_ids):
-            a = acc[rid]
+        for i, children in enumerate(req_ids):
             sp = sampling_params[i]
-            text = ""
-            tokens = a["tokens"]
-            if self.tokenizer is not None and sp.detokenize:
-                text = self.tokenizer.decode(
-                    tokens, skip_special_tokens=sp.skip_special_tokens
+            completions = []
+            for k, rid in enumerate(children):
+                a = acc[rid]
+                text = ""
+                tokens = a["tokens"]
+                if self.tokenizer is not None and sp.detokenize:
+                    text = self.tokenizer.decode(
+                        tokens, skip_special_tokens=sp.skip_special_tokens
+                    )
+                    # stop-string truncation (post-hoc; streaming handles inline)
+                    for s in sp.stop or []:
+                        idx = text.find(s)
+                        if idx >= 0:
+                            text = text[:idx]
+                completions.append(
+                    CompletionOutput(
+                        index=k,
+                        text=text,
+                        token_ids=tokens,
+                        logprobs=a["logprobs"] or None,
+                        cumulative_logprob=None,
+                        finish_reason=a["finish_reason"],
+                        stop_reason=a["stop"],
+                    )
                 )
-                # stop-string truncation (post-hoc; streaming handles inline)
-                for s in sp.stop or []:
-                    idx = text.find(s)
-                    if idx >= 0:
-                        text = text[:idx]
             results.append(
                 RequestOutput(
-                    request_id=rid,
+                    request_id=children[0],
                     prompt=prompts[i] if prompts is not None else None,
                     prompt_token_ids=list(prompt_token_ids[i]),
-                    outputs=[
-                        CompletionOutput(
-                            index=0,
-                            text=text,
-                            token_ids=tokens,
-                            logprobs=a["logprobs"] or None,
-                            cumulative_logprob=None,
-                            finish_reason=a["finish_reason"],
-                            stop_reason=a["stop"],
-                        )
-                    ],
+                    outputs=completions,
                     finished=True,
                 )
             )

@@ -36,6 +36,21 @@ class SamplingParams:
     bad_words_token_ids: list[int] = field(default_factory=list)
     logit_bias: Optional[dict[int, float]] = None
 
+    def child(self, k: int) -> "SamplingParams":
+        """Copy for the k-th parallel sample of an n>1 request: n=1 and an
+        independent seed per child (seeded requests stay reproducible —
+        child 0 keeps the original seed). Guided-decoding attachments are
+        shared (constraints are instantiated per engine request)."""
+        import dataclasses
+
+        sp = dataclasses.replace(
+            self, n=1, seed=None if self.seed is None else self.seed + k
+        )
+        for attr in ("_guided_token_choices", "_guided_fsm"):
+            if hasattr(self, attr):
+                setattr(sp, attr, getattr(self, attr))
+        return sp
+
     def __post_init__(self):
         if self.top_k is None or self.top_k <= 0:
             self.top_k = 0
@@ -47,6 +62,8 @@ class SamplingParams:
             self.stop_token_ids = []
         if self.temperature < 0:
             raise ValueError("temperature must be >= 0")
+        if self.n < 1:
+            raise ValueError("n must be at least 1")
         if self.max_tokens is not None and self.max_tokens < 1:
             raise ValueError("max_tokens must be at least 1")
         if not 0 < self.top_p <= 1.0:
