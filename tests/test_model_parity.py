@@ -313,3 +313,25 @@ def test_longrope_cache_switches_factors():
     np.testing.assert_allclose(
         cache[40, :8], np.cos(40 * inv / 4.0) * mscale, rtol=1e-6
     )
+
+
+def test_gpt2_parity(tmp_path):
+    """GPT-2: LayerNorm, learned position embeddings, fused c_attn, non-gated
+    tanh-GELU MLP, Conv1D (in,out) weight layout, tied head."""
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    cfg = GPT2Config(
+        n_embd=64,
+        n_head=4,
+        n_layer=2,
+        n_positions=512,
+        n_inner=None,
+        vocab_size=256,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    m = GPT2LMHeadModel(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "gpt2"), [3, 5, 9, 13, 200, 47])
+    assert ours == hf

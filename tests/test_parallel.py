@@ -194,3 +194,28 @@ def test_tp_gemma2_matches_single_device():
     ref = _run_engine(_make_config(mc, 1))
     out = _run_engine(_make_config(mc, 2), mesh=make_tp_mesh(2))
     assert out == ref
+
+
+def test_tp_gpt2_matches_single_device():
+    """GPT-2 TP: row-parallel output biases must be added after the psum
+    (not multiplied by the shard count)."""
+    from vllm_metax_tpu.config import ModelConfig
+
+    mc = ModelConfig(
+        model="dummy-gpt2",
+        architecture="GPT2LMHeadModel",
+        hidden_size=64,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        tie_word_embeddings=True,
+        hidden_act="gelu_new",
+        dtype="float32",
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    out = _run_engine(_make_config(mc, 2), mesh=make_tp_mesh(2))
+    assert out == ref

@@ -110,6 +110,18 @@ class ModelConfig:
     def from_hf_config(cfg: dict, model: str = "", **overrides) -> "ModelConfig":
         """Build from a HF config.json dict (covers Llama/Qwen2/Mistral/Mixtral)."""
         archs = cfg.get("architectures") or ["LlamaForCausalLM"]
+        if "n_embd" in cfg:  # GPT-2-style key names
+            cfg = {
+                **cfg,
+                "hidden_size": cfg["n_embd"],
+                "num_attention_heads": cfg["n_head"],
+                "num_hidden_layers": cfg["n_layer"],
+                "intermediate_size": cfg.get("n_inner") or 4 * cfg["n_embd"],
+                "max_position_embeddings": cfg.get("n_positions", 1024),
+                "rms_norm_eps": cfg.get("layer_norm_epsilon", 1e-5),
+                "hidden_act": cfg.get("activation_function", "gelu_new"),
+                "tie_word_embeddings": True,
+            }
         kw: dict[str, Any] = dict(
             model=model,
             architecture=archs[0],

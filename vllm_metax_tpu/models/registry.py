@@ -28,6 +28,8 @@ _REGISTRY: dict[str, str] = {
     # soft-caps + alternating sliding window)
     "GemmaForCausalLM": "vllm_metax_tpu.models.gemma",
     "Gemma2ForCausalLM": "vllm_metax_tpu.models.gemma",
+    # GPT-2 (LayerNorm + learned positions + non-gated MLP)
+    "GPT2LMHeadModel": "vllm_metax_tpu.models.gpt2",
     # MoE family
     "MixtralForCausalLM": "vllm_metax_tpu.models.mixtral",
     "Qwen2MoeForCausalLM": "vllm_metax_tpu.models.mixtral",

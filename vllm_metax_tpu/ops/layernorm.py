@@ -20,6 +20,21 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndar
     return (xf * weight.astype(jnp.float32)).astype(orig_dtype)
 
 
+def layer_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Classic LayerNorm (mean-subtracting, affine) for GPT-2/OPT-class
+    models; fp32 statistics like the rms_norm above."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (
+        xf * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    ).astype(orig_dtype)
+
+
 def fused_add_rms_norm(
     x: jnp.ndarray, residual: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6
 ):
