@@ -335,3 +335,51 @@ def test_gpt2_parity(tmp_path):
     m = GPT2LMHeadModel(cfg).eval()
     ours, hf = _tiny_parity_run(m, str(tmp_path / "gpt2"), [3, 5, 9, 13, 200, 47])
     assert ours == hf
+
+
+def test_opt_parity(tmp_path):
+    """OPT: +2-offset learned positions, pre-LN, ReLU MLP, biased attention."""
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig(
+        hidden_size=64,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        ffn_dim=128,
+        max_position_embeddings=512,
+        vocab_size=256,
+        word_embed_proj_dim=64,
+        do_layer_norm_before=True,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    m = OPTForCausalLM(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "opt"), [3, 5, 9, 13, 200, 47])
+    assert ours == hf
+
+
+def test_opt_350m_style_parity(tmp_path):
+    """OPT 350m variant: post-LN ordering + word_embed_proj_dim != hidden."""
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig(
+        hidden_size=64,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        ffn_dim=128,
+        max_position_embeddings=512,
+        vocab_size=256,
+        word_embed_proj_dim=32,
+        do_layer_norm_before=False,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(1)
+    m = OPTForCausalLM(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "opt350"), [3, 5, 9, 13, 200])
+    assert ours == hf

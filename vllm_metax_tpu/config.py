@@ -154,6 +154,12 @@ class ModelConfig:
         if cfg.get("sliding_window") and cfg.get("use_sliding_window", True):
             kw["sliding_window"] = cfg["sliding_window"]
         kw["hidden_act"] = cfg.get("hidden_act", "silu")
+        if archs[0] == "OPTForCausalLM":
+            kw["intermediate_size"] = cfg.get(
+                "ffn_dim", 4 * cfg["hidden_size"]
+            )
+            kw["hidden_act"] = cfg.get("activation_function", "relu")
+            kw["tie_word_embeddings"] = cfg.get("tie_word_embeddings", True)
         if archs[0] == "Phi3ForCausalLM" and kw.get("rope_scaling"):
             # Phi-3 longrope keeps original_max_position_embeddings at the
             # config top level; fold it into the scaling dict for the cache

@@ -30,6 +30,7 @@ _REGISTRY: dict[str, str] = {
     "Gemma2ForCausalLM": "vllm_metax_tpu.models.gemma",
     # GPT-2 (LayerNorm + learned positions + non-gated MLP)
     "GPT2LMHeadModel": "vllm_metax_tpu.models.gpt2",
+    "OPTForCausalLM": "vllm_metax_tpu.models.opt",
     # MoE family
     "MixtralForCausalLM": "vllm_metax_tpu.models.mixtral",
     "Qwen2MoeForCausalLM": "vllm_metax_tpu.models.mixtral",
