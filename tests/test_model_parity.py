@@ -383,3 +383,63 @@ def test_opt_350m_style_parity(tmp_path):
     m = OPTForCausalLM(cfg).eval()
     ours, hf = _tiny_parity_run(m, str(tmp_path / "opt350"), [3, 5, 9, 13, 200])
     assert ours == hf
+
+
+def test_llm_chat_applies_template(tmp_path):
+    """LLM.chat: chat template applied, then normal generation."""
+    import torch
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from transformers import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        PreTrainedTokenizerFast,
+    )
+
+    cfg = LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=1024,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(cfg).eval()
+    path = str(tmp_path / "chat")
+    m.save_pretrained(path, safe_serialization=True)
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=512,
+        special_tokens=["<s>", "</s>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(["user assistant hello world " * 5], trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, bos_token="<s>", eos_token="</s>"
+    )
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n"
+        "{% endfor %}assistant:"
+    )
+    fast.save_pretrained(path)
+
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    llm = LLM(model=path, dtype="float32", max_model_len=256)
+    msgs = [{"role": "user", "content": "hello world"}]
+    out = llm.chat(msgs, SamplingParams(max_tokens=6, temperature=0.0))
+    # prompt must be the templated conversation, and generation must match a
+    # generate() call on those token ids
+    expect_ids = fast.apply_chat_template(msgs, add_generation_prompt=True)
+    assert out[0].prompt_token_ids == expect_ids
+    ref = llm.generate(
+        prompt_token_ids=[expect_ids],
+        sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
+    )
+    assert out[0].outputs[0].token_ids == ref[0].outputs[0].token_ids

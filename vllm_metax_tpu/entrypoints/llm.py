@@ -250,6 +250,29 @@ class LLM:
             )
         return results
 
+    def chat(
+        self,
+        messages,
+        sampling_params: Optional["SamplingParams"] = None,
+        add_generation_prompt: bool = True,
+    ):
+        """Offline chat interface: apply the tokenizer's chat template, then
+        generate (the reference's LLM.chat surface). `messages` is one
+        conversation (list of {role, content} dicts) or a list of them."""
+        if self.tokenizer is None:
+            raise ValueError("chat() requires a tokenizer")
+        if messages and isinstance(messages[0], dict):
+            messages = [messages]
+        token_ids = [
+            self.tokenizer.apply_chat_template(
+                conv, add_generation_prompt=add_generation_prompt
+            )
+            for conv in messages
+        ]
+        return self.generate(
+            prompt_token_ids=token_ids, sampling_params=sampling_params
+        )
+
     def embed(
         self,
         prompts: Union[str, Sequence[str], None] = None,
