@@ -443,3 +443,52 @@ def test_llm_chat_applies_template(tmp_path):
         sampling_params=SamplingParams(max_tokens=6, temperature=0.0),
     )
     assert out[0].outputs[0].token_ids == ref[0].outputs[0].token_ids
+
+
+def test_gpt_neox_parity(tmp_path):
+    """GPT-NeoX/Pythia: parallel residual, per-head-interleaved fused qkv,
+    partial rotary (rotary_pct=0.25)."""
+    import torch
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    cfg = GPTNeoXConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        vocab_size=256,
+        max_position_embeddings=512,
+        rotary_pct=0.25,
+        use_parallel_residual=True,
+        tie_word_embeddings=False,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    m = GPTNeoXForCausalLM(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "neox"), [3, 5, 9, 13, 200, 47])
+    assert ours == hf
+
+
+def test_gpt_neox_sequential_residual_parity(tmp_path):
+    """use_parallel_residual=False variant (e.g. StableLM-base-alpha style)."""
+    import torch
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    cfg = GPTNeoXConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        vocab_size=256,
+        max_position_embeddings=512,
+        rotary_pct=1.0,
+        use_parallel_residual=False,
+        tie_word_embeddings=False,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(1)
+    m = GPTNeoXForCausalLM(cfg).eval()
+    ours, hf = _tiny_parity_run(m, str(tmp_path / "neox-seq"), [3, 5, 9, 13, 200])
+    assert ours == hf

@@ -242,3 +242,24 @@ def test_tp_opt_matches_single_device():
     ref = _run_engine(_make_config(mc, 1))
     out = _run_engine(_make_config(mc, 2), mesh=make_tp_mesh(2))
     assert out == ref
+
+
+def test_tp_gpt_neox_matches_single_device():
+    from vllm_metax_tpu.config import ModelConfig
+
+    mc = ModelConfig(
+        model="dummy-neox",
+        architecture="GPTNeoXForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        dtype="float32",
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    out = _run_engine(_make_config(mc, 2), mesh=make_tp_mesh(2))
+    assert out == ref

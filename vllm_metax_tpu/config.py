@@ -154,6 +154,9 @@ class ModelConfig:
         if cfg.get("sliding_window") and cfg.get("use_sliding_window", True):
             kw["sliding_window"] = cfg["sliding_window"]
         kw["hidden_act"] = cfg.get("hidden_act", "silu")
+        if archs[0] == "GPTNeoXForCausalLM":
+            kw["rope_theta"] = cfg.get("rotary_emb_base", 10000.0)
+            kw["rms_norm_eps"] = cfg.get("layer_norm_eps", 1e-5)
         if archs[0] == "OPTForCausalLM":
             kw["intermediate_size"] = cfg.get(
                 "ffn_dim", 4 * cfg["hidden_size"]

@@ -31,6 +31,7 @@ _REGISTRY: dict[str, str] = {
     # GPT-2 (LayerNorm + learned positions + non-gated MLP)
     "GPT2LMHeadModel": "vllm_metax_tpu.models.gpt2",
     "OPTForCausalLM": "vllm_metax_tpu.models.opt",
+    "GPTNeoXForCausalLM": "vllm_metax_tpu.models.gpt_neox",
     # MoE family
     "MixtralForCausalLM": "vllm_metax_tpu.models.mixtral",
     "Qwen2MoeForCausalLM": "vllm_metax_tpu.models.mixtral",
