@@ -492,3 +492,27 @@ def test_gpt_neox_sequential_residual_parity(tmp_path):
     m = GPTNeoXForCausalLM(cfg).eval()
     ours, hf = _tiny_parity_run(m, str(tmp_path / "neox-seq"), [3, 5, 9, 13, 200])
     assert ours == hf
+
+
+def test_registry_contract():
+    """Every registered architecture resolves and exposes the full module
+    contract the runner depends on."""
+    from vllm_metax_tpu.models.registry import _REGISTRY, get_model
+
+    required = (
+        "forward",
+        "compute_logits",
+        "init_params",
+        "load_weights",
+        "param_specs",
+        "kv_cache_spec",
+    )
+    for arch in _REGISTRY:
+        mod = get_model(arch)
+        for fn in required:
+            assert hasattr(mod, fn), (arch, fn)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_model("FooForCausalLM")
