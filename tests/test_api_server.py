@@ -114,6 +114,42 @@ def test_completions_token_ids_prompt(server):
     assert out["usage"]["prompt_tokens"] == 3
 
 
+def test_completions_logprobs(server):
+    out = _post(
+        server,
+        "/v1/completions",
+        {"prompt": "hello", "max_tokens": 4, "temperature": 0.0, "logprobs": 2},
+    )
+    lp = out["choices"][0]["logprobs"]
+    assert lp is not None
+    assert len(lp["tokens"]) == 4
+    assert len(lp["token_logprobs"]) == 4
+    assert all(isinstance(v, float) and v <= 0.0 for v in lp["token_logprobs"])
+    assert all(len(d) <= 2 for d in lp["top_logprobs"])
+    # greedy: the chosen token should be the argmax → also the best top-logprob
+    for chosen_lp, top in zip(lp["token_logprobs"], lp["top_logprobs"]):
+        assert chosen_lp == max(top.values())
+
+
+def test_chat_completions_logprobs(server):
+    out = _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3,
+            "temperature": 0.0,
+            "logprobs": True,
+            "top_logprobs": 2,
+        },
+    )
+    lp = out["choices"][0]["logprobs"]
+    assert lp is not None and len(lp["content"]) == 3
+    ent = lp["content"][0]
+    assert set(ent) == {"token", "logprob", "top_logprobs"}
+    assert len(ent["top_logprobs"]) <= 2
+
+
 def test_chat_completions(server):
     out = _post(
         server,

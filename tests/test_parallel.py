@@ -89,6 +89,26 @@ def test_tp_quantized_int4(small_model_config):
     assert out == ref
 
 
+def test_tp_quantized_kv_cache(small_model_config):
+    """TP>1 with int8 KV: the (L*NB, H, BS) head-major scale pages must shard
+    on the head axis exactly like the values (ADVICE r1: a block-size-axis
+    shard has the same flat size, so misindexing is silent)."""
+    import dataclasses
+
+    def cfg(tp):
+        c = _make_config(small_model_config, tp)
+        return dataclasses.replace(
+            c, cache_config=CacheConfig(
+                block_size=16, num_blocks=64, kv_cache_dtype="int8"
+            )
+        )
+
+    ref = _run_engine(cfg(1))
+    mesh = make_tp_mesh(2)
+    out = _run_engine(cfg(2), mesh=mesh)
+    assert out == ref
+
+
 def test_tp_rejects_bad_head_count(small_model_config):
     # 4 q heads / 2 kv heads can't split 8 ways
     mesh = make_tp_mesh(8)

@@ -99,6 +99,44 @@ def test_spec_accepts_drafts(small_model_config):
     assert steps <= ref_steps
 
 
+def test_spec_skips_guided_fsm_requests(small_model_config):
+    """guided_regex/guided_json requests must not receive ngram drafts (the
+    verify path would apply a stale pre-draft FSM state to every draft row);
+    output must still conform to the constraint (ADVICE r1 high)."""
+    import re
+
+    from vllm_metax_tpu.guided_fsm import TokenFSM
+
+    spec = SpeculativeConfig(
+        method="ngram", num_speculative_tokens=3,
+        prompt_lookup_min=1, prompt_lookup_max=3,
+    )
+    config = EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+        speculative_config=spec,
+    )
+    vocab_chars = "0123456789abcdefghij-."
+    tok_strs = {10 + i: c for i, c in enumerate(vocab_chars)}
+    pattern = r"-?[1-9][0-9]{2,5}\.[0-9]{2}"
+    fsm = TokenFSM(pattern, tok_strs)
+
+    engine = EngineCore(config)
+    # a repetitive prompt that WOULD give the ngram proposer hits
+    sp = SamplingParams(max_tokens=16, temperature=0.0)
+    sp._guided_fsm = fsm
+    engine.add_request("r0", [11, 12, 11, 12, 11, 12], sp, eos_token_id=2)
+    toks = []
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            toks.extend(out.new_token_ids)
+    body = toks[:-1] if toks and toks[-1] == 2 else toks
+    text = "".join(tok_strs[t] for t in body)
+    assert re.fullmatch(pattern, text), (toks, text)
+
+
 def test_spec_with_sampling_runs(small_model_config):
     """Random sampling + spec: outputs differ from non-spec (different seed
     consumption) but must be valid and complete."""

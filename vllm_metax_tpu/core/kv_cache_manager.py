@@ -12,9 +12,12 @@ chain of matching blocks without recompute.
 
 from __future__ import annotations
 
+import hashlib
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Optional
+
+import numpy as np
 
 from vllm_metax_tpu.core.request import Request
 from vllm_metax_tpu.utils import cdiv
@@ -28,7 +31,12 @@ class KVCacheBlock:
 
 
 def hash_block_tokens(parent_hash: int, tokens: tuple[int, ...]) -> int:
-    return hash((parent_hash, tokens))
+    """Stable content hash (not Python hash(), which is salted per process):
+    PD disaggregation / multi-process prefix reuse must agree on block keys."""
+    h = hashlib.blake2b(digest_size=8)
+    h.update(parent_hash.to_bytes(8, "little", signed=False))
+    h.update(np.asarray(tokens, dtype=np.int64).tobytes())
+    return int.from_bytes(h.digest(), "little")
 
 
 class BlockPool:

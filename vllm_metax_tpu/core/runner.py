@@ -30,6 +30,7 @@ from vllm_metax_tpu.ops.attention import AttentionMetadata
 from vllm_metax_tpu.ops.kv_cache import new_kv_cache
 from vllm_metax_tpu.sample.params import SamplingParams
 from vllm_metax_tpu.sample.sampler import (
+    TOP_K_CAP as _SAMPLER_TOP_K_CAP,
     SamplerOutput,
     SamplingTensors,
     apply_penalties,
@@ -63,6 +64,7 @@ class ModelRunnerOutput:
 class ModelRunner:
     def __init__(self, config: EngineConfig, params=None, mesh=None):
         self.config = config
+        self._warned_top_k_cap = False
         self.model_cfg = config.model_config
         self.cache_cfg = config.cache_config
         self.model = get_model(self.model_cfg.architecture)
@@ -275,7 +277,7 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
         val = P(None, "tp", None, None)  # (L*NB, H, BS, D)
-        scale = P(None, None, "tp")  # (L*NB, BS, H) token-major
+        scale = P(None, "tp", None)  # (L*NB, H, BS) head-major like values
         has_scale = self.kv_cache.k_scale is not None
         specs = KVCache(
             k=val,
@@ -911,6 +913,8 @@ class ModelRunner:
                 return True
             if sp.logit_bias:
                 return True
+            if sp.bad_words_token_ids:
+                return True
             if sp.min_tokens and len(
                 self.requests[rid].token_ids
             ) - self.requests[rid].prompt_len < sp.min_tokens:
@@ -936,6 +940,13 @@ class ModelRunner:
             sp = st.sampling_params
             rows = slice(i * s_rows, (i + 1) * s_rows)
             temp[rows] = sp.temperature
+            if sp.top_k > _SAMPLER_TOP_K_CAP and not self._warned_top_k_cap:
+                self._warned_top_k_cap = True
+                logger.warning(
+                    "top_k=%d exceeds the sampler's partial-top-k cap (%d); "
+                    "sampling uses top_k=%d for this request",
+                    sp.top_k, _SAMPLER_TOP_K_CAP, _SAMPLER_TOP_K_CAP,
+                )
             top_k[rows] = sp.top_k
             top_p[rows] = sp.top_p
             min_p[rows] = sp.min_p

@@ -158,6 +158,11 @@ class Scheduler:
                     and not getattr(
                         req.sampling_params, "_guided_token_choices", None
                     )
+                    # Any FSM constraint (guided_regex/guided_json) must also
+                    # skip drafts: the runner builds per-row allow-lists from
+                    # the pre-draft FSM state, so accepted draft positions
+                    # would be constrained by a stale state.
+                    and not getattr(req.sampling_params, "_guided_fsm", None)
                 ):
                     room = self.max_model_len - req.num_tokens - 1
                     drafts = self.proposer.propose(req.all_token_ids)[: max(room, 0)]

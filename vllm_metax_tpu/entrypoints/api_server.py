@@ -52,6 +52,14 @@ def _sampling_from_request(body: dict) -> SamplingParams:
         repetition_penalty=body.get("repetition_penalty", 1.0),
         stop=body.get("stop"),
         seed=body.get("seed"),
+        bad_words=(body.get("bad_words")
+                   or (body.get("extra_body") or {}).get("bad_words")
+                   or []),
+        logit_bias=(
+            {int(k): float(v) for k, v in body["logit_bias"].items()}
+            if body.get("logit_bias")
+            else None
+        ),
         logprobs=(
             body.get("logprobs")
             if isinstance(body.get("logprobs"), int)
@@ -78,6 +86,10 @@ def _response_format_schema(body: dict):
 
 def _attach_guided(sp, tokenizer):
     """Resolve guided-decoding params to token-level constraints."""
+    if sp.bad_words and not sp.bad_words_token_ids:
+        from vllm_metax_tpu.sample.params import tokenize_bad_words
+
+        sp.bad_words_token_ids = tokenize_bad_words(sp.bad_words, tokenizer)
     if sp.guided_choice:
         sp._guided_token_choices = [
             tokenizer.encode(c, add_special_tokens=False)
@@ -91,6 +103,53 @@ def _attach_guided(sp, tokenizer):
 
         pattern = sp.guided_regex or json_schema_to_regex(sp.guided_json)
         sp._guided_fsm = get_token_fsm(pattern, tokenizer)
+
+
+def _openai_logprobs(
+    token_ids: list[int],
+    lp_dicts: list[dict[int, float]],
+    tokenizer,
+    top_n: int,
+    chat: bool,
+):
+    """Per-token logprob dicts → OpenAI response `logprobs` objects.
+
+    Completions format: {tokens, token_logprobs, top_logprobs}; chat format:
+    {content: [{token, logprob, top_logprobs: [...]}]} (the reference serves
+    both through vLLM's OpenAI layer)."""
+    def tok_str(t):
+        return tokenizer.decode([t]) if tokenizer is not None else str(t)
+
+    if chat:
+        content = []
+        for tid, d in zip(token_ids, lp_dicts):
+            top = sorted(d.items(), key=lambda kv: -kv[1])[: max(top_n, 0)]
+            content.append(
+                {
+                    "token": tok_str(tid),
+                    "logprob": d.get(tid, 0.0),
+                    "top_logprobs": [
+                        {"token": tok_str(t), "logprob": lp} for t, lp in top
+                    ],
+                }
+            )
+        return {"content": content}
+    tokens, token_logprobs, top_logprobs = [], [], []
+    for tid, d in zip(token_ids, lp_dicts):
+        tokens.append(tok_str(tid))
+        token_logprobs.append(d.get(tid, 0.0))
+        top = sorted(d.items(), key=lambda kv: -kv[1])[: max(top_n, 0)]
+        # distinct token ids may decode to the same string (e.g. specials);
+        # keep the best-scoring one rather than letting later entries clobber
+        td: dict[str, float] = {}
+        for t, lp in top:
+            td.setdefault(tok_str(t), lp)
+        top_logprobs.append(td)
+    return {
+        "tokens": tokens,
+        "token_logprobs": token_logprobs,
+        "top_logprobs": top_logprobs,
+    }
 
 
 def make_handler(state: ServerState):
@@ -289,6 +348,12 @@ def make_handler(state: ServerState):
                             text += detoks[k].finish()
                         if not text and not item.finished:
                             continue
+                        lp_obj = None
+                        if sp.logprobs is not None and item.logprobs:
+                            lp_obj = _openai_logprobs(
+                                item.new_token_ids, item.logprobs,
+                                state.tokenizer, sp.logprobs, chat,
+                            )
                         if chat:
                             delta = {"content": text}
                             if first[k]:
@@ -297,6 +362,7 @@ def make_handler(state: ServerState):
                             choice = {
                                 "index": k,
                                 "delta": delta,
+                                "logprobs": lp_obj,
                                 "finish_reason": item.finish_reason
                                 if item.finished
                                 else None,
@@ -305,6 +371,7 @@ def make_handler(state: ServerState):
                             choice = {
                                 "index": k,
                                 "text": text,
+                                "logprobs": lp_obj,
                                 "finish_reason": item.finish_reason
                                 if item.finished
                                 else None,
@@ -330,26 +397,40 @@ def make_handler(state: ServerState):
             total_completion = 0
             for k, s in enumerate(streams):
                 tokens: list[int] = []
+                lp_dicts: list[dict[int, float]] = []
                 finish_reason = None
                 for item in s:
                     tokens.extend(item.new_token_ids)
+                    if item.logprobs:
+                        lp_dicts.extend(item.logprobs)
                     detoks[k].push(item.new_token_ids)
                     if item.finished:
                         finish_reason = item.finish_reason
                 detoks[k].finish()
                 text = detoks[k].emitted
                 total_completion += len(tokens)
+                lp_obj = None
+                if sp.logprobs is not None and lp_dicts:
+                    lp_obj = _openai_logprobs(
+                        tokens, lp_dicts, state.tokenizer, sp.logprobs, chat
+                    )
                 if chat:
                     choices.append(
                         {
                             "index": k,
                             "message": {"role": "assistant", "content": text},
+                            "logprobs": lp_obj,
                             "finish_reason": finish_reason,
                         }
                     )
                 else:
                     choices.append(
-                        {"index": k, "text": text, "finish_reason": finish_reason}
+                        {
+                            "index": k,
+                            "text": text,
+                            "logprobs": lp_obj,
+                            "finish_reason": finish_reason,
+                        }
                     )
             usage = {
                 "prompt_tokens": len(token_ids),

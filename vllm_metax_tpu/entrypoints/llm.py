@@ -20,7 +20,7 @@ from vllm_metax_tpu.config import (
 from vllm_metax_tpu.core.engine import EngineCore
 from vllm_metax_tpu.logger import init_logger
 from vllm_metax_tpu.outputs import CompletionOutput, RequestOutput
-from vllm_metax_tpu.sample.params import SamplingParams
+from vllm_metax_tpu.sample.params import SamplingParams, tokenize_bad_words
 from vllm_metax_tpu.utils import Counter
 
 logger = init_logger(__name__)
@@ -161,6 +161,10 @@ class LLM:
 
         req_ids = []
         for toks, sp in zip(prompt_token_ids, sampling_params):
+            if sp.bad_words and self.tokenizer is not None and not sp.bad_words_token_ids:
+                sp.bad_words_token_ids = tokenize_bad_words(
+                    sp.bad_words, self.tokenizer
+                )
             if sp.guided_choice and self.tokenizer is not None and not getattr(
                 sp, "_guided_token_choices", None
             ):

@@ -7,6 +7,34 @@ from dataclasses import dataclass, field
 from typing import Optional, Union
 
 
+def tokenize_bad_words(bad_words: list[str], tokenizer) -> list[int]:
+    """Resolve bad-word strings to banned token ids.
+
+    Mirrors the reference engine's convention of trying each word both bare
+    and with a leading space (vllm bad_words semantics). Words that only
+    tokenize to multi-token sequences are rejected explicitly rather than
+    silently ignored — prefix-conditional banning is not implemented.
+    """
+    banned: list[int] = []
+    for word in bad_words:
+        variants = [word, " " + word]
+        hit = False
+        multi: list[list[int]] = []
+        for v in variants:
+            ids = tokenizer.encode(v, add_special_tokens=False)
+            if len(ids) == 1:
+                banned.append(ids[0])
+                hit = True
+            elif ids:
+                multi.append(ids)
+        if not hit:
+            raise ValueError(
+                f"bad_words entry {word!r} tokenizes to multi-token sequences "
+                f"{multi}; only single-token bad words are supported"
+            )
+    return banned
+
+
 @dataclass
 class SamplingParams:
     n: int = 1
@@ -32,7 +60,8 @@ class SamplingParams:
     guided_regex: Optional[str] = None
     guided_choice: Optional[list[str]] = None
     bad_words: list[str] = field(default_factory=list)
-    # token-id form of bad_words (single tokens), filled by the tokenizer layer
+    # token-id form of bad_words (single tokens); entrypoints fill this via
+    # tokenize_bad_words() when only the string form is given
     bad_words_token_ids: list[int] = field(default_factory=list)
     logit_bias: Optional[dict[int, float]] = None
 
