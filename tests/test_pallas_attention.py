@@ -163,6 +163,85 @@ def test_bf16(rng):
     _compare(q, kv, md, atol=3e-2)
 
 
+# ------------------------------------------------ request-batched decode kernel
+
+def _compare_decode(q, kv, md, sm_scale=0.125, window=0, cap=0.0, atol=2e-3,
+                    check_supported=True):
+    from vllm_metax_tpu.ops.pallas.decode_attention import (
+        decode_attention_supported,
+        paged_decode_attention_pallas,
+    )
+
+    if check_supported:
+        assert decode_attention_supported(q, kv, md)
+    out_p = paged_decode_attention_pallas(
+        q, kv, md, sm_scale, window, cap, interpret=True
+    )
+    out_x = ragged_paged_attention_xla(q, kv, md, sm_scale, window, cap)
+    t = int(md.query_start_loc[-1])
+    np.testing.assert_allclose(
+        np.asarray(out_p)[:t], np.asarray(out_x)[:t], rtol=1e-3, atol=atol
+    )
+
+
+def test_decode_batched_kernel(rng):
+    # 8 requests = exactly one NR tile, ragged context lengths
+    q, kv, md = _make_case(
+        rng, seq_lens_ctx=[30, 17, 63, 5, 1, 48, 32, 15], qlens=[1] * 8
+    )
+    _compare_decode(q, kv, md)
+
+
+def test_decode_batched_multi_tile_and_pads(rng):
+    # 11 live requests padded to r_bucket=16 (2 tiles, 5 pad rows w/ seq_len 0)
+    ctx = [30, 17, 63, 5, 1, 48, 32, 15, 7, 80, 22]
+    q, kv, md = _make_case(
+        rng, seq_lens_ctx=ctx, qlens=[1] * 11, t_bucket=16, r_bucket=16
+    )
+    _compare_decode(q, kv, md)
+
+
+def test_decode_batched_multichunk(rng):
+    # contexts spanning multiple CKV chunks (CKV = 16*BS = 256)
+    q, kv, md = _make_case(
+        rng,
+        seq_lens_ctx=[300, 17, 500, 5, 260, 48, 700, 15],
+        qlens=[1] * 8,
+        num_blocks=256,
+    )
+    _compare_decode(q, kv, md)
+
+
+def test_decode_batched_sliding_window_softcap(rng):
+    q, kv, md = _make_case(
+        rng, seq_lens_ctx=[300, 17, 500, 5, 260, 48, 700, 15],
+        qlens=[1] * 8, num_blocks=256,
+    )
+    _compare_decode(q, kv, md, window=64, cap=30.0)
+
+
+def test_decode_batched_mqa_and_wide_gqa(rng):
+    q, kv, md = _make_case(rng, seq_lens_ctx=[30] * 8, qlens=[1] * 8, hq=8, hkv=1)
+    _compare_decode(q, kv, md)
+    q, kv, md = _make_case(rng, seq_lens_ctx=[30] * 8, qlens=[1] * 8, hq=8, hkv=8)
+    _compare_decode(q, kv, md)
+
+
+def test_decode_batched_quantized_kv(rng):
+    from vllm_metax_tpu.ops.kv_cache import new_kv_cache as _new
+
+    q, kv_f, md = _make_case(rng, seq_lens_ctx=[100, 20, 40, 7, 77, 31, 299, 1],
+                             qlens=[1] * 8, num_blocks=128)
+    nb = kv_f.k.shape[0]
+    kvq = _new(nb, BS, kv_f.num_kv_heads, D, jnp.int8, store_v=True)
+    k_tokens = kv_f.k.transpose(0, 2, 1, 3).reshape(nb * BS, kv_f.num_kv_heads, D)
+    v_tokens = kv_f.v.transpose(0, 2, 1, 3).reshape(nb * BS, kv_f.num_kv_heads, D)
+    slots = jnp.arange(nb * BS, dtype=jnp.int32)
+    kvq = write_to_kv_cache(kvq, k_tokens, v_tokens, slots)
+    # bs=16 < 128 is fine in interpret mode (the 128 rule is Mosaic tiling)
+    _compare_decode(q, kvq, md, atol=0.15, check_supported=False)
+
+
 @pytest.mark.parametrize("kv_dtype", ["int8", "fp8"])
 def test_quantized_kv(rng, kv_dtype):
     """INT8/FP8 KV-cache attention — beyond the reference, whose MACA fp8-KV

@@ -240,6 +240,17 @@ class CacheConfig:
     enable_prefix_caching: bool = True
     swap_space_bytes: int = 0
 
+    def __post_init__(self) -> None:
+        if self.block_size % 16 != 0:
+            raise ValueError(
+                f"block_size must be a multiple of 16, got {self.block_size}"
+            )
+        if self.kv_cache_dtype not in _KV_DTYPE_MAP:
+            raise ValueError(
+                f"unknown kv_cache_dtype {self.kv_cache_dtype!r}; "
+                f"one of {sorted(_KV_DTYPE_MAP)}"
+            )
+
     def kv_dtype(self, model_dtype) -> Any:
         d = _KV_DTYPE_MAP[self.kv_cache_dtype]
         return model_dtype if d is None else d

@@ -135,9 +135,11 @@ class ModelRunner:
         from vllm_metax_tpu.ops.pallas.quant_matmul import (
             TILE_N,
             tile_packed_weight,
+            w4a8_repack,
         )
 
         tp = self.tp_size
+        w4a8 = envs.METAX_TPU_W4A8
 
         def fix(node):
             if not isinstance(node, dict):
@@ -152,9 +154,16 @@ class ModelRunner:
                 w = out.pop("w_p4")  # (L, K/2, N)
                 n = w.shape[-1]
                 if n % (tp * TILE_N) == 0:
-                    out["w_p4t"] = _jax.jit(
+                    w_p4t = _jax.jit(
                         _jax.vmap(lambda a: tile_packed_weight(a, tp))
                     )(w)
+                    if w4a8:
+                        # int8-MXU fast path: offset-binary byte transform
+                        # (see quant_matmul.w4a8_repack); the tiled bank is
+                        # then int8 by contract and int4_matmul_tiled
+                        # dispatches to the w4a8 kernel
+                        w_p4t = _jax.jit(w4a8_repack)(w_p4t)
+                    out["w_p4t"] = w_p4t
                 else:
                     out["w_p4"] = w  # odd shape: keep flat layout
             return out
@@ -474,6 +483,7 @@ class ModelRunner:
                     req_idx=req_rows,
                     positions=pos,
                     num_seqs=jnp.asarray(rb, jnp.int32),
+                    decode_only=True,
                 )
                 hidden, kv = model.forward(
                     params,
@@ -755,6 +765,11 @@ class ModelRunner:
         qsl[num_reqs + 1 :] = qsl[num_reqs]
 
         st_tensors = self._build_sampling_tensors(req_ids, rb, s_rows)
+        # pure-decode step: row i of the token batch IS request i (qsl is an
+        # arange over live reqs) — enables the request-batched decode kernel
+        decode_only = s_rows == 1 and all(
+            so.num_scheduled_tokens[rid] == 1 for rid in req_ids
+        )
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(slot_mapping),
             block_tables=jnp.asarray(block_tables),
@@ -763,6 +778,7 @@ class ModelRunner:
             req_idx=jnp.asarray(req_idx),
             positions=jnp.asarray(positions),
             num_seqs=jnp.asarray(num_reqs, jnp.int32),
+            decode_only=decode_only,
         )
 
         # structured outputs: allowed-token rows for constrained requests

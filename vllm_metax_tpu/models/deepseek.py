@@ -69,35 +69,92 @@ def _sm_scale(cfg: ModelConfig) -> float:
 
 def mla_attention(
     q: jnp.ndarray,  # (T, H_local, 576) = [absorbed nope (512) | rope (64)]
-    kv_cache: KVCache,  # k: (NB, BS, 1, 576)
+    kv_cache: KVCache,  # k: (NB, 1, BS, 576)
     md: AttentionMetadata,
     sm_scale: float,
     kv_lora_rank: int,
 ) -> jnp.ndarray:
     """MQA over the latent cache (ref math: mla/common.py:154-233 'Decode'
-    derivation). Returns (T, H_local, kv_lora_rank)."""
+    derivation). Returns (T, H_local, kv_lora_rank).
+
+    Dispatch: pure-decode steps hit the Pallas request-batched paged kernel
+    (ops/pallas/decode_attention.py, pv_width=lora — the analog of the
+    reference's FlashMLA decode, mla/flashmla.py:221); everything else runs
+    the chunked online-softmax XLA path below."""
+    from vllm_metax_tpu import envs
+    from vllm_metax_tpu.ops.attention import _on_tpu
+
+    impl = envs.METAX_TPU_ATTN_IMPL
+    use_pallas = impl == "pallas" or (impl == "auto" and _on_tpu())
+    if use_pallas and md.decode_only:
+        from vllm_metax_tpu.ops.pallas.decode_attention import (
+            decode_attention_supported,
+            paged_decode_attention_pallas,
+        )
+
+        if decode_attention_supported(q, kv_cache, md, mla=True):
+            return paged_decode_attention_pallas(
+                q, kv_cache, md, sm_scale, pv_width=kv_lora_rank
+            )
+    return mla_attention_xla_chunked(q, kv_cache, md, sm_scale, kv_lora_rank)
+
+
+def mla_attention_xla_chunked(
+    q: jnp.ndarray,  # (T, H_local, 576)
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    sm_scale: float,
+    kv_lora_rank: int,
+    chunk_tokens: int = 256,
+) -> jnp.ndarray:
+    """Online-softmax over fixed-size context chunks under lax.scan — the
+    chunked-workspace strategy of the reference's MLA prefill
+    (mla/common.py:507 workspace sizing, :1620 chunked loop): peak
+    intermediate is (T, CHUNK, 576), never (T, MAX_CTX, 576)."""
     t, h, dq = q.shape
     r, maxb = md.block_tables.shape
     bs = kv_cache.block_size
-    ctx = maxb * bs
-
-    latent = jnp.take(kv_cache.k, md.block_tables, axis=0)  # (R, MAXB, 1, BS, D)
-    latent = latent.reshape(r, ctx, dq)
-    lat_tok = latent[md.req_idx].astype(jnp.float32)  # (T, CTX, D)
+    cb = max(1, chunk_tokens // bs)  # blocks per chunk
+    nchunks = -(-maxb // cb)
+    bt = jnp.pad(md.block_tables, ((0, 0), (0, nchunks * cb - maxb)))
+    ckv = cb * bs
 
     qf = q.astype(jnp.float32)
-    scores = jnp.einsum("thd,tcd->thc", qf, lat_tok) * sm_scale
+    q_pos = md.positions[:, None]  # (T, 1)
+    seq_len = md.seq_lens[md.req_idx][:, None]  # (T, 1)
+    pos_in_chunk = jnp.arange(ckv, dtype=jnp.int32)[None, :]  # (1, CKV)
 
-    kv_pos = jnp.arange(ctx, dtype=jnp.int32)[None, :]
-    q_pos = md.positions[:, None]
-    seq_len = md.seq_lens[md.req_idx][:, None]
-    mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
-    scores = jnp.where(mask[:, None, :], scores, _NEG_INF)
+    def chunk_step(carry, c):
+        m, l, acc = carry
+        pages = jax.lax.dynamic_slice_in_dim(bt, c * cb, cb, axis=1)  # (R, CB)
+        lat = jnp.take(kv_cache.k, pages, axis=0)  # (R, CB, 1, BS, D)
+        if kv_cache.quantized:
+            ks = jnp.take(kv_cache.k_scale, pages, axis=0)  # (R, CB, 1, BS)
+            lat = lat.astype(jnp.float32) * ks[..., None]
+        lat_tok = lat.reshape(r, ckv, dq)[md.req_idx].astype(jnp.float32)
+        s = jnp.einsum("thd,tcd->thc", qf, lat_tok) * sm_scale  # (T, H, CKV)
+        kv_pos = c * ckv + pos_in_chunk
+        mask = (kv_pos <= q_pos) & (kv_pos < seq_len)  # (T, CKV)
+        s = jnp.where(mask[:, None, :], s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "thc,tcd->thd", p, lat_tok[..., :kv_lora_rank]
+        )
+        return (m_new, l_new, acc_new), None
 
-    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
-    p = jnp.exp(scores - m)
-    p = p / (jnp.sum(p, axis=-1, keepdims=True) + 1e-30)
-    out = jnp.einsum("thc,tcd->thd", p, lat_tok[..., :kv_lora_rank])
+    carry0 = (
+        jnp.full((t, h, 1), -1e30, jnp.float32),
+        jnp.zeros((t, h, 1), jnp.float32),
+        jnp.zeros((t, h, kv_lora_rank), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(
+        chunk_step, carry0, jnp.arange(nchunks, dtype=jnp.int32)
+    )
+    out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 
 

@@ -17,7 +17,7 @@ All shapes are static (bucketed by the runner); raggedness is expressed via
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass, field, fields
 from typing import Optional
 
 import jax
@@ -43,6 +43,10 @@ class AttentionMetadata:
     req_idx: jnp.ndarray  # (T,) int32 token→request row (pad rows point at 0)
     positions: jnp.ndarray  # (T,) int32 absolute positions (also for rope)
     num_seqs: jnp.ndarray  # () int32
+    # STATIC (host-known, part of the jit cache key): every live request has
+    # exactly one query token this step — enables the request-batched decode
+    # kernel (pad rows must carry seq_len 0)
+    decode_only: bool = field(default=False, metadata=dict(static=True))
 
 
 def layer_view(
@@ -59,6 +63,7 @@ def layer_view(
         req_idx=md.req_idx,
         positions=md.positions,
         num_seqs=md.num_seqs,
+        decode_only=md.decode_only,
     )
 
 
@@ -80,6 +85,17 @@ def ragged_paged_attention(
             pallas_attention_supported,
         )
 
+        if metadata.decode_only:
+            from vllm_metax_tpu.ops.pallas.decode_attention import (
+                decode_attention_supported,
+                paged_decode_attention_pallas,
+            )
+
+            if decode_attention_supported(q, kv_cache, metadata):
+                return paged_decode_attention_pallas(
+                    q, kv_cache, metadata, sm_scale, sliding_window,
+                    logits_soft_cap,
+                )
         if pallas_attention_supported(q, kv_cache, metadata):
             return ragged_paged_attention_pallas(
                 q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap

@@ -272,6 +272,172 @@ def int4_matmul_tiled_pallas(
     )(lidx, x, w_p4t, s, zs)
 
 
+def w4a8_repack(w_p4t: jnp.ndarray) -> jnp.ndarray:
+    """Offset-binary repack for the W4A8 kernel: byte XOR 0x80, viewed int8.
+
+    The canonical packed byte is b = q_lo | (q_hi << 4) with both nibbles raw
+    [0,15]. XOR 0x80 maps the high nibble to (q_hi - 8) mod 16 (= q_hi XOR 8,
+    two's-complement in 4 bits), so in the kernel:
+      b & 0x0F  (as int8) == q_lo                 (values 0..15)
+      b & 0xF0  (as int8) == 16 * (q_hi - 8)      (exact, sign included)
+    i.e. BOTH nibble planes unpack with a single 8-bit AND each — no shifts
+    (Mosaic has no 8-bit vector shifts) and no i32 round-trips. The /16 and
+    the -8 offset fold into the per-group scale row and the zero-point term.
+    """
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_xor(w_p4t.astype(jnp.uint8), jnp.uint8(0x80)), jnp.int8
+    )
+
+
+def _int4a8_kernel(
+    xq_ref, xs_ref, sxq_ref, w_ref, s_ref, zs_ref, out_ref, *, kc, gs
+):
+    """W4A8 tile: int8 activations × int4 weights on the int8 MXU.
+
+    Math (per-group MXU factoring, replacing per-weight VPU dequant):
+      y[m,n] = a[m] * ( Σ_g s[g,n]·(xq_g · q_g)_int32  −  Σ_g zs[g,n]·sxq[m,g] )
+    where xq = round(x/a) per-token int8, sxq[m,g] = Σ_{k∈g} xq[m,k]
+    (precomputed outside, (T, G) f32). The zero-point term is ONE f32
+    (TT,G)@(G,TN) MXU dot; the group scales hit the int32 partial products as
+    a broadcast row — no per-weight multiply. The int8 dot runs at 2x the
+    bf16 MXU rate, which is what breaks the bf16 compute floor that binds the
+    exact kernel at decode batch sizes.
+
+    The weight is w4a8_repack format: unpack is one AND per nibble plane.
+    Low plane (k < K/2): q_lo = b & 0x0F, scaled by s[g].
+    High plane (k >= K/2): (b & 0xF0) == 16*(q_hi - 8) as int8, scaled by
+    s[g]/16, with the -8 offset corrected via an extra -8*s[g]*sxq[g] term
+    in the zero dot.
+
+    Replaces the reference's fused dequant GEMM role
+    (csrc/quantization/gptq/hgemm_gptq.h:852-1029) at the int8 MXU rate.
+
+    Accumulation is by VALUE (vregs / compiler-managed), written to out_ref
+    once — per-group read-modify-writes of a VMEM scratch measured 7% SLOWER
+    than the exact bf16 kernel.
+
+    xq_ref: (TT, K) int8; xs_ref: (TT, 1) f32; sxq_ref: (TT, G) f32;
+    w_ref: (K/2, TN) w4a8-packed int8; s/zs: (G, TN) f32; out: (TT, TN).
+    """
+    k_half = w_ref.shape[0]
+    half_chunks = k_half // kc
+    g_half = k_half // gs  # groups in the low plane
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+
+    for c in range(half_chunks):  # static unroll; K is static
+        b = w_ref[c * kc : (c + 1) * kc, :]  # int8 (kc, TN)
+        q_lo = jnp.bitwise_and(b, jnp.int8(0x0F))
+        q_hi16 = jnp.bitwise_and(b, jnp.int8(-16))  # == 16*(q_hi - 8)
+        ng = kc // gs
+        g0 = (c * kc) // gs
+        for gi in range(ng):
+            gsl = slice(gi * gs, (gi + 1) * gs)
+            d_lo = jax.lax.dot_general(
+                xq_ref[:, c * kc + gi * gs : c * kc + (gi + 1) * gs],
+                q_lo[gsl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + d_lo.astype(jnp.float32) * s_ref[g0 + gi, :][None, :]
+            d_hi = jax.lax.dot_general(
+                xq_ref[
+                    :, k_half + c * kc + gi * gs : k_half + c * kc + (gi + 1) * gs
+                ],
+                q_hi16[gsl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + d_hi.astype(jnp.float32) * (
+                s_ref[g_half + g0 + gi, :][None, :] * (1.0 / 16.0)
+            )
+
+    # zero-point term, plus the high plane's -8 offset correction
+    z = jnp.dot(
+        sxq_ref[:], zs_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) - 8.0 * jnp.dot(
+        sxq_ref[:, g_half:], s_ref[g_half:, :].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = ((acc - z) * xs_ref[:]).astype(out_ref.dtype)
+
+
+def _int4a8_tiled_kernel(
+    lidx_ref, xq_ref, xs_ref, sxq_ref, w_ref, s_ref, zs_ref, out_ref,
+    *, kc, gs
+):
+    _int4a8_kernel(
+        xq_ref, xs_ref, sxq_ref, w_ref.at[0, 0], s_ref.at[0], zs_ref.at[0],
+        out_ref, kc=kc, gs=gs,
+    )
+
+
+def quantize_activations_int8(x: jnp.ndarray):
+    """Per-token symmetric int8 quant: x (T, K) → (xq int8, xs (T,1) f32,
+    sxq (T, G-agnostic per-128 sums are computed by the caller))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / xs), -127, 127
+    ).astype(jnp.int8)
+    return xq, xs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4a8_matmul_tiled_pallas(
+    x: jnp.ndarray,  # (T, K) bf16/f32 activations
+    w_p4t: jnp.ndarray,  # (L, NT, K/2, TILE_N) stacked tiled w4a8_repack int8
+    s: jnp.ndarray,  # (L, G, N) f32
+    zs: jnp.ndarray,  # (L, G, N) f32 (= zero*scale)
+    layer_idx,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, k = x.shape
+    l, nt, k_half, tn = w_p4t.shape
+    n = nt * tn
+    g = s.shape[-2]
+    gs = k // g
+    tt = _choose_tile(t, (128, 64, 32, 16, 8))
+    if w_p4t.dtype != jnp.int8:
+        raise ValueError("w4a8 kernel needs a w4a8_repack()ed int8 bank")
+    if t % tt or k != 2 * k_half or k_half % gs:
+        raise ValueError(f"bad tiling: T={t} K={k} gs={gs}")
+    kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
+
+    xq, xs = quantize_activations_int8(x)
+    sxq = xq.astype(jnp.float32).reshape(t, g, gs).sum(-1)  # (T, G)
+
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kernel = functools.partial(_int4a8_tiled_kernel, kc=kc, gs=gs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // tt, nt),
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j, li: (i, 0)),
+            pl.BlockSpec((tt, 1), lambda i, j, li: (i, 0)),
+            pl.BlockSpec((tt, g), lambda i, j, li: (i, 0)),
+            pl.BlockSpec((1, 1, k_half, tn), lambda i, j, li: (li[0], j, 0, 0)),
+            pl.BlockSpec((1, g, tn), lambda i, j, li: (li[0], 0, j)),
+            pl.BlockSpec((1, g, tn), lambda i, j, li: (li[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j, li: (i, j)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * k * n,
+            bytes_accessed=k_half * n * (t // tt) + t * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, xq, xs, sxq, w_p4t, s, zs)
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):
     """Weight-only int8: w (K, TN) int8, s (G, TN) [G may be 1 = per-channel]."""
     k = w_ref.shape[0]

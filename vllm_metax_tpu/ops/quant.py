@@ -144,6 +144,12 @@ def int4_matmul_tiled(
     if perm is not None:
         x = jnp.take(x, perm, axis=1)
     if _use_pallas():
+        if envs.METAX_TPU_W4A8:
+            from vllm_metax_tpu.ops.pallas.quant_matmul import (
+                int4a8_matmul_tiled_pallas,
+            )
+
+            return int4a8_matmul_tiled_pallas(x, w_p4t, s, zs, layer_idx)
         from vllm_metax_tpu.ops.pallas.quant_matmul import (
             int4_matmul_tiled_pallas,
         )
