@@ -1,0 +1,138 @@
+"""Pipeline-parallel execution tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's engine-level PP support (PP column of
+docs/models/supported_models.md; vLLM v1 keeps pp_size batches in flight
+across stage workers). Here PP is intra-program SPMD pipelining
+(parallel/pipeline.py): layer banks + the layer-major KV page pool shard
+over the "pp" mesh axis and activations ppermute stage-to-stage inside one
+jitted step. Output must match single-device token-for-token.
+"""
+
+import dataclasses
+
+import pytest
+
+from vllm_metax_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    LoadConfig,
+    ModelConfig,
+    ParallelConfig,
+    QuantizationConfig,
+    SchedulerConfig,
+)
+from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+from tests.test_parallel import _make_config, _run_engine
+
+
+def _pp_config(mc, pp, tp=1, quant=None, **cache_kw):
+    cfg = _make_config(mc, tp, quant)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=tp, pipeline_parallel_size=pp
+    )
+    if cache_kw:
+        cfg = dataclasses.replace(
+            cfg, cache_config=CacheConfig(block_size=16, num_blocks=64, **cache_kw)
+        )
+    return cfg
+
+
+def test_pp2_matches_single_device(small_model_config):
+    ref = _run_engine(_make_config(small_model_config, 1))
+    out = _run_engine(
+        _pp_config(small_model_config, 2),
+        mesh=make_tp_mesh(1, pp_size=2),
+    )
+    assert out == ref
+
+
+def test_pp2_x_tp2_matches_single_device(small_model_config):
+    ref = _run_engine(_make_config(small_model_config, 1))
+    out = _run_engine(
+        _pp_config(small_model_config, 2, tp=2),
+        mesh=make_tp_mesh(2, pp_size=2),
+    )
+    assert out == ref
+
+
+def test_pp4_deep_stack():
+    """4 stages x 1 layer each, long enough decode to cross block boundaries."""
+    mc = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        dtype="float32",
+    )
+    ref = _run_engine(_make_config(mc, 1), max_tokens=24)
+    out = _run_engine(
+        _pp_config(mc, 4), mesh=make_tp_mesh(1, pp_size=4), max_tokens=24
+    )
+    assert out == ref
+
+
+def test_pp2_quantized_int4(small_model_config):
+    qc = QuantizationConfig(method="gptq", bits=4, group_size=32)
+    ref = _run_engine(_make_config(small_model_config, 1, qc))
+    out = _run_engine(
+        _pp_config(small_model_config, 2, quant=qc),
+        mesh=make_tp_mesh(1, pp_size=2),
+    )
+    assert out == ref
+
+
+def test_pp2_microbatched_multistep_decode(small_model_config):
+    """16 decode rows + multi-step windows → pick_microbatches yields MB=2:
+    the warmup/drain tick gating and per-microbatch metadata slicing must be
+    token-exact vs single-device."""
+
+    def cfg(pp):
+        c = _pp_config(small_model_config, pp) if pp > 1 else _make_config(
+            small_model_config, 1
+        )
+        return dataclasses.replace(
+            c,
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=16, max_num_batched_tokens=128, num_decode_steps=4
+            ),
+        )
+
+    prompts = [[(7 * i + 3) % 100 + 1, (5 * i) % 100 + 1, i + 1] for i in range(16)]
+    ref = _run_engine(cfg(1), prompts=prompts, max_tokens=12)
+    out = _run_engine(
+        cfg(2), mesh=make_tp_mesh(1, pp_size=2), prompts=prompts, max_tokens=12
+    )
+    assert out == ref
+
+
+def test_pp2_rejects_indivisible_layers(small_model_config):
+    mc = dataclasses.replace(small_model_config, num_hidden_layers=3)
+    with pytest.raises(ValueError, match="pipeline"):
+        _run_engine(_pp_config(mc, 2), mesh=make_tp_mesh(1, pp_size=2))
+
+
+def test_pp_rejects_unsupported_model():
+    """Models without embed/run_layers/finalize must fail loudly, not wrong."""
+    mc = ModelConfig(
+        model="dummy-gpt2",
+        architecture="GPT2LMHeadModel",
+        hidden_size=64,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        tie_word_embeddings=True,
+        hidden_act="gelu_new",
+        dtype="float32",
+    )
+    with pytest.raises(ValueError, match="pipeline"):
+        _run_engine(_pp_config(mc, 2), mesh=make_tp_mesh(1, pp_size=2))

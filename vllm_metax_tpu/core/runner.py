@@ -71,6 +71,20 @@ class ModelRunner:
         self.mesh = mesh
         self.tp_size = config.parallel_config.tensor_parallel_size if mesh else 1
         self.ep_size = config.parallel_config.expert_parallel_size if mesh else 1
+        self.pp_size = (
+            config.parallel_config.pipeline_parallel_size if mesh else 1
+        )
+        if self.pp_size > 1:
+            if self.model_cfg.num_hidden_layers % self.pp_size:
+                raise ValueError(
+                    f"num_hidden_layers={self.model_cfg.num_hidden_layers} "
+                    f"must divide pipeline_parallel_size={self.pp_size}"
+                )
+            if not hasattr(self.model, "run_layers"):
+                raise ValueError(
+                    f"{self.model_cfg.architecture} does not support pipeline "
+                    "parallelism (model module lacks embed/run_layers/finalize)"
+                )
         if self.ep_size > 1:
             if self.model_cfg.num_experts % self.ep_size:
                 raise ValueError(
@@ -90,7 +104,7 @@ class ModelRunner:
         if params is None:
             params = self._load_params()
         params = self._finalize_quant_layout(params)
-        if self.tp_size > 1 or self.ep_size > 1:
+        if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
             params = self._shard_params(params)
         self.params = params
 
@@ -132,6 +146,7 @@ class ModelRunner:
         on_tpu = _jax.devices()[0].platform not in ("cpu", "gpu")
         if impl == "xla" or (impl == "auto" and not on_tpu):
             return params
+        from vllm_metax_tpu.ops.pallas.moe_gmm import tile_expert_bank
         from vllm_metax_tpu.ops.pallas.quant_matmul import (
             TILE_N,
             tile_packed_weight,
@@ -141,13 +156,13 @@ class ModelRunner:
         tp = self.tp_size
         w4a8 = envs.METAX_TPU_W4A8
 
-        def fix(node):
+        def fix(node, name=""):
             if not isinstance(node, dict):
                 return node
             out = {}
             for key, val in node.items():
                 if isinstance(val, dict):
-                    out[key] = fix(val)
+                    out[key] = fix(val, key)
                 else:
                     out[key] = val
             if "w_p4" in out and out["w_p4"].ndim == 3:
@@ -166,6 +181,23 @@ class ModelRunner:
                     out["w_p4t"] = w_p4t
                 else:
                     out["w_p4"] = w  # odd shape: keep flat layout
+            # expert banks (L, E, K, N) → tiled for the grouped dequant-GEMM
+            # (ops/pallas/moe_gmm.py); col-parallel gate_up shards N tiles,
+            # row-parallel down shards K, hence the different divisibility
+            is_gate_up = name == "experts_gate_up"
+            n_ok = lambda n: (  # noqa: E731
+                n % (tp * TILE_N) == 0 if is_gate_up else n % TILE_N == 0
+            )
+            if "w_p4" in out and out["w_p4"].ndim == 4:
+                w = out["w_p4"]  # (L, E, K/2, N)
+                if n_ok(w.shape[-1]) and (is_gate_up or w.shape[-2] % tp == 0):
+                    out.pop("w_p4")
+                    out["w_p4t"] = _jax.jit(tile_expert_bank)(w)
+            elif "w_i8" in out and out["w_i8"].ndim == 4:
+                w = out["w_i8"]  # (L, E, K, N)
+                if n_ok(w.shape[-1]) and (is_gate_up or w.shape[-2] % tp == 0):
+                    out.pop("w_i8")
+                    out["w_i8t"] = _jax.jit(tile_expert_bank)(w)
             return out
 
         return fix(params)
@@ -184,7 +216,7 @@ class ModelRunner:
             cc.kv_dtype(self.model_cfg.dtype),
             store_v=kv_spec.get("store_v", True),
         )
-        if self.tp_size > 1 or self.ep_size > 1:
+        if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
             from jax.sharding import NamedSharding
 
             self.kv_cache = jax.tree_util.tree_map(
@@ -216,18 +248,15 @@ class ModelRunner:
             # already merged/quantized/TP-prepared — just reshard
             params = self._host_params
             self._host_params = None
-            if self.tp_size > 1 or self.ep_size > 1:
+            if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
                 from vllm_metax_tpu.parallel.mesh import shard_params
 
-                specs = self.model.param_specs(
-                    self.model_cfg, self.config.quant_config
-                )
-                params = shard_params(params, specs, self.mesh)
+                params = shard_params(params, self._param_spec_tree(), self.mesh)
             else:
                 params = jax.tree_util.tree_map(jnp.asarray, params)
         else:
             params = self._load_params()
-            if self.tp_size > 1 or self.ep_size > 1:
+            if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
                 params = self._shard_params(params)
         self.params = params
         self._alloc_kv_cache()
@@ -255,13 +284,23 @@ class ModelRunner:
             self.model_cfg, self.config.quant_config, self.model_cfg.model
         )
 
+    def _param_spec_tree(self):
+        """Model PartitionSpec tree, with the "pp" stage axis prepended to
+        the stacked layer banks when pipeline parallelism is on."""
+        specs = self.model.param_specs(self.model_cfg, self.config.quant_config)
+        if self.pp_size > 1:
+            from vllm_metax_tpu.parallel.pipeline import pp_param_specs
+
+            specs = pp_param_specs(specs)
+        return specs
+
     def _shard_params(self, params):
         """TP: distribute the param tree over the mesh per the model's
         PartitionSpec tree (replaces the reference's per-rank weight-loading
         + MCCL process groups with one sharded pytree)."""
         from vllm_metax_tpu.parallel.mesh import shard_params
 
-        specs = self.model.param_specs(self.model_cfg, self.config.quant_config)
+        specs = self._param_spec_tree()
         # desc_act GPTQ keeps a global activation permutation; its row-parallel
         # application crosses shards — unsupported under TP until the Pallas
         # kernel does in-kernel x-permutation.
@@ -285,8 +324,12 @@ class ModelRunner:
         from vllm_metax_tpu.ops.kv_cache import KVCache
         from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
-        val = P(None, "tp", None, None)  # (L*NB, H, BS, D)
-        scale = P(None, "tp", None)  # (L*NB, H, BS) head-major like values
+        # (L*NB, H, BS, D): the flat page pool is layer-major, so sharding
+        # axis 0 over "pp" gives each pipeline stage exactly its own layers'
+        # pages; heads shard over "tp"
+        pp = "pp" if self.pp_size > 1 else None
+        val = P(pp, "tp", None, None)  # (L*NB, H, BS, D)
+        scale = P(pp, "tp", None)  # (L*NB, H, BS) head-major like values
         has_scale = self.kv_cache.k_scale is not None
         specs = KVCache(
             k=val,
@@ -332,22 +375,29 @@ class ModelRunner:
     def _build_step_fn(self, all_greedy: bool = False, need_logprobs: bool = True):
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
+        pp = self.pp_size
         axis_name = "tp" if tp > 1 else None
         ep_axis = "ep" if self.ep_size > 1 else None
 
-        def step(params, kv_cache, input_ids, md, logits_indices, st,
-                 hist_ids, hist_is_out, allowed_ids=None, banned=None):
-            hidden, kv_cache = model.forward(
-                params,
-                input_ids,
-                kv_cache,
-                md,
-                cfg,
+        def fwd(params, input_ids, kv_cache, md, microbatches=1):
+            kwargs = dict(
                 num_q_heads=cfg.num_q_heads // tp,
                 num_kv_heads=cfg.num_kv_heads // tp,
                 axis_name=axis_name,
                 ep_axis_name=ep_axis,
             )
+            if pp > 1:
+                from vllm_metax_tpu.parallel.pipeline import pipeline_forward
+
+                return pipeline_forward(
+                    model, params, input_ids, kv_cache, md, cfg,
+                    num_stages=pp, microbatches=microbatches, **kwargs,
+                )
+            return model.forward(params, input_ids, kv_cache, md, cfg, **kwargs)
+
+        def step(params, kv_cache, input_ids, md, logits_indices, st,
+                 hist_ids, hist_is_out, allowed_ids=None, banned=None):
+            hidden, kv_cache = fwd(params, input_ids, kv_cache, md)
             sel = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sel, cfg, axis_name=axis_name)
             if hist_ids is not None:
@@ -386,7 +436,7 @@ class ModelRunner:
             out, kv = step(params, self._join_kv(kv_vals, kv_scales), *rest)
             return out, self._split_kv(kv)
 
-        if tp == 1 and self.ep_size == 1:
+        if tp == 1 and self.ep_size == 1 and pp == 1:
             inner = jax.jit(step_split, donate_argnums=(1,))
 
             def outer(params, kv_cache, *rest):
@@ -407,8 +457,7 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import sanitize_specs
 
         param_specs = sanitize_specs(
-            model.param_specs(cfg, self.config.quant_config), self.params,
-            self.mesh,
+            self._param_spec_tree(), self.params, self.mesh,
         )
         kv_specs = self._kv_specs()
         sharded = jax.shard_map(
@@ -460,6 +509,7 @@ class ModelRunner:
         trip per M tokens instead of per token."""
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
+        pp = self.pp_size
         axis_name = "tp" if tp > 1 else None
         ep_axis = "ep" if self.ep_size > 1 else None
         bs = self.cache_cfg.block_size
@@ -485,17 +535,28 @@ class ModelRunner:
                     num_seqs=jnp.asarray(rb, jnp.int32),
                     decode_only=True,
                 )
-                hidden, kv = model.forward(
-                    params,
-                    tokens,
-                    kv,
-                    md,
-                    cfg,
+                fkw = dict(
                     num_q_heads=cfg.num_q_heads // tp,
                     num_kv_heads=cfg.num_kv_heads // tp,
                     axis_name=axis_name,
                     ep_axis_name=ep_axis,
                 )
+                if pp > 1:
+                    from vllm_metax_tpu.parallel.pipeline import (
+                        pick_microbatches,
+                        pipeline_forward,
+                    )
+
+                    hidden, kv = pipeline_forward(
+                        model, params, tokens, kv, md, cfg,
+                        num_stages=pp,
+                        microbatches=pick_microbatches(rb, pp),
+                        **fkw,
+                    )
+                else:
+                    hidden, kv = model.forward(
+                        params, tokens, kv, md, cfg, **fkw
+                    )
                 logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
                 # decorrelate rows/steps without a host round trip: fold the
                 # absolute position in (deterministic per replay, and lets
@@ -532,7 +593,7 @@ class ModelRunner:
             vals, scales = self._split_kv(kv)
             return ys, vals, scales, tn, pn
 
-        if tp == 1 and self.ep_size == 1:
+        if tp == 1 and self.ep_size == 1 and pp == 1:
             inner = jax.jit(run_split, donate_argnums=(1,))
 
             def outer(params, kv_cache, *rest):
@@ -547,8 +608,7 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import sanitize_specs
 
         param_specs = sanitize_specs(
-            model.param_specs(cfg, self.config.quant_config), self.params,
-            self.mesh,
+            self._param_spec_tree(), self.params, self.mesh,
         )
         kv_specs = self._kv_specs()
         kv_vals_specs, kv_scale_specs = self._split_kv(kv_specs)

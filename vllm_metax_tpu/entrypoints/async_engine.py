@@ -55,7 +55,11 @@ class EnginePool:
         from vllm_metax_tpu.parallel.mesh import make_tp_mesh
 
         pc = config.parallel_config
-        per_rank = pc.tensor_parallel_size * pc.expert_parallel_size
+        per_rank = (
+            pc.tensor_parallel_size
+            * pc.expert_parallel_size
+            * pc.pipeline_parallel_size
+        )
         devices = jax.devices()
         if dp_size * per_rank > len(devices):
             raise ValueError(
@@ -70,6 +74,7 @@ class EnginePool:
                     pc.tensor_parallel_size,
                     pc.expert_parallel_size,
                     devices=slice_devices,
+                    pp_size=pc.pipeline_parallel_size,
                 )
                 if per_rank > 1 or dp_size > 1
                 else None

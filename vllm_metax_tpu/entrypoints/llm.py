@@ -42,6 +42,7 @@ def _build_engine_config(
     num_decode_steps: int = 1,
     tensor_parallel_size: int = 1,
     expert_parallel_size: int = 1,
+    pipeline_parallel_size: int = 1,
     load_format: str = "auto",
     quantization: Optional[str] = None,
     seed: int = 0,
@@ -87,6 +88,7 @@ def _build_engine_config(
         parallel_config=ParallelConfig(
             tensor_parallel_size=tensor_parallel_size,
             expert_parallel_size=expert_parallel_size,
+            pipeline_parallel_size=pipeline_parallel_size,
         ),
         load_config=LoadConfig(load_format=load_format, seed=seed),
         quant_config=quant_config,
@@ -108,11 +110,17 @@ class LLM:
         self.config = engine_config
         mesh = None
         pc = engine_config.parallel_config
-        if pc.tensor_parallel_size > 1 or pc.expert_parallel_size > 1:
+        if (
+            pc.tensor_parallel_size > 1
+            or pc.expert_parallel_size > 1
+            or pc.pipeline_parallel_size > 1
+        ):
             from vllm_metax_tpu.parallel.mesh import make_tp_mesh
 
             mesh = make_tp_mesh(
-                pc.tensor_parallel_size, pc.expert_parallel_size
+                pc.tensor_parallel_size,
+                pc.expert_parallel_size,
+                pp_size=pc.pipeline_parallel_size,
             )
         self.engine = EngineCore(engine_config, mesh=mesh)
         self._counter = Counter()

@@ -203,7 +203,8 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
     return out, kv_l
 
 
-def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name):
+def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
+               layer_idx=None):
     logits = jnp.dot(
         normed, lp["router"]["w"], preferred_element_type=jnp.float32
     )
@@ -239,7 +240,7 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name):
             weights = weights * cfg.routed_scaling_factor
     y = fused_experts(
         normed, lp["experts_gate_up"], lp["experts_down"], weights, ids,
-        act_fn, cfg.num_experts, ep_axis=ep_axis_name,
+        act_fn, cfg.num_experts, ep_axis=ep_axis_name, layer_idx=layer_idx,
     )
     axes = tuple(a for a in (ep_axis_name, axis_name) if a)
     if axes:
@@ -301,14 +302,29 @@ def forward(
 
     def moe_layer(carry, l):
         hidden, residual, kv = carry
-        lp = jax.tree_util.tree_map(lambda a: a[l - k_dense], params["moe_layers"])
+        ml = params["moe_layers"]
+        # tiled quantized expert banks stay stacked — the grouped kernel
+        # prefetches the layer index (see models/mixtral.py layer_fn)
+        tiled = (
+            "w_p4t" in ml["experts_gate_up"] or "w_i8t" in ml["experts_gate_up"]
+        )
+        stacked_keys = ("experts_gate_up", "experts_down") if tiled else ()
+        lp = jax.tree_util.tree_map(
+            lambda a: a[l - k_dense],
+            {k: v for k, v in ml.items() if k not in stacked_keys},
+        )
+        for k in stacked_keys:
+            lp[k] = ml[k]
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
         attn_out, kv = _mla_block(
             lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
         )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
-        moe = _moe_block(lp, normed, cfg, act_fn, axis_name, ep_axis_name)
+        moe = _moe_block(
+            lp, normed, cfg, act_fn, axis_name, ep_axis_name,
+            layer_idx=l - k_dense,
+        )
         return (moe, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
@@ -568,8 +584,13 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
             if shard_axis == 1
             else P(None, "ep", "tp", None)
         )
+        tiled = (
+            P(None, "ep", "tp", None, None)
+            if shard_axis == 1
+            else P(None, "ep", None, "tp", None)
+        )
         return {"w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
-                "zs": col}
+                "zs": col, "w_p4t": tiled, "w_i8t": tiled}
 
     attn = {
         "kv_a": {"w": P(None, None, None)},

@@ -50,18 +50,36 @@ from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
 
 # ---------------------------------------------------------------- forward
 
-def forward(
+def embed(params: dict, input_ids: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Token embedding lookup → (T, E). Split out of forward so the pipeline
+    wrapper (parallel/pipeline.py) can run it on every stage (replicated,
+    cheap gather) while the layer stack is stage-sharded."""
+    return jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+
+
+def finalize(hidden: jnp.ndarray, residual: jnp.ndarray, cfg: ModelConfig):
+    """Final residual add after the layer stack."""
+    return (
+        hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+    ).astype(cfg.dtype)
+
+
+def run_layers(
     params: dict,
-    input_ids: jnp.ndarray,  # (T,)
-    kv_cache: KVCache,  # stacked leading L axis
+    hidden: jnp.ndarray,  # (T, E)
+    residual: jnp.ndarray,  # (T, E)
+    kv_cache: KVCache,  # flat pool covering the LOCAL layer range
     md: AttentionMetadata,
     cfg: ModelConfig,
-    num_q_heads: Optional[int] = None,  # local (per-shard) head counts
+    num_q_heads: Optional[int] = None,
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
-    ep_axis_name: Optional[str] = None,  # unused (dense model)
+    ep_axis_name: Optional[str] = None,
+    num_layers: Optional[int] = None,  # local layer count (PP stages)
 ):
-    """Returns (hidden (T, E), new kv_cache)."""
+    """The decoder layer stack as one lax.scan over the (local) stacked layer
+    bank. Returns (hidden, residual, new kv_cache) — residual is carried
+    separately so PP can ppermute both halves between stages."""
     hq = num_q_heads or cfg.num_q_heads
     hkv = num_kv_heads or cfg.num_kv_heads
     d = cfg.head_dim
@@ -69,8 +87,7 @@ def forward(
     sm_scale = d**-0.5
     act_fn = ACT2FN[cfg.hidden_act]
     rope_cache = params["rope_cache"]
-
-    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    n_layers = num_layers or cfg.num_hidden_layers
 
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -80,7 +97,7 @@ def forward(
     # updated with a scatter per layer, which XLA keeps in place inside the
     # while loop (scanning it as xs/ys materializes a full cache copy per
     # step — measured ~25ms/step at 8B).
-    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    nb_layer = kv_cache.k.shape[0] // n_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
     # Layer weights stay CLOSED OVER (scan constants) and the scan runs over
@@ -126,16 +143,34 @@ def forward(
 
         return (mlp_out, residual, kv), None
 
-    residual = jnp.zeros_like(hidden)
     (hidden, residual, new_kv), _ = jax.lax.scan(
         layer_fn,
         (hidden, residual, kv_cache),
-        jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        jnp.arange(n_layers, dtype=jnp.int32),
     )
-    hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
-        cfg.dtype
+    return hidden, residual, new_kv
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,  # (T,)
+    kv_cache: KVCache,  # stacked leading L axis
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,  # local (per-shard) head counts
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,  # unused (dense model)
+):
+    """Returns (hidden (T, E), new kv_cache)."""
+    hidden = embed(params, input_ids, cfg)
+    residual = jnp.zeros_like(hidden)
+    hidden, residual, new_kv = run_layers(
+        params, hidden, residual, kv_cache, md, cfg,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        axis_name=axis_name, ep_axis_name=ep_axis_name,
     )
-    return hidden, new_kv
+    return finalize(hidden, residual, cfg), new_kv
 
 
 def compute_logits(

@@ -40,7 +40,8 @@ compute_logits = _llama.compute_logits
 kv_cache_spec = _llama.kv_cache_spec
 
 
-def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name):
+def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
+               layer_idx=None):
     router_logits = jnp.dot(
         normed, lp["router"]["w"], preferred_element_type=jnp.float32
     )
@@ -55,6 +56,7 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name):
         act_fn,
         cfg.num_experts,
         ep_axis=ep_axis_name,
+        layer_idx=layer_idx,
     )
     # routed output: partial over BOTH the expert shard and the FFN shard
     axes = tuple(a for a in (ep_axis_name, axis_name) if a)
@@ -133,10 +135,29 @@ def forward(
             "router", "experts_gate_up", "experts_down",
             "gate_up_shared", "down_shared", "shared_gate",
         )
-        lp = jax.tree_util.tree_map(
-            lambda a: a[l], {k: v for k, v in layers.items() if k in moe_keys}
+        # tiled quantized expert banks stay STACKED over layers: the grouped
+        # kernel prefetches the layer index, avoiding a per-layer XLA gather
+        # of the packed bank inside the scan (a full extra weight read+write)
+        tiled = (
+            "w_p4t" in layers["experts_gate_up"]
+            or "w_i8t" in layers["experts_gate_up"]
         )
-        moe_out = _moe_block(lp, normed, cfg, act_fn, axis_name, ep_axis_name)
+        stacked_keys = (
+            ("experts_gate_up", "experts_down") if tiled else ()
+        )
+        lp = jax.tree_util.tree_map(
+            lambda a: a[l],
+            {
+                k: v
+                for k, v in layers.items()
+                if k in moe_keys and k not in stacked_keys
+            },
+        )
+        for k in stacked_keys:
+            lp[k] = layers[k]
+        moe_out = _moe_block(
+            lp, normed, cfg, act_fn, axis_name, ep_axis_name, layer_idx=l
+        )
         return (moe_out, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
@@ -387,14 +408,20 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
 
     def bank_spec(shard_axis):
         # (L, E, K, N): experts shard over "ep"; col-parallel shards N,
-        # row-parallel shards K over "tp"
+        # row-parallel shards K over "tp". Tiled banks (L, E, NT, K, TILE_N)
+        # shard NT (col-parallel) or K (row-parallel) over "tp".
         col = (
             P(None, "ep", None, "tp")
             if shard_axis == 1
             else P(None, "ep", "tp", None)
         )
+        tiled = (
+            P(None, "ep", "tp", None, None)
+            if shard_axis == 1
+            else P(None, "ep", None, "tp", None)
+        )
         return {"w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
-                "zs": col}
+                "zs": col, "w_p4t": tiled, "w_i8t": tiled}
 
     layer_spec["experts_gate_up"] = bank_spec(1)
     layer_spec["experts_down"] = bank_spec(0)

@@ -110,13 +110,14 @@ def _dequant_bank(bank: dict, dtype) -> jnp.ndarray:
 
 def fused_experts(
     x: jnp.ndarray,  # (T, H)
-    gate_up_bank: dict,  # {(E_local, H, 2I) layouts}
-    down_bank: dict,  # {(E_local, I, H) layouts}
+    gate_up_bank: dict,  # {(E_local, H, 2I) layouts; tiled: leading L}
+    down_bank: dict,  # {(E_local, I, H) layouts; tiled: leading L}
     topk_weights: jnp.ndarray,  # (T, K) f32
     topk_ids: jnp.ndarray,  # (T, K) i32 GLOBAL expert ids
     act_fn,
     num_experts: int,  # global count
     ep_axis: Optional[str] = None,  # mesh axis sharding the expert dim
+    layer_idx=None,  # () i32 — required for stacked tiled banks
 ) -> jnp.ndarray:
     """Dropless sorted ragged-GEMM MoE (ref: fused_experts_impl,
     fused_moe.py:1716).
@@ -145,6 +146,14 @@ def fused_experts(
 
     counts = jnp.zeros(num_experts, jnp.int32).at[flat_expert].add(1)
 
+    if "w_p4t" in gate_up_bank or "w_i8t" in gate_up_bank:
+        # fused grouped dequant-GEMM: packed bank read once, no dense
+        # (E, K, N) intermediate (ops/pallas/moe_gmm.py)
+        return _fused_experts_gmm(
+            x, gate_up_bank, down_bank, sorted_token, sorted_weight,
+            counts, act_fn, ep_axis, layer_idx,
+        )
+
     xs = x[sorted_token]  # (T*K, H)
     w1 = _dequant_bank(gate_up_bank, dtype)  # (E_local, H, 2I)
     w2 = _dequant_bank(down_bank, dtype)  # (E_local, I, H)
@@ -170,4 +179,65 @@ def fused_experts(
 
     ys = ys.astype(jnp.float32) * weight[:, None]
     out = jnp.zeros((t, h), jnp.float32).at[sorted_token].add(ys)
+    return out.astype(dtype)
+
+
+def _bank_gmm(xs, bank, tile_expert, layer_idx, tm, interpret):
+    """One grouped dequant-GEMM over a tiled stacked expert bank."""
+    if "w_p4t" in bank:
+        from vllm_metax_tpu.ops.pallas.moe_gmm import int4_grouped_matmul_pallas
+
+        return int4_grouped_matmul_pallas(
+            xs, bank["w_p4t"], bank["s"], bank["zs"], tile_expert,
+            layer_idx, tm, interpret=interpret,
+        )
+    from vllm_metax_tpu.ops.pallas.moe_gmm import int8_grouped_matmul_pallas
+
+    return int8_grouped_matmul_pallas(
+        xs, bank["w_i8t"], bank["s"], tile_expert, layer_idx, tm,
+        interpret=interpret,
+    )
+
+
+def _fused_experts_gmm(
+    x, gate_up_bank, down_bank, sorted_token, sorted_weight, counts,
+    act_fn, ep_axis, layer_idx,
+):
+    """Aligned-slot grouped GEMM path for quantized expert banks (replaces
+    the reference's fused_moe_kernel_gptq_awq, fused_moe.py:87). Rows land in
+    per-expert TM-aligned slots so each (TM, K) m-tile maps to one expert;
+    the packed bank streams through the kernel once. EP: each rank computes
+    only its expert span (rows outside it are dropped from the slot layout);
+    the caller's psum over ep sums the partial combines."""
+    import jax as _jax
+
+    from vllm_metax_tpu.ops.pallas.moe_gmm import (
+        build_aligned_dispatch,
+        moe_tiling,
+    )
+
+    if layer_idx is None:
+        raise ValueError("tiled expert banks need layer_idx")
+    t, h = x.shape
+    dtype = x.dtype
+    m = sorted_token.shape[0]
+    wt = gate_up_bank.get("w_p4t", gate_up_bank.get("w_i8t"))
+    e_local = wt.shape[1]
+    num_experts = counts.shape[0]
+    tm, m_slots = moe_tiling(m, e_local)
+    if ep_axis is not None and e_local != num_experts:
+        e_start = jax.lax.axis_index(ep_axis) * e_local
+    else:
+        e_start = jnp.int32(0)
+    slot_token, slot_weight, tile_expert = build_aligned_dispatch(
+        sorted_token, sorted_weight, counts, e_start, e_local, tm, m_slots
+    )
+    interpret = _jax.devices()[0].platform == "cpu"
+    xs = x[slot_token]  # (M_slots, H); padded slots read row 0, weight 0
+    hdn = act_fn(_bank_gmm(xs, gate_up_bank, tile_expert, layer_idx, tm,
+                           interpret))
+    ys = _bank_gmm(hdn.astype(dtype), down_bank, tile_expert, layer_idx, tm,
+                   interpret)
+    ys = ys.astype(jnp.float32) * slot_weight[:, None]
+    out = jnp.zeros((t, h), jnp.float32).at[slot_token].add(ys)
     return out.astype(dtype)

@@ -157,6 +157,15 @@ def _decode_kernel(
         [jnp.full((1, ckv), sl, jnp.int32) for sl in sls], axis=1
     )  # (1, NR*CKV) — seq len of the COLUMN's request
     col_in_req = jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv), 1) % ckv
+    # 3D copies for the V mask: Mosaic cannot insert a minor dim on i1
+    # vectors (tpu.reshape of (1,NR*CKV) bool → (1,NR*CKV,1) fails to
+    # compile), so build the comparison directly at the broadcast shape
+    col_in_req3 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv, 1), 1) % ckv
+    )
+    col_sl3 = jnp.concatenate(
+        [jnp.full((1, ckv, 1), sl, jnp.int32) for sl in sls], axis=1
+    )  # (1, NR*CKV, 1)
     row_rr = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // g
     col_rr = jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv), 1) // ckv
     same_req = row_rr == col_rr  # (NR*G, NR*CKV)
@@ -217,9 +226,8 @@ def _decode_kernel(
                 v_mm = v_all.astype(q_all.dtype)
             else:
                 v_mm = v_all
-            v_mm = jnp.where(
-                col_ok[..., None], v_mm, jnp.zeros((), v_mm.dtype)
-            )
+            col_ok3 = (c * ckv + col_in_req3) < col_sl3  # (1, NR*CKV, 1)
+            v_mm = jnp.where(col_ok3, v_mm, jnp.zeros((), v_mm.dtype))
             pv = jax.lax.dot_general(
                 p.astype(v_mm.dtype),
                 v_mm,

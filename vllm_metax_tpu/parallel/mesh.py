@@ -17,23 +17,34 @@ from jax.sharding import PartitionSpec as P
 TP_AXIS = "tp"
 EP_AXIS = "ep"
 DP_AXIS = "dp"
+PP_AXIS = "pp"
 
 
-def make_tp_mesh(tp_size: int, ep_size: int = 1, devices=None) -> Mesh:
-    """Model-parallel mesh: ("ep", "tp") axes over ep*tp devices. Attention
-    and dense layers shard over tp (replicated over ep); MoE expert banks
-    shard over ep (and tp on the FFN dim)."""
+def make_tp_mesh(
+    tp_size: int, ep_size: int = 1, devices=None, pp_size: int = 1
+) -> Mesh:
+    """Model-parallel mesh: ("pp", "ep", "tp") axes over pp*ep*tp devices
+    (size-1 axes omitted; tp always present). Attention and dense layers
+    shard over tp; MoE expert banks over ep; pipeline stages (stacked layer
+    banks + the layer-major KV page pool) over pp. pp is OUTERMOST so stage
+    hops ride the slowest links (DCN-friendly) while tp rides ICI."""
     devices = devices if devices is not None else jax.devices()
-    n = tp_size * ep_size
+    n = tp_size * ep_size * pp_size
     if len(devices) < n:
         raise ValueError(
-            f"tp={tp_size} x ep={ep_size} needs {n} devices, have {len(devices)}"
+            f"pp={pp_size} x ep={ep_size} x tp={tp_size} needs {n} devices, "
+            f"have {len(devices)}"
         )
-    if ep_size == 1:
-        return Mesh(np.asarray(devices[:n]).reshape(n), (TP_AXIS,))
-    return Mesh(
-        np.asarray(devices[:n]).reshape(ep_size, tp_size), (EP_AXIS, TP_AXIS)
-    )
+    shape, names = [], []
+    if pp_size > 1:
+        shape.append(pp_size)
+        names.append(PP_AXIS)
+    if ep_size > 1:
+        shape.append(ep_size)
+        names.append(EP_AXIS)
+    shape.append(tp_size)
+    names.append(TP_AXIS)
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(names))
 
 
 def make_mesh(tp_size: int = 1, dp_size: int = 1, devices=None) -> Mesh:
