@@ -1,0 +1,148 @@
+"""Decode-context-parallel tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's DCP path (vllm_metax/v1/attention/backends/
+flash_attn.py:794-830 _forward_with_dcp; csrc/cache_kernels.cu:1075
+cp_gather_cache): KV blocks interleave round-robin over dcp ranks and each
+rank's partial attention merges via a distributed softmax
+(parallel/dcp.py). Output must match single-device token-for-token with
+contexts spanning multiple blocks per shard.
+"""
+
+import dataclasses
+
+import pytest
+
+from vllm_metax_tpu.config import ParallelConfig, SchedulerConfig
+from vllm_metax_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_metax_tpu.core.request import Request
+from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+from vllm_metax_tpu.sample.params import SamplingParams
+
+from tests.test_parallel import _make_config, _run_engine
+
+# block_size=16 (conftest config): 3+ blocks per request so every dcp rank
+# owns context of every request
+_PROMPTS = [
+    [(7 * i + 3) % 100 + 1 for i in range(40)],
+    [(5 * i + 11) % 100 + 1 for i in range(37)],
+]
+
+
+def _dcp_config(mc, dcp, tp=1):
+    cfg = _make_config(mc, tp)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=tp, decode_context_parallel_size=dcp
+    )
+    return cfg
+
+
+def test_dcp2_matches_single_device(small_model_config):
+    ref = _run_engine(
+        _make_config(small_model_config, 1), prompts=_PROMPTS, max_tokens=24
+    )
+    out = _run_engine(
+        _dcp_config(small_model_config, 2),
+        mesh=make_tp_mesh(1, dcp_size=2),
+        prompts=_PROMPTS,
+        max_tokens=24,
+    )
+    assert out == ref
+
+
+def test_dcp2_x_tp2_matches_single_device(small_model_config):
+    ref = _run_engine(
+        _make_config(small_model_config, 1), prompts=_PROMPTS, max_tokens=16
+    )
+    out = _run_engine(
+        _dcp_config(small_model_config, 2, tp=2),
+        mesh=make_tp_mesh(2, dcp_size=2),
+        prompts=_PROMPTS,
+        max_tokens=16,
+    )
+    assert out == ref
+
+
+def test_dcp2_multi_step_decode(small_model_config):
+    """Multi-step windows build metadata on device — localization must hold
+    across the in-scan block-boundary crossings too."""
+
+    def cfg(dcp):
+        c = _dcp_config(small_model_config, dcp) if dcp > 1 else _make_config(
+            small_model_config, 1
+        )
+        return dataclasses.replace(
+            c,
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=8, max_num_batched_tokens=128, num_decode_steps=4
+            ),
+        )
+
+    ref = _run_engine(cfg(1), prompts=_PROMPTS, max_tokens=20)
+    out = _run_engine(
+        cfg(2), mesh=make_tp_mesh(1, dcp_size=2), prompts=_PROMPTS,
+        max_tokens=20,
+    )
+    assert out == ref
+
+
+def test_dcp_rejects_mla(small_model_config):
+    mc = dataclasses.replace(
+        small_model_config,
+        architecture="DeepseekV2ForCausalLM",
+        kv_lora_rank=16,
+        qk_rope_head_dim=16,
+        qk_nope_head_dim=16,
+        v_head_dim=16,
+    )
+    with pytest.raises(NotImplementedError, match="DCP"):
+        _run_engine(_dcp_config(mc, 2), mesh=make_tp_mesh(1, dcp_size=2))
+
+
+def _req(req_id, tokens):
+    return Request(
+        req_id=req_id,
+        prompt_token_ids=list(tokens),
+        sampling_params=SamplingParams(max_tokens=4),
+    )
+
+
+def test_manager_round_robin_partitions():
+    """j-th block of every sequence draws from partition j % dcp; frees
+    return to the owning partition."""
+    m = KVCacheManager(num_blocks=32, block_size=16, dcp_size=2)
+    r = _req("a", range(80))  # 5 blocks
+    r.num_computed_tokens = 0
+    blocks = m.allocate_slots(r, 80)
+    ids = [b.block_id for b in blocks.blocks]
+    assert len(ids) == 5
+    for j, bid in enumerate(ids):
+        assert bid // 16 == j % 2, f"seq block {j} landed in wrong partition"
+    free_before = [p.get_num_free_blocks() for p in m.pools]
+    m.free(r)
+    free_after = [p.get_num_free_blocks() for p in m.pools]
+    assert free_after == [f + n for f, n in zip(free_before, [3, 2])]
+
+
+def test_manager_prefix_cache_hits_across_partitions():
+    """A freed 2-block prefix is reused from both partitions."""
+    m = KVCacheManager(num_blocks=32, block_size=16, dcp_size=2)
+    tokens = list(range(33))  # 2 full blocks + 1 token
+    r1 = _req("a", tokens)
+    m.allocate_slots(r1, 33)
+    m.cache_full_blocks(r1, 32)
+    ids1 = m.get_block_ids("a")[:2]
+    m.free(r1)
+    r2 = _req("b", tokens)
+    cached, n = m.get_computed_blocks(r2)
+    assert n == 32
+    assert [b.block_id for b in cached.blocks] == ids1
+
+
+def test_manager_partition_exhaustion():
+    """Capacity gates on the fullest partition, not the global free count."""
+    m = KVCacheManager(num_blocks=4, block_size=16, dcp_size=2,
+                       enable_caching=False)
+    r1 = _req("a", range(48))  # 3 blocks: partitions get 2 + 1
+    assert m.allocate_slots(r1, 48) is not None
+    r2 = _req("b", range(48))  # needs 2 from partition 0; only 0 free there
+    assert m.allocate_slots(r2, 48) is None

@@ -1,0 +1,86 @@
+"""Profile the flagship decode step on the real TPU with jax.profiler.
+
+Builds the bench.py engine (Llama-3-8B-arch GPTQ-INT4, dummy weights),
+advances it into steady-state decode, traces a few multi-step windows, and
+aggregates per-op device time from the trace JSON.
+
+block_until_ready lies through the axon tunnel — only the profiler gives
+true device times (see bench.py)."""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax  # noqa: E402
+
+import bench  # noqa: E402
+
+
+def main():
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    engine, num_reqs, prompt_len, decode_len = bench._build_engine(on_tpu)
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vocab = engine.config.model_config.vocab_size
+    for i in range(num_reqs):
+        engine.add_request(
+            f"r{i}",
+            rng.integers(1, vocab, size=prompt_len).tolist(),
+            SamplingParams(max_tokens=decode_len, temperature=0.8, seed=i),
+        )
+    # steady state: finish all prefills + warm the decode executable
+    # (stop as soon as decode output starts flowing so requests remain live)
+    decoded = 0
+    for _ in range(200):
+        if not engine.has_unfinished_requests():
+            break
+        outs = engine.step()
+        decoded += sum(len(o.new_token_ids) for o in outs)
+        if decoded >= 2 * num_reqs:
+            break
+
+    trace_dir = "/tmp/jaxtrace_step"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    steps = 0
+    while engine.has_unfinished_requests() and steps < 4:
+        engine.step()
+        steps += 1
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace written")
+        return
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    by_op = defaultdict(float)
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        pid_name = ev.get("pid")
+        name = ev.get("name", "")
+        args = ev.get("args", {})
+        # device-side ops carry a run_id / correlation in args on TPU traces
+        if not args or "run_id" not in args and "correlation_id" not in args:
+            continue
+        key = name.split(".")[0][:60]
+        by_op[key] += ev["dur"] / 1e3  # ms
+        total += ev["dur"] / 1e3
+    print(f"\n== device time over {steps} engine steps (ms) ==")
+    for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{v / steps:9.3f}  {k}")
+    print(f"{total / steps:9.3f}  TOTAL per engine step")
+
+
+if __name__ == "__main__":
+    main()

@@ -292,6 +292,7 @@ class ParallelConfig:
             self.tensor_parallel_size
             * self.data_parallel_size
             * self.pipeline_parallel_size
+            * self.decode_context_parallel_size
         )
 
 

@@ -31,6 +31,7 @@ class EngineCore:
             config.cache_config,
             config.model_config.max_model_len,
             speculative_config=config.speculative_config,
+            dcp_size=config.parallel_config.decode_context_parallel_size,
         )
         self.stats = EngineStats()
         self.traces: dict[str, RequestTrace] = {}

@@ -40,12 +40,17 @@ def hash_block_tokens(parent_hash: int, tokens: tuple[int, ...]) -> int:
 
 
 class BlockPool:
-    """Free-list + content-hash index over the physical blocks."""
+    """Free-list + content-hash index over the physical blocks.
 
-    def __init__(self, num_blocks: int, enable_caching: bool = True):
+    start_id offsets the block ids (DCP partitions: partition d of a
+    dcp-sharded cache owns ids [d*NBl, (d+1)*NBl), parallel/dcp.py)."""
+
+    def __init__(
+        self, num_blocks: int, enable_caching: bool = True, start_id: int = 0
+    ):
         self.num_blocks = num_blocks
         self.enable_caching = enable_caching
-        self.blocks = [KVCacheBlock(i) for i in range(num_blocks)]
+        self.blocks = [KVCacheBlock(start_id + i) for i in range(num_blocks)]
         # LRU: freed blocks stay here (evictable, content intact) until reused.
         self.free_queue: OrderedDict[int, KVCacheBlock] = OrderedDict(
             (b.block_id, b) for b in self.blocks
@@ -115,17 +120,42 @@ class KVCacheManager:
         num_blocks: int,
         block_size: int,
         enable_caching: bool = True,
+        dcp_size: int = 1,
     ):
+        """dcp_size > 1 partitions the block-id space into dcp ranges; the
+        j-th block of every sequence draws from partition j % dcp so KV pages
+        interleave round-robin over the DCP ranks (parallel/dcp.py; reference
+        analog: the round-robin CP layout behind cp_gather_cache,
+        csrc/cache_kernels.cu:1075)."""
+        if num_blocks % dcp_size:
+            raise ValueError(
+                f"num_blocks={num_blocks} must divide dcp_size={dcp_size}"
+            )
         self.block_size = block_size
-        self.block_pool = BlockPool(num_blocks, enable_caching)
+        self.dcp_size = dcp_size
+        self.nbl = num_blocks // dcp_size
+        self.pools = [
+            BlockPool(self.nbl, enable_caching, start_id=d * self.nbl)
+            for d in range(dcp_size)
+        ]
+        self.block_pool = self.pools[0]  # dcp=1 compat alias
         self.enable_caching = enable_caching
         self.req_blocks: dict[str, list[KVCacheBlock]] = {}
         # per-request chained hashes of its full blocks (parallel to req_blocks)
         self.req_hashes: dict[str, list[int]] = {}
 
+    def _pool_at(self, seq_block_idx: int) -> BlockPool:
+        """Pool owning the seq_block_idx-th block of any sequence."""
+        return self.pools[seq_block_idx % self.dcp_size]
+
+    def _pool_of(self, block: KVCacheBlock) -> BlockPool:
+        return self.pools[block.block_id // self.nbl]
+
     @property
     def usage(self) -> float:
-        return 1.0 - self.block_pool.get_num_free_blocks() / self.block_pool.num_blocks
+        free = sum(p.get_num_free_blocks() for p in self.pools)
+        total = sum(p.num_blocks for p in self.pools)
+        return 1.0 - free / total
 
     def get_computed_blocks(self, request: Request) -> tuple[KVCacheBlocks, int]:
         """Longest cached prefix for a new request. Never returns the full
@@ -140,7 +170,7 @@ class KVCacheManager:
         for i in range(max_cache_hit):
             chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
             parent = hash_block_tokens(parent, chunk)
-            cached = self.block_pool.get_cached_block(parent)
+            cached = self._pool_at(i).get_cached_block(parent)
             if cached is None:
                 break
             blocks.append(cached)
@@ -160,12 +190,20 @@ class KVCacheManager:
         total_tokens = request.num_computed_tokens + num_new_tokens
         needed_blocks = cdiv(total_tokens, self.block_size)
         num_new_blocks = needed_blocks - len(cur) - len(computed)
-        if num_new_blocks > self.block_pool.get_num_free_blocks():
+        # per-partition availability (round-robin over sequence positions)
+        first_new = len(cur) + len(computed)
+        need_per_pool = [0] * self.dcp_size
+        for pos in range(first_new, needed_blocks):
+            need_per_pool[pos % self.dcp_size] += 1
+        if any(
+            need > self.pools[d].get_num_free_blocks()
+            for d, need in enumerate(need_per_pool)
+        ):
             return None
 
         if computed:  # first allocation with a prefix-cache hit
             for b in computed:
-                self.block_pool.touch(b)
+                self._pool_of(b).touch(b)
             self.req_blocks[request.req_id] = cur = list(computed)
             # seed the hash chain with the reused prefix
             hashes = []
@@ -180,7 +218,10 @@ class KVCacheManager:
             self.req_blocks[request.req_id] = cur = []
             self.req_hashes[request.req_id] = []
 
-        new_blocks = self.block_pool.allocate(max(num_new_blocks, 0))
+        new_blocks = [
+            self._pool_at(pos).allocate(1)[0]
+            for pos in range(len(cur), needed_blocks)
+        ]
         cur.extend(new_blocks)
         return KVCacheBlocks(new_blocks)
 
@@ -198,20 +239,22 @@ class KVCacheManager:
             chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
             parent = hash_block_tokens(parent, chunk)
             hashes.append(parent)
-            if self.block_pool.get_cached_block(parent) is None:
-                self.block_pool.cache_block(blocks[i], parent)
+            pool = self._pool_at(i)
+            if pool.get_cached_block(parent) is None:
+                pool.cache_block(blocks[i], parent)
 
     def free(self, request: Request) -> None:
         # free in reverse so the LRU evicts tail blocks (least reusable) first
         for b in reversed(self.req_blocks.pop(request.req_id, [])):
-            self.block_pool.free(b)
+            self._pool_of(b).free(b)
         self.req_hashes.pop(request.req_id, None)
 
     def get_block_ids(self, req_id: str) -> list[int]:
         return [b.block_id for b in self.req_blocks.get(req_id, [])]
 
     def get_num_free_blocks(self) -> int:
-        return self.block_pool.get_num_free_blocks()
+        # conservative under DCP: capacity is gated by the fullest partition
+        return min(p.get_num_free_blocks() for p in self.pools) * self.dcp_size
 
     def reset_prefix_cache(self) -> bool:
-        return self.block_pool.reset_prefix_cache()
+        return all([p.reset_prefix_cache() for p in self.pools])

@@ -74,6 +74,20 @@ class ModelRunner:
         self.pp_size = (
             config.parallel_config.pipeline_parallel_size if mesh else 1
         )
+        self.dcp_size = (
+            config.parallel_config.decode_context_parallel_size if mesh else 1
+        )
+        if self.dcp_size > 1:
+            if config.cache_config.num_blocks % self.dcp_size:
+                raise ValueError(
+                    f"num_blocks={config.cache_config.num_blocks} must divide "
+                    f"decode_context_parallel_size={self.dcp_size}"
+                )
+            if not self.model.kv_cache_spec(self.model_cfg).get("store_v", True):
+                raise NotImplementedError(
+                    "DCP over MLA latent caches is not supported yet "
+                    "(ref: vllm_metax/v1/attention/backends/mla/flashmla.py)"
+                )
         if self.pp_size > 1:
             if self.model_cfg.num_hidden_layers % self.pp_size:
                 raise ValueError(
@@ -104,7 +118,7 @@ class ModelRunner:
         if params is None:
             params = self._load_params()
         params = self._finalize_quant_layout(params)
-        if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
+        if self._is_sharded:
             params = self._shard_params(params)
         self.params = params
 
@@ -216,7 +230,7 @@ class ModelRunner:
             cc.kv_dtype(self.model_cfg.dtype),
             store_v=kv_spec.get("store_v", True),
         )
-        if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
+        if self._is_sharded:
             from jax.sharding import NamedSharding
 
             self.kv_cache = jax.tree_util.tree_map(
@@ -248,7 +262,7 @@ class ModelRunner:
             # already merged/quantized/TP-prepared — just reshard
             params = self._host_params
             self._host_params = None
-            if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
+            if self._is_sharded:
                 from vllm_metax_tpu.parallel.mesh import shard_params
 
                 params = shard_params(params, self._param_spec_tree(), self.mesh)
@@ -256,7 +270,7 @@ class ModelRunner:
                 params = jax.tree_util.tree_map(jnp.asarray, params)
         else:
             params = self._load_params()
-            if self.tp_size > 1 or self.ep_size > 1 or self.pp_size > 1:
+            if self._is_sharded:
                 params = self._shard_params(params)
         self.params = params
         self._alloc_kv_cache()
@@ -282,6 +296,15 @@ class ModelRunner:
         logger.info("loading weights from %s", self.model_cfg.model)
         return self.model.load_weights(
             self.model_cfg, self.config.quant_config, self.model_cfg.model
+        )
+
+    @property
+    def _is_sharded(self) -> bool:
+        return (
+            self.tp_size > 1
+            or self.ep_size > 1
+            or self.pp_size > 1
+            or self.dcp_size > 1
         )
 
     def _param_spec_tree(self):
@@ -324,12 +347,18 @@ class ModelRunner:
         from vllm_metax_tpu.ops.kv_cache import KVCache
         from vllm_metax_tpu.parallel.mesh import _sanitize_spec
 
-        # (L*NB, H, BS, D): the flat page pool is layer-major, so sharding
-        # axis 0 over "pp" gives each pipeline stage exactly its own layers'
-        # pages; heads shard over "tp"
-        pp = "pp" if self.pp_size > 1 else None
-        val = P(pp, "tp", None, None)  # (L*NB, H, BS, D)
-        scale = P(pp, "tp", None)  # (L*NB, H, BS) head-major like values
+        # (L*NB, H, BS, D): the flat page pool is ordered (pp stage, dcp
+        # rank, local layers, local pages), so sharding axis 0 over
+        # ("pp","dcp") gives each stage its own layers' pages and each DCP
+        # rank its round-robin page partition (parallel/dcp.py localizes the
+        # block ids in-step); heads shard over "tp"
+        ax0 = tuple(
+            a
+            for a, on in (("pp", self.pp_size > 1), ("dcp", self.dcp_size > 1))
+            if on
+        ) or None
+        val = P(ax0, "tp", None, None)  # (L*NB, H, BS, D)
+        scale = P(ax0, "tp", None)  # (L*NB, H, BS) head-major like values
         has_scale = self.kv_cache.k_scale is not None
         specs = KVCache(
             k=val,
@@ -380,6 +409,14 @@ class ModelRunner:
         ep_axis = "ep" if self.ep_size > 1 else None
 
         def fwd(params, input_ids, kv_cache, md, microbatches=1):
+            if self.dcp_size > 1:
+                from vllm_metax_tpu.parallel.dcp import localize_metadata
+
+                md = localize_metadata(
+                    md,
+                    self.cache_cfg.num_blocks // self.dcp_size,
+                    self.cache_cfg.block_size,
+                )
             kwargs = dict(
                 num_q_heads=cfg.num_q_heads // tp,
                 num_kv_heads=cfg.num_kv_heads // tp,
@@ -436,7 +473,7 @@ class ModelRunner:
             out, kv = step(params, self._join_kv(kv_vals, kv_scales), *rest)
             return out, self._split_kv(kv)
 
-        if tp == 1 and self.ep_size == 1 and pp == 1:
+        if not self._is_sharded:
             inner = jax.jit(step_split, donate_argnums=(1,))
 
             def outer(params, kv_cache, *rest):
@@ -535,6 +572,12 @@ class ModelRunner:
                     num_seqs=jnp.asarray(rb, jnp.int32),
                     decode_only=True,
                 )
+                if self.dcp_size > 1:
+                    from vllm_metax_tpu.parallel.dcp import localize_metadata
+
+                    md = localize_metadata(
+                        md, self.cache_cfg.num_blocks // self.dcp_size, bs
+                    )
                 fkw = dict(
                     num_q_heads=cfg.num_q_heads // tp,
                     num_kv_heads=cfg.num_kv_heads // tp,
@@ -593,7 +636,7 @@ class ModelRunner:
             vals, scales = self._split_kv(kv)
             return ys, vals, scales, tn, pn
 
-        if tp == 1 and self.ep_size == 1 and pp == 1:
+        if not self._is_sharded:
             inner = jax.jit(run_split, donate_argnums=(1,))
 
             def outer(params, kv_cache, *rest):

@@ -78,6 +78,7 @@ class Scheduler:
         cache_config: CacheConfig,
         max_model_len: int,
         speculative_config=None,
+        dcp_size: int = 1,
     ):
         self.config = scheduler_config
         self.max_model_len = max_model_len
@@ -98,6 +99,7 @@ class Scheduler:
             cache_config.num_blocks,
             cache_config.block_size,
             cache_config.enable_prefix_caching,
+            dcp_size=dcp_size,
         )
         self.block_size = cache_config.block_size
         self.waiting: deque[Request] = deque()

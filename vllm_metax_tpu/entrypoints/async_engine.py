@@ -59,6 +59,7 @@ class EnginePool:
             pc.tensor_parallel_size
             * pc.expert_parallel_size
             * pc.pipeline_parallel_size
+            * pc.decode_context_parallel_size
         )
         devices = jax.devices()
         if dp_size * per_rank > len(devices):
@@ -75,6 +76,7 @@ class EnginePool:
                     pc.expert_parallel_size,
                     devices=slice_devices,
                     pp_size=pc.pipeline_parallel_size,
+                    dcp_size=pc.decode_context_parallel_size,
                 )
                 if per_rank > 1 or dp_size > 1
                 else None

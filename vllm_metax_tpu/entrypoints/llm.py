@@ -43,6 +43,7 @@ def _build_engine_config(
     tensor_parallel_size: int = 1,
     expert_parallel_size: int = 1,
     pipeline_parallel_size: int = 1,
+    decode_context_parallel_size: int = 1,
     load_format: str = "auto",
     quantization: Optional[str] = None,
     seed: int = 0,
@@ -89,6 +90,7 @@ def _build_engine_config(
             tensor_parallel_size=tensor_parallel_size,
             expert_parallel_size=expert_parallel_size,
             pipeline_parallel_size=pipeline_parallel_size,
+            decode_context_parallel_size=decode_context_parallel_size,
         ),
         load_config=LoadConfig(load_format=load_format, seed=seed),
         quant_config=quant_config,
@@ -114,6 +116,7 @@ class LLM:
             pc.tensor_parallel_size > 1
             or pc.expert_parallel_size > 1
             or pc.pipeline_parallel_size > 1
+            or pc.decode_context_parallel_size > 1
         ):
             from vllm_metax_tpu.parallel.mesh import make_tp_mesh
 
@@ -121,6 +124,7 @@ class LLM:
                 pc.tensor_parallel_size,
                 pc.expert_parallel_size,
                 pp_size=pc.pipeline_parallel_size,
+                dcp_size=pc.decode_context_parallel_size,
             )
         self.engine = EngineCore(engine_config, mesh=mesh)
         self._counter = Counter()

@@ -47,6 +47,11 @@ class AttentionMetadata:
     # exactly one query token this step — enables the request-batched decode
     # kernel (pad rows must carry seq_len 0)
     decode_only: bool = field(default=False, metadata=dict(static=True))
+    # STATIC: mesh axis name sharding KV pages (decode-context parallelism).
+    # When set, block_tables/slot_mapping are rank-LOCAL (parallel/dcp.py
+    # localize_metadata) and attention does a distributed softmax over the
+    # axis. Non-local blocks carry DCP_SENTINEL and must be masked.
+    dcp_axis: Optional[str] = field(default=None, metadata=dict(static=True))
 
 
 def layer_view(
@@ -55,15 +60,12 @@ def layer_view(
     """Rebase the step metadata onto layer `layer_idx`'s page range of the
     flat all-layer block pool (layer l owns pages [l*NB, (l+1)*NB)). Padding
     slots use an >=total sentinel, so the offset keeps them out of bounds."""
-    return AttentionMetadata(
+    import dataclasses
+
+    return dataclasses.replace(
+        md,
         slot_mapping=md.slot_mapping + layer_idx * slots_per_layer,
         block_tables=md.block_tables + layer_idx * nb_layer,
-        seq_lens=md.seq_lens,
-        query_start_loc=md.query_start_loc,
-        req_idx=md.req_idx,
-        positions=md.positions,
-        num_seqs=md.num_seqs,
-        decode_only=md.decode_only,
     )
 
 
@@ -79,6 +81,9 @@ def ragged_paged_attention(
     impl = impl or envs.METAX_TPU_ATTN_IMPL
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if metadata.dcp_axis is not None:
+        # DCP needs the distributed-softmax path (Pallas DCP kernel: planned)
+        impl = "xla"
     if impl == "pallas":
         from vllm_metax_tpu.ops.pallas.ragged_attention import (
             ragged_paged_attention_pallas,
@@ -126,7 +131,11 @@ def ragged_paged_attention_xla(
     g = hq // hkv
     ctx = maxb * bs
 
-    k_all, v_all = gather_kv_for_requests(kv_cache, metadata.block_tables, jnp.float32)
+    nb = kv_cache.k.shape[0]
+    # non-local DCP blocks carry an out-of-range sentinel: clamp the gather
+    # (data is garbage) and kill those columns in the mask below
+    safe_bt = jnp.minimum(metadata.block_tables, nb - 1)
+    k_all, v_all = gather_kv_for_requests(kv_cache, safe_bt, jnp.float32)
     # (R, CTX, HKV, D) → per-token context
     k_tok = k_all[metadata.req_idx]  # (T, CTX, HKV, D)
     v_tok = v_all[metadata.req_idx]
@@ -142,9 +151,27 @@ def ragged_paged_attention_xla(
     mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
     if sliding_window > 0:
         mask &= kv_pos > q_pos - sliding_window
+    if metadata.dcp_axis is not None:
+        # only columns whose block this rank owns contribute locally
+        owned = metadata.block_tables < nb  # (R, MAXB)
+        owned_cols = jnp.repeat(owned[metadata.req_idx], bs, axis=1)  # (T,CTX)
+        mask &= owned_cols
     scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
+    if metadata.dcp_axis is not None:
+        # distributed softmax over the KV-page shards: global row max, then
+        # psum of the weighted numerator and denominator (the SPMD form of
+        # merge_attn_states over every rank's partial)
+        m = jax.lax.pmax(m, metadata.dcp_axis)
+        m = jnp.maximum(m, -1e30)
+        p = jnp.exp(scores - m)
+        num = jnp.einsum("thgc,tchd->thgd", p, v_tok)
+        den = jnp.sum(p, axis=-1, keepdims=True)
+        num = jax.lax.psum(num, metadata.dcp_axis)
+        den = jax.lax.psum(den, metadata.dcp_axis) + 1e-30
+        out = num / den  # (T,HKV,G,D) / (T,HKV,G,1)
+        return out.reshape(t, hq, d).astype(q.dtype)
     m = jnp.maximum(m, -1e30)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30

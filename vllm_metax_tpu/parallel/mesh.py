@@ -18,22 +18,26 @@ TP_AXIS = "tp"
 EP_AXIS = "ep"
 DP_AXIS = "dp"
 PP_AXIS = "pp"
+DCP_AXIS = "dcp"
 
 
 def make_tp_mesh(
-    tp_size: int, ep_size: int = 1, devices=None, pp_size: int = 1
+    tp_size: int, ep_size: int = 1, devices=None, pp_size: int = 1,
+    dcp_size: int = 1,
 ) -> Mesh:
-    """Model-parallel mesh: ("pp", "ep", "tp") axes over pp*ep*tp devices
-    (size-1 axes omitted; tp always present). Attention and dense layers
-    shard over tp; MoE expert banks over ep; pipeline stages (stacked layer
-    banks + the layer-major KV page pool) over pp. pp is OUTERMOST so stage
-    hops ride the slowest links (DCN-friendly) while tp rides ICI."""
+    """Model-parallel mesh: ("pp", "ep", "dcp", "tp") axes over
+    pp*ep*dcp*tp devices (size-1 axes omitted; tp always present).
+    Attention and dense layers shard over tp; MoE expert banks over ep;
+    pipeline stages (stacked layer banks + the layer-major KV page pool)
+    over pp; KV pages of long sequences over dcp (parallel/dcp.py). pp is
+    OUTERMOST so stage hops ride the slowest links (DCN-friendly); dcp sits
+    next to tp so its softmax psum rides ICI."""
     devices = devices if devices is not None else jax.devices()
-    n = tp_size * ep_size * pp_size
+    n = tp_size * ep_size * pp_size * dcp_size
     if len(devices) < n:
         raise ValueError(
-            f"pp={pp_size} x ep={ep_size} x tp={tp_size} needs {n} devices, "
-            f"have {len(devices)}"
+            f"pp={pp_size} x ep={ep_size} x dcp={dcp_size} x tp={tp_size} "
+            f"needs {n} devices, have {len(devices)}"
         )
     shape, names = [], []
     if pp_size > 1:
@@ -42,6 +46,9 @@ def make_tp_mesh(
     if ep_size > 1:
         shape.append(ep_size)
         names.append(EP_AXIS)
+    if dcp_size > 1:
+        shape.append(dcp_size)
+        names.append(DCP_AXIS)
     shape.append(tp_size)
     names.append(TP_AXIS)
     return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(names))
@@ -77,6 +84,11 @@ def _sanitize_spec(spec: P, shape: tuple, mesh_axes=None) -> P:
     def keep(i, ax):
         if ax is None or shape[i] == 1:
             return None
+        if isinstance(ax, tuple):  # multi-axis dim, e.g. ("pp", "dcp")
+            sub = tuple(
+                a for a in ax if mesh_axes is None or a in mesh_axes
+            )
+            return sub if len(sub) > 1 else (sub[0] if sub else None)
         if mesh_axes is not None and ax not in mesh_axes:
             return None
         return ax

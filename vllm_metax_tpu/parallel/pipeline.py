@@ -37,31 +37,30 @@ from vllm_metax_tpu.ops.attention import AttentionMetadata
 
 PP_AXIS = "pp"
 
-_SENTINEL = jnp.int32(2**30)  # out-of-range slot → scatter drops the write
+# out-of-range slot → scatter drops the write. Python int, not jnp.int32:
+# module-level device constants get hoisted as hidden executable args.
+_SENTINEL = 2**30
 
 
 def _gate_md(md: AttentionMetadata, valid) -> AttentionMetadata:
     """Drop KV writes on invalid pipeline ticks."""
-    return AttentionMetadata(
-        slot_mapping=jnp.where(valid, md.slot_mapping, _SENTINEL),
-        block_tables=md.block_tables,
-        seq_lens=md.seq_lens,
-        query_start_loc=md.query_start_loc,
-        req_idx=md.req_idx,
-        positions=md.positions,
-        num_seqs=md.num_seqs,
-        decode_only=md.decode_only,
+    import dataclasses
+
+    return dataclasses.replace(
+        md, slot_mapping=jnp.where(valid, md.slot_mapping, _SENTINEL)
     )
 
 
 def _slice_md(md: AttentionMetadata, j, rm: int, valid) -> AttentionMetadata:
     """Microbatch j's row window [j*rm, (j+1)*rm) of a pure-decode step
     (row i = request i, so token rows and request rows slice together)."""
+    import dataclasses
 
     def rows(a):
         return jax.lax.dynamic_slice_in_dim(a, j * rm, rm, axis=0)
 
-    return AttentionMetadata(
+    return dataclasses.replace(
+        md,
         slot_mapping=jnp.where(valid, rows(md.slot_mapping), _SENTINEL),
         block_tables=rows(md.block_tables),
         seq_lens=rows(md.seq_lens),
@@ -69,7 +68,6 @@ def _slice_md(md: AttentionMetadata, j, rm: int, valid) -> AttentionMetadata:
         req_idx=jnp.arange(rm, dtype=jnp.int32),
         positions=rows(md.positions),
         num_seqs=jnp.asarray(rm, jnp.int32),
-        decode_only=md.decode_only,
     )
 
 

@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 
 NUM_TOPK_LOGPROBS = 8
-_NEG_INF = jnp.float32(-1e30)
+# Python float, not jnp.float32: module-level device constants get hoisted
+# as hidden executable arguments and break cached-executable reuse.
+_NEG_INF = -1e30
 
 
 @jax.tree_util.register_dataclass
