@@ -79,10 +79,15 @@ def _build_engine(on_tpu: bool):
                                 kv_cache_dtype=kv_dtype)
         else:
             cache = CacheConfig(block_size=32, num_blocks=1100)
+        # On-device decode loop amortizes the host/tunnel round trip. The
+        # profiled steady-state window cost is ~200ms device + ~260ms
+        # host+tunnel per call regardless of M (tools/perf/profile_step.py),
+        # so larger windows directly raise throughput; the scheduler still
+        # caps the window by each request's remaining token room.
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,
-            num_decode_steps=16,  # on-device decode loop amortizes host RTT
+            num_decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "64")),
         )
     else:
         mc = ModelConfig(

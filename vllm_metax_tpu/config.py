@@ -89,6 +89,9 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # DeepSeek multi-token prediction (MTP) spec-decode head
+    num_nextn_predict_layers: int = 0  # spec layers present in the checkpoint
+    mtp_enabled: bool = False  # set by check_and_update when method == "mtp"
     # raw HF config dict for model-specific extras
     hf_config: dict = field(default_factory=dict)
 
@@ -206,6 +209,9 @@ class ModelConfig:
             kw["n_group"] = cfg.get("n_group", 0)
             kw["topk_group"] = cfg.get("topk_group", 0)
             kw["scoring_func"] = cfg.get("scoring_func", "softmax")
+            kw["num_nextn_predict_layers"] = cfg.get(
+                "num_nextn_predict_layers", 0
+            )
         if "num_experts" in cfg and archs[0].startswith("Qwen"):  # Qwen-MoE
             kw["num_experts"] = cfg["num_experts"]
             kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 4)
@@ -415,3 +421,18 @@ class EngineConfig:
             sc.max_num_batched_tokens = max(
                 sc.max_num_batched_tokens, mc.max_model_len
             )
+        # MTP spec decode: the draft head is a full extra MLA+MoE layer with
+        # its own KV range (ref: vllm_metax/models/deepseek_mtp.py)
+        spec = self.speculative_config
+        if spec is not None and spec.method == "mtp" and spec.enabled:
+            if not mc.use_mla:
+                raise ValueError(
+                    "speculative method 'mtp' needs a DeepSeek MLA model "
+                    "(the MTP head is a DeepSeek spec layer)"
+                )
+            if spec.num_speculative_tokens != 1:
+                raise ValueError(
+                    "mtp supports num_speculative_tokens=1 (one MTP module, "
+                    "matching DeepSeek-V3 checkpoints)"
+                )
+            mc.mtp_enabled = True

@@ -11,7 +11,7 @@ import time
 from typing import Optional
 
 from vllm_metax_tpu.config import EngineConfig
-from vllm_metax_tpu.core.request import Request
+from vllm_metax_tpu.core.request import Request, RequestStatus
 from vllm_metax_tpu.core.runner import ModelRunner
 from vllm_metax_tpu.core.scheduler import EngineCoreOutput, Scheduler
 from vllm_metax_tpu.logger import init_logger
@@ -106,6 +106,12 @@ class EngineCore:
         runner_output = self.runner.execute_model(scheduler_output)
         sampled = dict(zip(runner_output.req_ids, runner_output.sampled_token_ids))
         outputs = self.scheduler.update_from_output(scheduler_output, sampled)
+        # MTP/EAGLE drafts from the runner's draft head become the next
+        # step's speculative tokens (scheduler external_drafts mode)
+        for rid, drafts in runner_output.draft_tokens.items():
+            req = self.scheduler.requests.get(rid)
+            if req is not None and req.status == RequestStatus.RUNNING:
+                req.spec_token_ids = list(drafts)
         # attach logprobs
         lp_by_req = dict(zip(runner_output.req_ids, runner_output.logprobs))
         for out in outputs:

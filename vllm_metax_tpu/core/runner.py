@@ -59,6 +59,9 @@ class ModelRunnerOutput:
     sampled_token_ids: list[list[int]] = field(default_factory=list)
     # per request: list per new token of {token_id: logprob} (top-k + chosen)
     logprobs: list[Optional[list[dict[int, float]]]] = field(default_factory=list)
+    # MTP/EAGLE draft proposals for the NEXT step (engine feeds them back to
+    # the scheduler's requests)
+    draft_tokens: dict[str, list[int]] = field(default_factory=dict)
 
 
 class ModelRunner:
@@ -87,6 +90,22 @@ class ModelRunner:
                 raise NotImplementedError(
                     "DCP over MLA latent caches is not supported yet "
                     "(ref: vllm_metax/v1/attention/backends/mla/flashmla.py)"
+                )
+        spec = config.speculative_config
+        self.mtp = bool(
+            spec is not None and spec.method == "mtp" and spec.enabled
+        )
+        if self.mtp:
+            if not hasattr(self.model, "mtp_forward"):
+                raise ValueError(
+                    f"{self.model_cfg.architecture} has no MTP draft head"
+                )
+            if self.pp_size > 1 or self.dcp_size > 1:
+                raise NotImplementedError("mtp spec decode with pp/dcp")
+            if config.scheduler_config.num_decode_steps > 1:
+                raise ValueError(
+                    "mtp spec decode and multi-step decode are mutually "
+                    "exclusive (drafts make every decode step a verify step)"
                 )
         if self.pp_size > 1:
             if self.model_cfg.num_hidden_layers % self.pp_size:
@@ -433,7 +452,8 @@ class ModelRunner:
             return model.forward(params, input_ids, kv_cache, md, cfg, **kwargs)
 
         def step(params, kv_cache, input_ids, md, logits_indices, st,
-                 hist_ids, hist_is_out, allowed_ids=None, banned=None):
+                 hist_ids, hist_is_out, allowed_ids=None, banned=None,
+                 mtp_next=None):
             hidden, kv_cache = fwd(params, input_ids, kv_cache, md)
             sel = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sel, cfg, axis_name=axis_name)
@@ -467,7 +487,30 @@ class ModelRunner:
                 logits = logits.at[rows_b, ban_ids].set(-1e30, mode="drop")
                 logits = logits.at[rows_b, bias_ids].add(bias_vals, mode="drop")
             out = sample(logits, st, all_greedy, need_logprobs)
-            return out, kv_cache
+            drafts = None
+            if mtp_next is not None:
+                # MTP draft head: one extra decoder-layer pass over the step's
+                # rows. mtp_next carries the known next token per row (prefill
+                # ground truth); -1 rows take the freshly sampled token.
+                mtp_in = jnp.maximum(mtp_next, 0)
+                mtp_in = mtp_in.at[logits_indices].set(
+                    jnp.where(
+                        mtp_next[logits_indices] < 0,
+                        out.token_ids,
+                        mtp_in[logits_indices],
+                    )
+                )
+                mtp_hidden, kv_cache = model.mtp_forward(
+                    params, mtp_in, hidden, kv_cache, md, cfg,
+                    num_q_heads=cfg.num_q_heads // tp,
+                    axis_name=axis_name, ep_axis_name=ep_axis,
+                )
+                d_logits = model.mtp_compute_logits(
+                    params, jnp.take(mtp_hidden, logits_indices, axis=0),
+                    cfg, axis_name=axis_name,
+                )
+                drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
+            return (out, drafts), kv_cache
 
         def step_split(params, kv_vals, kv_scales, *rest):
             out, kv = step(params, self._join_kv(kv_vals, kv_scales), *rest)
@@ -500,7 +543,8 @@ class ModelRunner:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
+                      P(), P(), P()),
             out_specs=(P(), kv_specs),
             check_vma=False,
         )
@@ -692,13 +736,31 @@ class ModelRunner:
             m,
         )
         cache = self._msd_cache
-        if cache is not None and cache["fp"] == fingerprint:
+        warm = cache is not None and cache["fp"] == fingerprint
+        # Block-boundary crossing: only the block tables changed (the
+        # scheduler appended blocks for the window). Keep every other input
+        # device-resident and upload JUST the new tables — a full cold
+        # rebuild costs ~6 serialized host→device transfers on
+        # remote-attached TPUs (~300ms each through the tunnel).
+        warm_delta = (
+            not warm
+            and cache is not None
+            and cache["fp"][0] == fingerprint[0]  # same request set, order
+            and cache["fp"][2:] == fingerprint[2:]  # same rb / m buckets
+        )
+        if warm or warm_delta:
             dev_tokens = cache["tokens"]
             dev_pos = cache["pos"]
             dev_bt = cache["bt"]
             dev_valid = cache["valid"]
             st_tensors = cache["st"]
             all_greedy, need_lp = cache["mode"]
+            if warm_delta:
+                block_tables = np.zeros((rb, maxb), np.int32)
+                for i, rid in enumerate(req_ids):
+                    bids = np.asarray(self.requests[rid].block_ids, np.int32)
+                    block_tables[i, : len(bids)] = bids
+                dev_bt = jnp.asarray(block_tables)
         else:
             tokens0 = np.zeros(rb, np.int32)
             pos0 = np.zeros(rb, np.int32)
@@ -1002,8 +1064,22 @@ class ModelRunner:
             self.requests[rid].sampling_params.logprobs is not None
             for rid in req_ids
         )
+        mtp_next = None
+        if self.mtp:
+            # known next token per row (prefill ground truth); -1 rows take
+            # the freshly sampled token inside the step (draft conditioning)
+            mtp_np = np.full(tb, -1, np.int32)
+            offset = 0
+            for i, rid in enumerate(req_ids):
+                stt = self.requests[rid]
+                n = so.num_scheduled_tokens[rid]
+                start = stt.num_computed_tokens
+                known = stt.token_ids[start + 1 : start + n]
+                mtp_np[offset : offset + len(known)] = known
+                offset += n
+            mtp_next = jnp.asarray(mtp_np)
         step_fn = self._get_step_fn(all_greedy, need_lp)
-        out, self.kv_cache = step_fn(
+        (out, draft_rows), self.kv_cache = step_fn(
             self.params,
             self.kv_cache,
             jnp.asarray(input_ids),
@@ -1014,8 +1090,9 @@ class ModelRunner:
             hist_is_out,
             allowed_ids,
             banned,
+            mtp_next,
         )
-        return self._make_output(req_ids, out, so, s_rows)
+        return self._make_output(req_ids, out, so, s_rows, draft_rows)
 
     def _needs_per_step_host_state(self, so: SchedulerOutput) -> bool:
         """Penalty sampling needs the token-history tensors rebuilt host-side
@@ -1095,9 +1172,10 @@ class ModelRunner:
 
     def _make_output(
         self, req_ids: list[str], out: SamplerOutput, so: SchedulerOutput,
-        s_rows: int = 1,
+        s_rows: int = 1, draft_rows=None,
     ) -> ModelRunnerOutput:
         tokens = np.asarray(out.token_ids)
+        drafts_np = np.asarray(draft_rows) if draft_rows is not None else None
         any_lp = any(
             self.requests[rid].sampling_params.logprobs is not None
             for rid in req_ids
@@ -1143,4 +1221,9 @@ class ModelRunner:
             result.sampled_token_ids.append(emitted)
             st.token_ids.extend(emitted)
             result.logprobs.append(lps if want_lp else None)
+            if drafts_np is not None and emitted:
+                # the MTP draft conditioned on the LAST COMMITTED row's
+                # sampled token proposes the next step's speculative token
+                last_row = i * s_rows + len(emitted) - 1
+                result.draft_tokens[rid] = [int(drafts_np[last_row])]
         return result

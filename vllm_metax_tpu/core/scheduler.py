@@ -83,18 +83,25 @@ class Scheduler:
         self.config = scheduler_config
         self.max_model_len = max_model_len
         self.proposer = None
+        # MTP/EAGLE-style drafts are produced by the RUNNER (model draft
+        # head) and fed back via req.spec_token_ids between steps; the
+        # scheduler only schedules the verify rows.
+        self.external_drafts = False
         if speculative_config is not None and speculative_config.enabled:
-            if speculative_config.method != "ngram":
+            if speculative_config.method == "ngram":
+                from vllm_metax_tpu.spec_decode import NgramProposer
+
+                self.proposer = NgramProposer(
+                    speculative_config.prompt_lookup_min,
+                    speculative_config.prompt_lookup_max,
+                    speculative_config.num_speculative_tokens,
+                )
+            elif speculative_config.method == "mtp":
+                self.external_drafts = True
+            else:
                 raise ValueError(
                     f"unsupported speculative method {speculative_config.method!r}"
                 )
-            from vllm_metax_tpu.spec_decode import NgramProposer
-
-            self.proposer = NgramProposer(
-                speculative_config.prompt_lookup_min,
-                speculative_config.prompt_lookup_max,
-                speculative_config.num_speculative_tokens,
-            )
         self.kv_manager = KVCacheManager(
             cache_config.num_blocks,
             cache_config.block_size,
@@ -171,6 +178,27 @@ class Scheduler:
                     req.spec_token_ids = drafts
                     if drafts:
                         out.num_scheduled_spec_tokens[req.req_id] = list(drafts)
+        elif self.external_drafts:
+            # drafts were set on the request by the engine from the runner's
+            # MTP head output after the previous step
+            for req in self.running:
+                drafts = req.spec_token_ids
+                ok = (
+                    req.status == RequestStatus.RUNNING
+                    and req.num_tokens - req.num_computed_tokens == 1
+                    and req.num_output_tokens > 0
+                    and not getattr(
+                        req.sampling_params, "_guided_token_choices", None
+                    )
+                    and not getattr(req.sampling_params, "_guided_fsm", None)
+                )
+                if not ok:
+                    req.spec_token_ids = []
+                    continue
+                room = self.max_model_len - req.num_tokens - 1
+                req.spec_token_ids = drafts = list(drafts)[: max(room, 0)]
+                if drafts:
+                    out.num_scheduled_spec_tokens[req.req_id] = list(drafts)
 
         # Multi-step decode: when every running request is decode-ready and
         # nothing is waiting, reserve KV slots for M steps so the runner can

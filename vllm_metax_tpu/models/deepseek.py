@@ -47,8 +47,10 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def kv_cache_spec(cfg: ModelConfig) -> dict:
+    # the MTP spec head is one extra MLA layer with its own KV range
+    # (ref: deepseek_mtp.py DeepSeekMultiTokenPredictorLayer.mtp_block)
     return {
-        "num_layers": cfg.num_hidden_layers,
+        "num_layers": cfg.num_hidden_layers + (1 if cfg.mtp_enabled else 0),
         "num_kv_heads": 1,
         "head_dim": cfg.kv_lora_rank + cfg.qk_rope_head_dim,
         "store_v": False,
@@ -279,7 +281,8 @@ def forward(
 
     from vllm_metax_tpu.ops.attention import layer_view
 
-    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    n_kv_layers = cfg.num_hidden_layers + (1 if cfg.mtp_enabled else 0)
+    nb_layer = kv_cache.k.shape[0] // n_kv_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
     def dense_layer(carry, l):
@@ -343,6 +346,97 @@ def forward(
         cfg.dtype
     )
     return hidden, new_kv
+
+
+def mtp_forward(
+    params: dict,
+    input_ids: jnp.ndarray,  # (T,) NEXT token per row (sampled/ground truth)
+    prev_hidden: jnp.ndarray,  # (T, E) main model's output hidden
+    kv_cache: KVCache,
+    md: AttentionMetadata,  # UN-rebased step metadata (global layer 0 view)
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
+):
+    """DeepSeek MTP spec head: one extra decoder layer predicting token t+2
+    from (hidden_t, emb(token_{t+1})).
+
+    Ref: deepseek_mtp.py DeepSeekMultiTokenPredictorLayer.forward —
+    enorm(emb) ++ hnorm(hidden) → eh_proj → mtp_block; embeddings at
+    position 0 are zeroed (:81). The block's KV lives in the pool's LAST
+    layer range (kv_cache_spec adds it when cfg.mtp_enabled).
+
+    Returns (mtp hidden (T, E) pre-shared-head-norm, new kv_cache); the
+    caller selects draft rows and applies mtp_compute_logits."""
+    from vllm_metax_tpu.ops.attention import layer_view
+
+    mp = params["mtp"]
+    hq = num_q_heads or cfg.num_q_heads
+    eps = cfg.rms_norm_eps
+    act_fn = ACT2FN[cfg.hidden_act]
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    emb_table = mp.get("embed", params["embed"])
+    emb = jnp.take(emb_table, input_ids, axis=0).astype(cfg.dtype)
+    emb = jnp.where(md.positions[:, None] == 0, 0, emb)
+    # model.forward returns the PRE-final-norm hidden; the reference's MTP
+    # consumes the model output (post final norm), so apply it here
+    prev = rms_norm(prev_hidden, params["final_norm"], eps)
+    x = jnp.concatenate(
+        [rms_norm(emb, mp["enorm"], eps), rms_norm(prev, mp["hnorm"], eps)],
+        axis=-1,
+    )
+    hidden = apply_linear(mp["eh_proj"], x)  # (T, E)
+
+    n_kv_layers = cfg.num_hidden_layers + 1
+    nb_layer = kv_cache.k.shape[0] // n_kv_layers
+    md_l = layer_view(
+        md, cfg.num_hidden_layers, nb_layer, nb_layer * kv_cache.block_size
+    )
+    lp = mp["layer"]
+    normed, residual = fused_add_rms_norm(
+        hidden, jnp.zeros_like(hidden), lp["ln1"], eps
+    )
+    attn_out, kv_cache = _mla_block(
+        lp, normed, kv_cache, md_l, cfg, hq, params["rope_cache"], maybe_psum
+    )
+    normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
+    if "experts_gate_up" in lp:
+        mlp = _moe_block(lp, normed, cfg, act_fn, axis_name, ep_axis_name)
+    else:
+        mlp = maybe_psum(
+            apply_linear(lp["down"], act_fn(apply_linear(lp["gate_up"], normed)))
+        )
+    hidden = (
+        mlp.astype(jnp.float32) + residual.astype(jnp.float32)
+    ).astype(cfg.dtype)
+    return hidden, kv_cache
+
+
+def mtp_compute_logits(
+    params: dict,
+    hidden: jnp.ndarray,  # (R, E) — already gathered at draft rows
+    cfg: ModelConfig,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """shared_head: norm + lm head (ref: deepseek_mtp.py SharedHead).
+    Falls back to the main lm_head when the checkpoint has no
+    shared_head.head weights."""
+    mp = params["mtp"]
+    normed = rms_norm(hidden, mp["final_norm"], cfg.rms_norm_eps)
+    head = mp.get("head", params.get("lm_head"))
+    if head is None:  # tied embeddings — replicated
+        logits = jnp.dot(
+            normed, params["embed"].T, preferred_element_type=jnp.float32
+        )
+    else:
+        logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
+        if axis_name:  # vocab-sharded head: gather shards → full vocab
+            logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+    return logits[:, : cfg.vocab_size]
 
 
 # ---------------------------------------------------------------- params
@@ -445,6 +539,15 @@ def init_params(
         params["dense_layers"] = stack([dense_layer() for _ in range(k_dense)])
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense((e, cfg.vocab_size), scale=0.02)
+    if cfg.mtp_enabled:
+        layer = moe_layer() if cfg.num_experts else dense_layer()
+        params["mtp"] = {
+            "enorm": jnp.ones((e,), dt),
+            "hnorm": jnp.ones((e,), dt),
+            "eh_proj": {"w": dense((2 * e, e))},
+            "final_norm": jnp.ones((e,), dt),
+            "layer": layer,
+        }
     return params
 
 
@@ -559,6 +662,69 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
         params["dense_layers"] = stack(dense_layers)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = get("lm_head.weight").T
+    if cfg.mtp_enabled:
+        # MTP spec layer lives at index num_hidden_layers in the checkpoint
+        # (ref: deepseek_mtp.py mtp_start_layer_idx; weights model.layers.{L}.
+        # enorm/hnorm/eh_proj/shared_head/embed_tokens + a full decoder layer)
+        if cfg.num_nextn_predict_layers < 1:
+            raise ValueError(
+                "speculative method 'mtp' but the checkpoint has no MTP "
+                "layers (num_nextn_predict_layers == 0)"
+            )
+        pre = f"model.layers.{cfg.num_hidden_layers}"
+        lp = attn_params(pre)
+        lp["ln1"] = get(f"{pre}.input_layernorm.weight")
+        lp["ln2"] = get(f"{pre}.post_attention_layernorm.weight")
+        if reader.has(f"{pre}.mlp.gate.weight"):
+            lp["router"] = get_linear(f"{pre}.mlp.gate")
+            if reader.has(f"{pre}.mlp.gate.e_score_correction_bias"):
+                lp["router_bias"] = jnp.asarray(
+                    reader.get(f"{pre}.mlp.gate.e_score_correction_bias"),
+                    jnp.float32,
+                )
+            gu, dn = expert_bank(pre)
+            lp["experts_gate_up"] = gu
+            lp["experts_down"] = dn
+            if cfg.num_shared_experts:
+                lp["gate_up_shared"] = quantize(
+                    {
+                        "w": jnp.concatenate(
+                            [
+                                get(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
+                                get(f"{pre}.mlp.shared_experts.up_proj.weight").T,
+                            ],
+                            axis=-1,
+                        )
+                    }
+                )
+                lp["down_shared"] = quantize(
+                    get_linear(f"{pre}.mlp.shared_experts.down_proj")
+                )
+        else:
+            lp["gate_up"] = quantize(
+                {
+                    "w": jnp.concatenate(
+                        [
+                            get(f"{pre}.mlp.gate_proj.weight").T,
+                            get(f"{pre}.mlp.up_proj.weight").T,
+                        ],
+                        axis=-1,
+                    )
+                }
+            )
+            lp["down"] = quantize(get_linear(f"{pre}.mlp.down_proj"))
+        mtp = {
+            "enorm": get(f"{pre}.enorm.weight"),
+            "hnorm": get(f"{pre}.hnorm.weight"),
+            "eh_proj": get_linear(f"{pre}.eh_proj"),
+            "final_norm": get(f"{pre}.shared_head.norm.weight"),
+            "layer": lp,
+        }
+        if reader.has(f"{pre}.embed_tokens.weight"):
+            mtp["embed"] = get(f"{pre}.embed_tokens.weight")
+        if reader.has(f"{pre}.shared_head.head.weight"):
+            mtp["head"] = get(f"{pre}.shared_head.head.weight").T
+        params["mtp"] = mtp
     return params
 
 
@@ -631,6 +797,24 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
+    if cfg.mtp_enabled:
+        # MTP layer params are UNSTACKED (no leading L axis): strip the
+        # leading spec entry of the per-layer specs
+        strip = lambda sp: P(*tuple(sp)[1:])  # noqa: E731
+        layer_specs = jax.tree_util.tree_map(
+            strip,
+            moe_layer if cfg.num_experts else dense_layer,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        specs["mtp"] = {
+            "enorm": P(None),
+            "hnorm": P(None),
+            "eh_proj": {"w": P(None, None)},
+            "final_norm": P(None),
+            "layer": layer_specs,
+            "embed": P(None, None),
+            "head": P(None, "tp"),
+        }
     return specs
 
 
@@ -670,4 +854,10 @@ def prepare_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
     if "dense_layers" in params:
         out["dense_layers"] = fix_group(params["dense_layers"], moe=False)
     out["moe_layers"] = fix_group(params["moe_layers"], moe=True)
+    if "mtp" in params:
+        mtp = dict(params["mtp"])
+        mtp["layer"] = fix_group(
+            params["mtp"]["layer"], moe="experts_gate_up" in params["mtp"]["layer"]
+        )
+        out["mtp"] = mtp
     return out
