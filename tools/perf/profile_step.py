@@ -36,15 +36,14 @@ def main():
             rng.integers(1, vocab, size=prompt_len).tolist(),
             SamplingParams(max_tokens=decode_len, temperature=0.8, seed=i),
         )
-    # steady state: finish all prefills + warm the decode executable
-    # (stop as soon as decode output starts flowing so requests remain live)
-    decoded = 0
+    # steady state: run until ONE multi-step decode window has executed
+    # (a step that emits >= 2*num_reqs tokens), so the window executable is
+    # compiled and the next windows are the real steady-state decode
     for _ in range(200):
         if not engine.has_unfinished_requests():
             break
         outs = engine.step()
-        decoded += sum(len(o.new_token_ids) for o in outs)
-        if decoded >= 2 * num_reqs:
+        if sum(len(o.new_token_ids) for o in outs) >= 2 * num_reqs:
             break
 
     trace_dir = "/tmp/jaxtrace_step"

@@ -720,7 +720,10 @@ class ModelRunner:
         req_ids = list(so.num_scheduled_tokens.keys())
         num_reqs = len(req_ids)
         m = so.num_decode_steps
-        rb = pick_bucket(self.req_buckets, num_reqs)
+        # multi-step windows always pad to the TOP request bucket: decode is
+        # weight-read-bound, so padded rows are nearly free, while per-bucket
+        # recompiles of the M-step program (ragged batch tails) cost seconds
+        rb = self.req_buckets[-1]
         maxb = self.max_blocks_per_req
 
         # Warm-window reuse: between consecutive pure-decode windows with the
