@@ -1,0 +1,181 @@
+"""Multi-LoRA serving: adapter math, batching, and TP parity.
+
+Reference analog: the LoRA flows of examples/offline_inference/
+multilora_inference.py and lora_with_quantization_inference.py. The oracle
+is MERGED WEIGHTS: W' = W + scale * (A @ B) folded into a checkpoint must
+generate the same greedy tokens as the base checkpoint + runtime adapter.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vllm_metax_tpu.lora import LoRARequest
+from vllm_metax_tpu.sample.params import SamplingParams
+
+RANK, ALPHA = 4, 8.0
+TARGETS = ("q_proj", "v_proj", "o_proj", "gate_proj", "down_proj")
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    """(base checkpoint, adapter dir, merged checkpoint, adapter2 dir)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    root = tmp_path_factory.mktemp("lora")
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(cfg).eval()
+    base = str(root / "base")
+    m.save_pretrained(base, safe_serialization=True)
+
+    rng = np.random.default_rng(7)
+
+    def make_adapter(path, seed_scale):
+        tensors = {}
+        for l, layer in enumerate(m.model.layers):
+            mods = {
+                "q_proj": layer.self_attn.q_proj,
+                "v_proj": layer.self_attn.v_proj,
+                "o_proj": layer.self_attn.o_proj,
+                "gate_proj": layer.mlp.gate_proj,
+                "down_proj": layer.mlp.down_proj,
+            }
+            for tgt in TARGETS:
+                w = mods[tgt].weight  # (out, in)
+                a = (rng.standard_normal((RANK, w.shape[1])) * 0.05
+                     * seed_scale).astype(np.float32)
+                b = (rng.standard_normal((w.shape[0], RANK)) * 0.05).astype(
+                    np.float32
+                )
+                pre = f"base_model.model.model.layers.{l}.{_mod_path(tgt)}"
+                tensors[f"{pre}.lora_A.weight"] = a
+                tensors[f"{pre}.lora_B.weight"] = b
+        os.makedirs(path, exist_ok=True)
+        from safetensors.numpy import save_file
+
+        save_file(tensors, os.path.join(path, "adapter_model.safetensors"))
+        with open(os.path.join(path, "adapter_config.json"), "w") as f:
+            json.dump({"r": RANK, "lora_alpha": ALPHA,
+                       "target_modules": list(TARGETS)}, f)
+        return tensors
+
+    adapter1 = str(root / "adapter1")
+    t1 = make_adapter(adapter1, 1.0)
+    adapter2 = str(root / "adapter2")
+    make_adapter(adapter2, -1.3)
+
+    # merged-weight oracle for adapter1
+    scale = ALPHA / RANK
+    with torch.no_grad():
+        for l, layer in enumerate(m.model.layers):
+            mods = {
+                "q_proj": layer.self_attn.q_proj,
+                "v_proj": layer.self_attn.v_proj,
+                "o_proj": layer.self_attn.o_proj,
+                "gate_proj": layer.mlp.gate_proj,
+                "down_proj": layer.mlp.down_proj,
+            }
+            for tgt in TARGETS:
+                pre = f"base_model.model.model.layers.{l}.{_mod_path(tgt)}"
+                a = torch.tensor(t1[f"{pre}.lora_A.weight"])
+                b = torch.tensor(t1[f"{pre}.lora_B.weight"])
+                mods[tgt].weight += scale * (b @ a)
+    merged = str(root / "merged")
+    m.save_pretrained(merged, safe_serialization=True)
+    return base, adapter1, merged, adapter2
+
+
+def _mod_path(tgt):
+    return (f"self_attn.{tgt}" if tgt.endswith(("q_proj", "k_proj", "v_proj",
+                                                "o_proj"))
+            else f"mlp.{tgt}")
+
+
+PROMPT = [1, 5, 9, 13, 200, 47]
+GREEDY = SamplingParams(max_tokens=10, temperature=0.0)
+
+
+def _llm(path, **kw):
+    from vllm_metax_tpu.entrypoints.llm import LLM
+
+    return LLM(model=path, dtype="float32", max_model_len=256, **kw)
+
+
+def test_lora_matches_merged_weights(ckpts):
+    base, adapter1, merged, _ = ckpts
+    ref = _llm(merged).generate(prompt_token_ids=[PROMPT],
+                                sampling_params=GREEDY)[0].outputs[0].token_ids
+    llm = _llm(base, enable_lora=True, max_lora_rank=RANK)
+    out = llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY,
+        lora_request=LoRARequest("a1", 1, adapter1),
+    )[0].outputs[0].token_ids
+    assert out == ref
+    # and the base path is untouched (slot 0)
+    base_ref = _llm(base).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+    base_out = llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+    assert base_out == base_ref
+    assert base_out != out  # the adapter actually changed the stream
+
+
+def test_multi_lora_batched(ckpts):
+    """Base + two different adapters in ONE batch, each matching its solo run."""
+    base, adapter1, _, adapter2 = ckpts
+    llm = _llm(base, enable_lora=True, max_lora_rank=RANK)
+    r1 = LoRARequest("a1", 1, adapter1)
+    r2 = LoRARequest("a2", 2, adapter2)
+    solo = {}
+    for name, lr in [("none", None), ("a1", r1), ("a2", r2)]:
+        solo[name] = llm.generate(
+            prompt_token_ids=[PROMPT], sampling_params=GREEDY,
+            lora_request=lr,
+        )[0].outputs[0].token_ids
+    outs = llm.generate(
+        prompt_token_ids=[PROMPT, PROMPT, PROMPT],
+        sampling_params=GREEDY,
+        lora_request=[None, r1, r2],
+    )
+    assert outs[0].outputs[0].token_ids == solo["none"]
+    assert outs[1].outputs[0].token_ids == solo["a1"]
+    assert outs[2].outputs[0].token_ids == solo["a2"]
+    assert len({tuple(v) for v in solo.values()}) == 3  # all distinct
+
+
+def test_lora_tp2_matches_single_device(ckpts):
+    base, adapter1, _, _ = ckpts
+    lr = LoRARequest("a1", 1, adapter1)
+    ref = _llm(base, enable_lora=True, max_lora_rank=RANK).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY, lora_request=lr
+    )[0].outputs[0].token_ids
+    out = _llm(base, enable_lora=True, max_lora_rank=RANK,
+               tensor_parallel_size=2).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY, lora_request=lr
+    )[0].outputs[0].token_ids
+    assert out == ref
+
+
+def test_lora_slot_exhaustion(ckpts):
+    base, adapter1, _, adapter2 = ckpts
+    llm = _llm(base, enable_lora=True, max_loras=1, max_lora_rank=RANK)
+    llm.engine.runner.add_lora("a1", adapter1)
+    with pytest.raises(RuntimeError, match="max_loras"):
+        llm.engine.runner.add_lora("a2", adapter2)
+
+
+def test_lora_rank_cap(ckpts):
+    base, adapter1, _, _ = ckpts
+    llm = _llm(base, enable_lora=True, max_lora_rank=2)
+    with pytest.raises(ValueError, match="max_lora_rank"):
+        llm.engine.runner.add_lora("a1", adapter1)

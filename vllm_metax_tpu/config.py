@@ -394,6 +394,8 @@ class EngineConfig:
         default_factory=ObservabilityConfig
     )
     speculative_config: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+    # multi-LoRA serving (None = disabled); see vllm_metax_tpu/lora.py
+    lora_config: Optional["object"] = None
 
     def __post_init__(self):
         self.check_and_update()

@@ -45,6 +45,7 @@ class EngineCore:
         prompt_token_ids: list[int],
         sampling_params: SamplingParams,
         eos_token_id: Optional[int] = None,
+        lora_name: Optional[str] = None,
     ) -> None:
         if len(prompt_token_ids) >= self.config.model_config.max_model_len:
             raise ValueError(
@@ -58,6 +59,7 @@ class EngineCore:
                 sampling_params=sampling_params,
                 eos_token_id=eos_token_id,
                 arrival_time=time.time(),
+                lora_name=lora_name,
             )
         )
         self.traces[req_id] = RequestTrace(

@@ -44,6 +44,7 @@ class Request:
     sampling_params: SamplingParams
     eos_token_id: Optional[int] = None
     arrival_time: float = 0.0
+    lora_name: Optional[str] = None  # LoRA adapter handle (vllm_metax_tpu/lora.py)
 
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)

@@ -51,6 +51,7 @@ class CachedReqState:
     generator_seed: Optional[int] = None
     constraint: Optional[object] = None  # structured-output FSM
     eos_token_id: Optional[int] = None
+    lora_slot: int = 0  # adapter bank slot (0 = no adapter)
 
 
 @dataclass
@@ -133,10 +134,17 @@ class ModelRunner:
                     f"divide tensor_parallel_size={self.tp_size}"
                 )
         self.rng = np.random.default_rng(config.load_config.seed)
+        self.lora_cfg = config.lora_config
+        self.lora_mgr = None
+        if self.lora_cfg is not None:
+            from vllm_metax_tpu.lora import LoRAManager
+
+            self.lora_mgr = LoRAManager(self.lora_cfg)
 
         if params is None:
             params = self._load_params()
         params = self._finalize_quant_layout(params)
+        params = self._init_lora_banks(params)
         if self._is_sharded:
             params = self._shard_params(params)
         self.params = params
@@ -234,6 +242,77 @@ class ModelRunner:
             return out
 
         return fix(params)
+
+    def _init_lora_banks(self, params):
+        """Zero multi-LoRA banks inside the layer param dicts (llama-family
+        fused targets); see vllm_metax_tpu/lora.py for the layout."""
+        if self.lora_cfg is None:
+            return params
+        from vllm_metax_tpu.lora import empty_banks
+
+        layers = params.get("layers")
+        if layers is None or "qkv" not in layers:
+            raise NotImplementedError(
+                f"LoRA is supported for llama-family models; "
+                f"{self.model_cfg.architecture} has no fused qkv layout"
+            )
+        banks = empty_banks(self.model_cfg, self.lora_cfg, self.model_cfg.dtype)
+        layers = dict(layers)
+        for name in ("qkv", "o", "gate_up", "down"):
+            tgt = dict(layers[name])
+            tgt["lora_A"] = banks[name]["lora_A"]
+            tgt["lora_B"] = banks[name]["lora_B"]
+            tgt["lora_s"] = banks["lora_s"]
+            layers[name] = tgt
+        out = dict(params)
+        out["layers"] = layers
+        return out
+
+    def add_lora(self, name: str, path: str) -> int:
+        """Load an HF peft adapter into a free slot. Returns the slot id."""
+        if self.lora_mgr is None:
+            raise RuntimeError("LoRA is not enabled (pass lora_config)")
+        if name in self.lora_mgr.slots:
+            return self.lora_mgr.slots[name]
+        from vllm_metax_tpu.lora import adapter_to_banks, load_peft_adapter
+        from vllm_metax_tpu.models import llama as _llama_mod
+
+        tensors, scaling, _rank = load_peft_adapter(path)
+        banks = adapter_to_banks(tensors, self.model_cfg, self.lora_cfg)
+        slot = self.lora_mgr.assign(name)
+        cfg = self.model_cfg
+        layers = dict(self.params["layers"])
+        for tgt_name, ab in banks.items():
+            a, b = ab["A"], ab["B"]
+            if self.tp_size > 1 and tgt_name in ("qkv", "gate_up"):
+                # B columns follow the base weights' rank-major column order
+                hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+                widths = (
+                    [hq * d, hkv * d, hkv * d]
+                    if tgt_name == "qkv"
+                    else [cfg.intermediate_size, cfg.intermediate_size]
+                )
+                perm = _llama_mod._rank_major_perm(widths, self.tp_size)
+                b = b[:, :, perm]
+            tgt = dict(layers[tgt_name])
+            tgt["lora_A"] = tgt["lora_A"].at[:, slot].set(
+                jnp.asarray(a, tgt["lora_A"].dtype)
+            )
+            tgt["lora_B"] = tgt["lora_B"].at[:, slot].set(
+                jnp.asarray(b, tgt["lora_B"].dtype)
+            )
+            tgt["lora_s"] = tgt["lora_s"].at[slot].set(scaling)
+            layers[tgt_name] = tgt
+        # targets the adapter does not touch still need the slot scale set
+        # (their A/B stay zero, so the delta stays zero)
+        for tgt_name in ("qkv", "o", "gate_up", "down"):
+            if tgt_name not in banks:
+                tgt = dict(layers[tgt_name])
+                tgt["lora_s"] = tgt["lora_s"].at[slot].set(scaling)
+                layers[tgt_name] = tgt
+        self.params = dict(self.params)
+        self.params["layers"] = layers
+        return slot
 
     def _alloc_kv_cache(self) -> None:
         # one flat page pool for all layers (layer l owns pages
@@ -414,13 +493,15 @@ class ModelRunner:
             return vals
         return KVCache(vals.k, vals.v, scales[0], scales[1])
 
-    def _get_step_fn(self, all_greedy: bool, need_logprobs: bool):
-        key = (all_greedy, need_logprobs)
+    def _get_step_fn(self, all_greedy: bool, need_logprobs: bool,
+                     plain: bool = False):
+        key = (all_greedy, need_logprobs, plain)
         if key not in self._step_fns:
-            self._step_fns[key] = self._build_step_fn(all_greedy, need_logprobs)
+            self._step_fns[key] = self._build_step_fn(all_greedy, need_logprobs, plain)
         return self._step_fns[key]
 
-    def _build_step_fn(self, all_greedy: bool = False, need_logprobs: bool = True):
+    def _build_step_fn(self, all_greedy: bool = False, need_logprobs: bool = True,
+                        plain: bool = False):
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
         pp = self.pp_size
@@ -486,7 +567,7 @@ class ModelRunner:
                 rows_b = jnp.arange(logits.shape[0], dtype=jnp.int32)[:, None]
                 logits = logits.at[rows_b, ban_ids].set(-1e30, mode="drop")
                 logits = logits.at[rows_b, bias_ids].add(bias_vals, mode="drop")
-            out = sample(logits, st, all_greedy, need_logprobs)
+            out = sample(logits, st, all_greedy, need_logprobs, plain)
             drafts = None
             if mtp_next is not None:
                 # MTP draft head: one extra decoder-layer pass over the step's
@@ -560,6 +641,14 @@ class ModelRunner:
         for nr in so.scheduled_new_reqs:
             from vllm_metax_tpu.structured_output import build_constraint
 
+            lora_slot = 0
+            lora_name = getattr(nr, "lora_name", None)
+            if lora_name is not None:
+                if self.lora_mgr is None:
+                    raise RuntimeError(
+                        "request has a LoRA adapter but LoRA is not enabled"
+                    )
+                lora_slot = self.lora_mgr.slot_of(lora_name)
             self.requests[nr.req_id] = CachedReqState(
                 token_ids=list(nr.prompt_token_ids),
                 block_ids=list(nr.block_ids),
@@ -571,6 +660,7 @@ class ModelRunner:
                     nr.sampling_params, getattr(nr, "eos_token_id", None)
                 ),
                 eos_token_id=getattr(nr, "eos_token_id", None),
+                lora_slot=lora_slot,
             )
         for cr in so.scheduled_cached_reqs:
             st = self.requests[cr.req_id]
@@ -584,7 +674,7 @@ class ModelRunner:
     # ------------------------------------------------------------ multi-step
 
     def _build_multi_step_fn(self, rb: int, m: int, all_greedy: bool = False,
-                             need_logprobs: bool = True):
+                             need_logprobs: bool = True, plain: bool = False):
         """M decode steps fused into one jitted lax.scan: forward → sample →
         feed the token back, KV appended in place each step. One host round
         trip per M tokens instead of per token."""
@@ -659,7 +749,7 @@ class ModelRunner:
                     frequency_penalty=st.frequency_penalty,
                     repetition_penalty=st.repetition_penalty,
                 )
-                out = sample(logits, st_step, all_greedy, need_logprobs)
+                out = sample(logits, st_step, all_greedy, need_logprobs, plain)
                 return (kv, out.token_ids, pos + 1), (
                     out.token_ids,
                     out.chosen_logprob,
@@ -757,7 +847,7 @@ class ModelRunner:
             dev_bt = cache["bt"]
             dev_valid = cache["valid"]
             st_tensors = cache["st"]
-            all_greedy, need_lp = cache["mode"]
+            all_greedy, need_lp, plain = cache["mode"]
             if warm_delta:
                 block_tables = np.zeros((rb, maxb), np.int32)
                 for i, rid in enumerate(req_ids):
@@ -785,16 +875,17 @@ class ModelRunner:
                 self.requests[rid].sampling_params.logprobs is not None
                 for rid in req_ids
             )
+            plain = self._plain_sampling(req_ids)
             dev_tokens = jnp.asarray(tokens0)
             dev_pos = jnp.asarray(pos0)
             dev_bt = jnp.asarray(block_tables)
             dev_valid = jnp.asarray(valid)
             st_tensors = self._build_sampling_tensors(req_ids, rb)
 
-        key = (rb, m, all_greedy, need_lp)
+        key = (rb, m, all_greedy, need_lp, plain)
         if key not in self._multi_step_fns:
             self._multi_step_fns[key] = self._build_multi_step_fn(
-                rb, m, all_greedy, need_lp
+                rb, m, all_greedy, need_lp, plain
             )
         fn = self._multi_step_fns[key]
 
@@ -822,7 +913,7 @@ class ModelRunner:
             "bt": dev_bt,
             "valid": dev_valid,
             "st": st_tensors,
-            "mode": (all_greedy, need_lp),
+            "mode": (all_greedy, need_lp, plain),
         }
         # fetch only what's needed: each device→host read costs a full
         # round trip on remote-attached TPUs
@@ -938,6 +1029,15 @@ class ModelRunner:
         decode_only = s_rows == 1 and all(
             so.num_scheduled_tokens[rid] == 1 for rid in req_ids
         )
+        lora_idx = None
+        if self.lora_cfg is not None:
+            lora_np = np.zeros(tb, np.int32)
+            offset = 0
+            for rid in req_ids:
+                n = so.num_scheduled_tokens[rid]
+                lora_np[offset : offset + n] = self.requests[rid].lora_slot
+                offset += n
+            lora_idx = jnp.asarray(lora_np)
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(slot_mapping),
             block_tables=jnp.asarray(block_tables),
@@ -946,6 +1046,7 @@ class ModelRunner:
             req_idx=jnp.asarray(req_idx),
             positions=jnp.asarray(positions),
             num_seqs=jnp.asarray(num_reqs, jnp.int32),
+            lora_idx=lora_idx,
             decode_only=decode_only,
         )
 
@@ -1067,6 +1168,7 @@ class ModelRunner:
             self.requests[rid].sampling_params.logprobs is not None
             for rid in req_ids
         )
+        plain = self._plain_sampling(req_ids)
         mtp_next = None
         if self.mtp:
             # known next token per row (prefill ground truth); -1 rows take
@@ -1081,7 +1183,7 @@ class ModelRunner:
                 mtp_np[offset : offset + len(known)] = known
                 offset += n
             mtp_next = jnp.asarray(mtp_np)
-        step_fn = self._get_step_fn(all_greedy, need_lp)
+        step_fn = self._get_step_fn(all_greedy, need_lp, plain)
         (out, draft_rows), self.kv_cache = step_fn(
             self.params,
             self.kv_cache,
@@ -1114,11 +1216,24 @@ class ModelRunner:
                 return True
             if sp.bad_words_token_ids:
                 return True
+            if self.requests[rid].lora_slot:
+                # LoRA rows need md.lora_idx, which the on-device multi-step
+                # window does not thread yet
+                return True
             if sp.min_tokens and len(
                 self.requests[rid].token_ids
             ) - self.requests[rid].prompt_len < sp.min_tokens:
                 return True
         return False
+
+    def _plain_sampling(self, req_ids) -> bool:
+        """True when no scheduled row uses top-k/top-p/min-p — the sampler
+        then skips the truncation machinery (static fast path)."""
+        for rid in req_ids:
+            sp = self.requests[rid].sampling_params
+            if sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0:
+                return False
+        return True
 
     def _build_sampling_tensors(
         self, req_ids: list[str], rb: int, s_rows: int = 1

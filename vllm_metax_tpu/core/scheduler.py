@@ -30,6 +30,7 @@ class NewReqData:
     num_computed_tokens: int
     sampling_params: object
     eos_token_id: object = None
+    lora_name: object = None
 
 
 @dataclass
@@ -301,6 +302,7 @@ class Scheduler:
                         num_computed_tokens=num_computed,
                         sampling_params=req.sampling_params,
                         eos_token_id=req.eos_token_id,
+                        lora_name=req.lora_name,
                     )
                 )
             out.num_scheduled_tokens[req.req_id] = num_new

@@ -48,6 +48,9 @@ def _build_engine_config(
     quantization: Optional[str] = None,
     seed: int = 0,
     speculative_config: Optional[dict] = None,
+    enable_lora: bool = False,
+    max_loras: int = 4,
+    max_lora_rank: int = 16,
 ) -> EngineConfig:
     overrides = {"dtype": dtype} if dtype != "auto" else {}
     if max_model_len:
@@ -77,6 +80,11 @@ def _build_engine_config(
     spec_cfg = SpeculativeConfig(**speculative_config) if speculative_config else (
         SpeculativeConfig()
     )
+    lora_cfg = None
+    if enable_lora:
+        from vllm_metax_tpu.lora import LoRAConfig
+
+        lora_cfg = LoRAConfig(max_loras=max_loras, max_lora_rank=max_lora_rank)
     return EngineConfig(
         model_config=model_config,
         cache_config=cache_config,
@@ -95,6 +103,7 @@ def _build_engine_config(
         load_config=LoadConfig(load_format=load_format, seed=seed),
         quant_config=quant_config,
         speculative_config=spec_cfg,
+        lora_config=lora_cfg,
     )
 
 
@@ -156,6 +165,7 @@ class LLM:
         sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
         *,
         prompt_token_ids: Optional[Sequence[Sequence[int]]] = None,
+        lora_request=None,  # LoRARequest or list thereof (vllm parity)
     ) -> list[RequestOutput]:
         if prompts is not None and isinstance(prompts, str):
             prompts = [prompts]
@@ -171,8 +181,20 @@ class LLM:
         if isinstance(sampling_params, SamplingParams):
             sampling_params = [sampling_params] * n
 
+        if lora_request is not None and not isinstance(lora_request, list):
+            lora_request = [lora_request] * n
+        lora_names = []
+        for lr in lora_request or [None] * n:
+            if lr is None:
+                lora_names.append(None)
+            else:
+                if lr.lora_path:
+                    self.engine.runner.add_lora(lr.lora_name, lr.lora_path)
+                lora_names.append(lr.lora_name)
+
         req_ids = []
-        for toks, sp in zip(prompt_token_ids, sampling_params):
+        for toks, sp, lname in zip(prompt_token_ids, sampling_params,
+                                    lora_names):
             if sp.bad_words and self.tokenizer is not None and not sp.bad_words_token_ids:
                 sp.bad_words_token_ids = tokenize_bad_words(
                     sp.bad_words, self.tokenizer
@@ -209,6 +231,7 @@ class LLM:
                     list(toks),
                     sp if sp.n == 1 else sp.child(k),
                     self.eos_token_id,
+                    lora_name=lname,
                 )
             req_ids.append(children)
 

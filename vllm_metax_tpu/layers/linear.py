@@ -35,11 +35,31 @@ def _idx(arr, layer_idx):
     return jax.lax.dynamic_index_in_dim(arr, layer_idx, keepdims=False)
 
 
-def apply_linear(p: dict, x: jnp.ndarray, layer_idx=None) -> jnp.ndarray:
+def apply_linear(
+    p: dict, x: jnp.ndarray, layer_idx=None, lora_idx=None
+) -> jnp.ndarray:
     stacked = layer_idx is not None
 
     def leaf(name):
         return _idx(p[name], layer_idx) if stacked else p[name]
+
+    def lora_delta(y):
+        # Batched multi-LoRA via mask-and-matmul (vllm_metax_tpu/lora.py):
+        # two tiny MXU passes over (n_slots * R) columns, no per-token
+        # gathers — the TPU-native replacement for punica BGMV.
+        if lora_idx is None or "lora_A" not in p:
+            return y
+        a = leaf("lora_A").astype(jnp.float32)  # (n, K, R)
+        b = leaf("lora_B").astype(jnp.float32)  # (n, R, N)
+        s = p["lora_s"]  # (n,) f32, slot 0 == 0.0
+        xa = jnp.einsum("tk,nkr->tnr", x.astype(jnp.float32), a)
+        mask = (
+            lora_idx[:, None]
+            == jnp.arange(a.shape[0], dtype=jnp.int32)[None, :]
+        )
+        xa = xa * (mask.astype(jnp.float32) * s[None, :])[..., None]
+        delta = jnp.einsum("tnr,nrm->tm", xa, b)
+        return y + delta.astype(y.dtype)
 
     if "w" in p:
         y = jnp.dot(x, leaf("w"), preferred_element_type=jnp.float32).astype(
@@ -78,4 +98,4 @@ def apply_linear(p: dict, x: jnp.ndarray, layer_idx=None) -> jnp.ndarray:
         raise ValueError(f"unknown linear param keys: {list(p)}")
     if "b" in p:
         y = y + leaf("b").astype(y.dtype)
-    return y
+    return lora_delta(y)

@@ -1,0 +1,187 @@
+"""Multi-LoRA serving: batched low-rank adapters over the base linears.
+
+Reference analog: vLLM's LoRA stack exercised by the reference's examples
+(examples/offline_inference/multilora_inference.py — LoRARequest, max_loras,
+max_lora_rank; lora_with_quantization_inference.py for LoRA over GPTQ/AWQ
+bases). The CUDA implementation gathers per-token adapter weights with
+punica BGMV kernels; the TPU-native form is MASK-AND-MATMUL:
+
+    xa[t, n, r] = x[t] @ A[n]          (one (T,K)@(K, n*R) MXU pass)
+    xa *= onehot(adapter_of_token)[..., None] * scale[n]
+    y  += reshape(xa) @ flatten(B)     (one (T, n*R)@(n*R, N) MXU pass)
+
+With n = max_loras (<= 8 typical) and R = max rank (<= 64), both passes are
+tiny next to the base GEMM and there are NO per-token gathers — everything
+rides the MXU with static shapes. Slot 0 is reserved for "no adapter"
+(zero scale), so unadapted tokens pass through untouched.
+
+Adapter banks live INSIDE the layer param dicts (stacked over layers like
+the base weights): {"lora_A": (L, n, K, R), "lora_B": (L, n, R, N),
+"lora_s": (n,)}. Fused base linears (qkv, gate_up) hold their targets
+block-diagonally in the R axis so one einsum covers all of them.
+
+Checkpoint format: HF peft (adapter_config.json + adapter_model.safetensors
+with base_model.model.…lora_A/B.weight tensors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+# fused base linear → (peft target names, column widths fn)
+_FUSED_TARGETS = {
+    "qkv": ("q_proj", "k_proj", "v_proj"),
+    "gate_up": ("gate_proj", "up_proj"),
+    "o": ("o_proj",),
+    "down": ("down_proj",),
+}
+
+
+@dataclass
+class LoRAConfig:
+    max_loras: int = 4  # concurrently-loaded adapters (slot 0 = none)
+    max_lora_rank: int = 16
+
+    @property
+    def num_slots(self) -> int:
+        return self.max_loras + 1  # + the reserved empty slot
+
+
+@dataclass
+class LoRARequest:
+    """Per-request adapter handle (mirrors vllm.lora.request.LoRARequest)."""
+
+    lora_name: str
+    lora_int_id: int = 0
+    lora_path: str = ""
+
+
+def bank_shapes(cfg, lora_cfg: LoRAConfig) -> dict:
+    """Per-target (K, R_total, N) for the llama-family fused layout."""
+    e, i = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, d = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    r = lora_cfg.max_lora_rank
+    return {
+        "qkv": (e, 3 * r, (hq + 2 * hkv) * d),
+        "o": (hq * d, r, e),
+        "gate_up": (e, 2 * r, 2 * i),
+        "down": (i, r, e),
+    }
+
+
+def empty_banks(cfg, lora_cfg: LoRAConfig, dtype) -> dict:
+    """Zero adapter banks for every supported target, stacked over layers."""
+    import jax.numpy as jnp
+
+    n = lora_cfg.num_slots
+    nl = cfg.num_hidden_layers
+    out = {}
+    for name, (k, rt, nn) in bank_shapes(cfg, lora_cfg).items():
+        out[name] = {
+            "lora_A": jnp.zeros((nl, n, k, rt), dtype),
+            "lora_B": jnp.zeros((nl, n, rt, nn), dtype),
+        }
+    # scales are per-slot, shared across layers/targets
+    out["lora_s"] = jnp.zeros((n,), jnp.float32)
+    return out
+
+
+def load_peft_adapter(path: str) -> tuple[dict, float, int]:
+    """Read an HF peft adapter directory.
+
+    Returns (tensors {layer: {target: {"A": (r,K), "B": (N,r)}}},
+    scaling alpha/r, rank)."""
+    with open(os.path.join(path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    rank = acfg["r"]
+    scaling = acfg.get("lora_alpha", rank) / rank
+    from safetensors.numpy import load_file
+
+    fname = os.path.join(path, "adapter_model.safetensors")
+    raw = load_file(fname)
+    out: dict = {}
+    for key, val in raw.items():
+        # base_model.model.model.layers.{l}.self_attn.q_proj.lora_A.weight
+        parts = key.split(".")
+        if "layers" not in parts:
+            continue
+        layer = int(parts[parts.index("layers") + 1])
+        target = next((t for grp in _FUSED_TARGETS.values() for t in grp
+                       if t in parts), None)
+        if target is None:
+            continue
+        ab = "A" if "lora_A" in key else "B"
+        out.setdefault(layer, {}).setdefault(target, {})[ab] = np.asarray(
+            val, np.float32
+        )
+    return out, scaling, rank
+
+
+def adapter_to_banks(tensors: dict, cfg, lora_cfg: LoRAConfig) -> dict:
+    """Pack a peft adapter into per-target fused (L, K, R_total, N) blocks:
+    A columns and B rows of each fused sub-target occupy its own R slice
+    (block-diagonal in R), zeros elsewhere."""
+    shapes = bank_shapes(cfg, lora_cfg)
+    r = lora_cfg.max_lora_rank
+    nl = cfg.num_hidden_layers
+    e, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_q_heads, cfg.num_kv_heads
+    widths = {
+        "qkv": [hq * d, hkv * d, hkv * d],
+        "o": [e],
+        "gate_up": [cfg.intermediate_size, cfg.intermediate_size],
+        "down": [e],
+    }
+    out = {}
+    for name, targets in _FUSED_TARGETS.items():
+        k, rt, nn = shapes[name]
+        a = np.zeros((nl, k, rt), np.float32)
+        b = np.zeros((nl, rt, nn), np.float32)
+        present = False
+        for l in range(nl):
+            lt = tensors.get(l, {})
+            col0 = 0
+            for j, tgt in enumerate(targets):
+                w = lt.get(tgt)
+                width = widths[name][j]
+                if w is not None and "A" in w and "B" in w:
+                    ra = w["A"].shape[0]
+                    if ra > r:
+                        raise ValueError(
+                            f"adapter rank {ra} > max_lora_rank {r}"
+                        )
+                    a[l, :, j * r : j * r + ra] = w["A"].T  # (K, ra)
+                    b[l, j * r : j * r + ra, col0 : col0 + width] = w["B"].T
+                    present = True
+                col0 += width
+        if present:
+            out[name] = {"A": a, "B": b}
+    return out
+
+
+class LoRAManager:
+    """Slot registry: adapter name → bank slot (1..max_loras)."""
+
+    def __init__(self, lora_cfg: LoRAConfig):
+        self.cfg = lora_cfg
+        self.slots: dict[str, int] = {}
+
+    def slot_of(self, name) -> int:
+        if name is None:
+            return 0
+        return self.slots[name]
+
+    def assign(self, name: str) -> int:
+        if name in self.slots:
+            return self.slots[name]
+        if len(self.slots) >= self.cfg.max_loras:
+            raise RuntimeError(
+                f"max_loras={self.cfg.max_loras} adapters already loaded"
+            )
+        slot = len(self.slots) + 1
+        self.slots[name] = slot
+        return slot

@@ -115,7 +115,8 @@ def run_layers(
                                               layers["ln1"][l], eps)
 
         # --- attention
-        qkv = apply_linear(layers["qkv"], normed, layer_idx=l)
+        qkv = apply_linear(layers["qkv"], normed, layer_idx=l,
+                           lora_idx=md.lora_idx)
         t = qkv.shape[0]
         q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
         q = q.reshape(t, hq, d)
@@ -130,15 +131,18 @@ def run_layers(
             q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
         )
         attn_out = maybe_psum(
-            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
+            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         lora_idx=md.lora_idx)
         )
 
         # --- mlp
         normed, residual = fused_add_rms_norm(attn_out, residual,
                                               layers["ln2"][l], eps)
-        gate_up = apply_linear(layers["gate_up"], normed, layer_idx=l)
+        gate_up = apply_linear(layers["gate_up"], normed, layer_idx=l,
+                               lora_idx=md.lora_idx)
         mlp_out = maybe_psum(
-            apply_linear(layers["down"], act_fn(gate_up), layer_idx=l)
+            apply_linear(layers["down"], act_fn(gate_up), layer_idx=l,
+                         lora_idx=md.lora_idx)
         )
 
         return (mlp_out, residual, kv), None
@@ -458,7 +462,10 @@ def _permute_cols(lin: dict, perm: np.ndarray) -> dict:
     (works for dense and all quantized layouts — they all carry N last)."""
     out = {}
     for key, arr in lin.items():
-        if key == "perm":  # input-dim activation permutation: N-independent
+        if key == "perm" or key.startswith("lora_"):
+            # input-dim activation permutation is N-independent; LoRA banks
+            # are permuted at adapter-load time (runner.add_lora) — lora_A's
+            # last axis is the rank, not N
             out[key] = arr
         else:
             out[key] = jnp.take(arr, perm, axis=-1)
@@ -537,6 +544,19 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
             "a8": P(),
             "act_s": P(None),
             "perm": P(None, "tp") if shard_axis == 0 else P(None, None),
+            # LoRA banks (L, n_slots, K, R) / (L, n_slots, R, N): B columns
+            # shard with the base output dim, A rows with the base input dim
+            "lora_A": (
+                P(None, None, None, None)
+                if shard_axis == 1
+                else P(None, None, "tp", None)
+            ),
+            "lora_B": (
+                P(None, None, None, "tp")
+                if shard_axis == 1
+                else P(None, None, None, None)
+            ),
+            "lora_s": P(None),
         }
         if shard_axis == 1:
             spec["b"] = P(None, "tp")

@@ -52,6 +52,9 @@ class AttentionMetadata:
     # localize_metadata) and attention does a distributed softmax over the
     # axis. Non-local blocks carry DCP_SENTINEL and must be masked.
     dcp_axis: Optional[str] = field(default=None, metadata=dict(static=True))
+    # per-token LoRA adapter slot (0 = none); models thread it into their
+    # apply_linear calls (vllm_metax_tpu/lora.py)
+    lora_idx: Optional[jnp.ndarray] = None
 
 
 def layer_view(

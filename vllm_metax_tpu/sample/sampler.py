@@ -94,17 +94,37 @@ def _nucleus_threshold(probs: jnp.ndarray, top_p: jnp.ndarray, iters: int = 30):
     return lo
 
 
+def _categorical(p: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
+    """Seeded exact categorical over unnormalized row probs via inverse-CDF.
+
+    One uniform per row + one cumsum pass — far cheaper than materializing a
+    per-row (V,) gumbel field (threefry for R*V values dominated the sampled
+    decode step on TPU, ~6ms at R=128, V=128k)."""
+    r = p.shape[0]
+    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s))(
+        seeds
+    )
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (), jnp.float32))(keys)
+    cdf = jnp.cumsum(p, axis=-1)
+    mass = cdf[:, -1]
+    tok = jnp.sum(cdf < (u * mass)[:, None], axis=-1).astype(jnp.int32)
+    return jnp.minimum(tok, p.shape[1] - 1)
+
+
 def sample(
     logits: jnp.ndarray,  # (R, V) f32
     st: SamplingTensors,
     all_greedy: bool = False,
     need_logprobs: bool = True,
+    plain: bool = False,
 ) -> SamplerOutput:
     """Batched sampling without a full-vocab sort.
 
-    `all_greedy` / `need_logprobs` are STATIC fast-path switches (the runner
-    compiles a variant per combination): a pure-greedy no-logprob decode step
-    is a single argmax over the logits — the common serving case.
+    `all_greedy` / `need_logprobs` / `plain` are STATIC fast-path switches
+    (the runner compiles a variant per combination): a pure-greedy no-logprob
+    decode step is a single argmax over the logits, and `plain` (no row uses
+    top-k/top-p/min-p) skips the truncation machinery entirely — the common
+    serving cases.
     """
     r, v = logits.shape
     logits = logits.astype(jnp.float32)
@@ -123,31 +143,29 @@ def sample(
     else:
         temp = jnp.maximum(st.temperature, 1e-6)[:, None]
         scaled = logits / temp
-        # top-k via the k-th value threshold (partial top-k, no full sort)
-        cap = min(TOP_K_CAP, v)
-        kvals = jax.lax.top_k(scaled, cap)[0]  # (R, cap) descending
-        k_eff = jnp.clip(st.top_k, 0, cap)
-        kth = jnp.take_along_axis(
-            kvals, jnp.maximum(k_eff - 1, 0)[:, None], axis=-1
-        )
-        masked = jnp.where(
-            (st.top_k[:, None] > 0) & (scaled < kth), _NEG_INF, scaled
-        )
-        probs = jax.nn.softmax(masked, axis=-1)
-        # top-p (nucleus) via threshold bisection
-        tau = _nucleus_threshold(probs, st.top_p)
-        masked = jnp.where(probs < tau, _NEG_INF, masked)
-        # min-p
-        pmax = jnp.max(probs, axis=-1, keepdims=True)
-        masked = jnp.where(probs < st.min_p[:, None] * pmax, _NEG_INF, masked)
-        # seeded gumbel-argmax categorical
-        keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.PRNGKey(0), s))(
-            st.seeds
-        )
-        gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (v,), jnp.float32))(
-            keys
-        )
-        sampled_ids = jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
+        if plain:
+            probs = jax.nn.softmax(scaled, axis=-1)
+        else:
+            # top-k via the k-th value threshold (partial top-k, no full sort)
+            cap = min(TOP_K_CAP, v)
+            kvals = jax.lax.top_k(scaled, cap)[0]  # (R, cap) descending
+            k_eff = jnp.clip(st.top_k, 0, cap)
+            kth = jnp.take_along_axis(
+                kvals, jnp.maximum(k_eff - 1, 0)[:, None], axis=-1
+            )
+            masked = jnp.where(
+                (st.top_k[:, None] > 0) & (scaled < kth), _NEG_INF, scaled
+            )
+            probs = jax.nn.softmax(masked, axis=-1)
+            # top-p (nucleus) via threshold bisection
+            tau = _nucleus_threshold(probs, st.top_p)
+            probs = jnp.where(probs < tau, 0.0, probs)
+            # min-p
+            pmax = jnp.max(probs, axis=-1, keepdims=True)
+            probs = jnp.where(
+                probs < st.min_p[:, None] * pmax, 0.0, probs
+            )
+        sampled_ids = _categorical(probs, st.seeds)
         token_ids = jnp.where(st.temperature == 0.0, greedy_ids, sampled_ids)
 
     if need_logprobs:
