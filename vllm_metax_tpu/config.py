@@ -160,6 +160,19 @@ class ModelConfig:
         if archs[0] == "GPTNeoXForCausalLM":
             kw["rope_theta"] = cfg.get("rotary_emb_base", 10000.0)
             kw["rms_norm_eps"] = cfg.get("layer_norm_eps", 1e-5)
+        if archs[0] == "BaiChuanMoEForCausalLM":
+            # MHA + rope_base theta; per-layer expert plan stays in hf_config
+            kw["rope_theta"] = cfg.get("rope_base", 10000.0)
+            routed = cfg.get("num_experts_routed_per_layer")
+            if routed:
+                if isinstance(routed, str):
+                    routed = [int(x) for x in routed.split(",")]
+                kw["num_experts"] = max(routed)
+            sel = cfg.get("num_experts_selected_per_layer")
+            if sel:
+                if isinstance(sel, str):
+                    sel = [int(x) for x in sel.split(",")]
+                kw["num_experts_per_tok"] = max(sel)
         if archs[0] == "OPTForCausalLM":
             kw["intermediate_size"] = cfg.get(
                 "ffn_dim", 4 * cfg["hidden_size"]

@@ -99,10 +99,13 @@ def _decode_kernel(
 
     def chunk_dma(c, slot, kind):
         for rr in range(NR):  # static unroll
-            @pl.when(c * ckv < sls[rr])
-            def _():
-                base = (req0 + rr) * maxb + c * ppc
-                for p in range(ppc):
+            base = (req0 + rr) * maxb + c * ppc
+            for p in range(ppc):
+                # page-level skip: only DMA pages the request's context
+                # actually reaches (chunk-level gating alone read the whole
+                # CKV span — up to ~45% wasted KV traffic at short contexts)
+                @pl.when(c * ckv + p * bs < sls[rr])
+                def _(p=p):
                     page = bt_ref[base + p]
                     off = rr * ckv + p * bs
                     dmas = [

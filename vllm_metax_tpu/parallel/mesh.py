@@ -71,6 +71,9 @@ def filter_specs(specs, params):
             k: filter_specs(specs[k], v) if isinstance(specs, dict) else specs
             for k, v in params.items()
         }
+    if isinstance(params, list) and isinstance(specs, list):
+        # per-layer param lists (heterogeneous models, e.g. baichuan_moe)
+        return [filter_specs(sp, pv) for sp, pv in zip(specs, params)]
     return specs
 
 
