@@ -72,13 +72,19 @@ def _build_engine(on_tpu: bool):
         )
         qc = QuantizationConfig(method="gptq", bits=4, group_size=128)
         # high concurrency amortizes the per-step weight read
-        num_reqs, prompt_len, decode_len = 128, 128, 128
+        num_reqs = int(os.environ.get("BENCH_NUM_REQS", "128"))
+        prompt_len = int(os.environ.get("BENCH_PROMPT_LEN", "128"))
+        decode_len = int(os.environ.get("BENCH_DECODE_LEN", "128"))
         kv_dtype = os.environ.get("BENCH_KV_DTYPE", "auto")
+        # blocks sized so num_reqs x (prompt+decode) tokens fit with headroom
+        need = num_reqs * (prompt_len + decode_len)
         if kv_dtype != "auto":
-            cache = CacheConfig(block_size=128, num_blocks=270,
+            cache = CacheConfig(block_size=128,
+                                num_blocks=max(270, 5 * need // (4 * 128)),
                                 kv_cache_dtype=kv_dtype)
         else:
-            cache = CacheConfig(block_size=32, num_blocks=1100)
+            cache = CacheConfig(block_size=32,
+                                num_blocks=max(1100, 5 * need // (4 * 32)))
         # On-device decode loop amortizes the host/tunnel round trip. The
         # profiled steady-state window cost is ~200ms device + ~260ms
         # host+tunnel per call regardless of M (tools/perf/profile_step.py),
@@ -87,7 +93,7 @@ def _build_engine(on_tpu: bool):
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
             max_num_batched_tokens=2048,
-            num_decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "64")),
+            num_decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "128")),
         )
     else:
         mc = ModelConfig(

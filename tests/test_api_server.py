@@ -377,3 +377,33 @@ def test_streaming_n_interleaved(server):
             if c["finish_reason"]:
                 finishes.add(c["index"])
     assert finishes == {0, 1}
+
+
+def test_request_validation_400(server):
+    """Out-of-range / wrong-typed params → 400 with an error body (the
+    reference's pydantic layer behavior)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    base = server
+    for bad in (
+        {"prompt": "hi", "temperature": -1.0},
+        {"prompt": "hi", "top_p": 1.5},
+        {"prompt": "hi", "max_tokens": 0},
+        {"prompt": "hi", "n": "two"},
+        {"prompt": "hi", "logit_bias": [1, 2]},
+        {"prompt": "hi", "presence_penalty": 9.0},
+    ):
+        req = urllib.request.Request(
+            f"{base}/v1/completions",
+            data=_json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError(f"expected 400 for {bad}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (bad, e.code)
+            payload = _json.loads(e.read())
+            assert "error" in payload or "message" in payload

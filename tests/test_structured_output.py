@@ -265,3 +265,49 @@ def test_token_strings_byte_level():
     ts = token_strings(FakeTok())
     assert ts[1] == " the" and ts[2] == "Hello" and ts[3] == ","
     assert 4 not in ts  # unmappable char → skipped
+
+
+def test_json_schema_required_optional():
+    """`required` honored exactly: optional properties may be omitted, all
+    valid orderings stay declaration-ordered, required ones always present."""
+    import re
+
+    from vllm_metax_tpu.guided_fsm import json_schema_to_regex
+
+    rx = re.compile(
+        json_schema_to_regex(
+            {
+                "type": "object",
+                "properties": {
+                    "name": {"type": "string"},
+                    "age": {"type": "integer"},
+                    "tag": {"type": "boolean"},
+                },
+                "required": ["name"],
+            }
+        )
+    )
+    for good in (
+        '{"name": "x"}',
+        '{"name": "x", "age": 3}',
+        '{"name": "x", "tag": true}',
+        '{"name": "x", "age": 3, "tag": false}',
+    ):
+        assert rx.fullmatch(good), good
+    for bad in ('{"age": 3}', "{}", '{"tag": true, "name": "x"}'):
+        assert not rx.fullmatch(bad), bad
+
+
+def test_json_schema_array_bounds():
+    import re
+
+    from vllm_metax_tpu.guided_fsm import json_schema_to_regex
+
+    rx = re.compile(
+        json_schema_to_regex(
+            {"type": "array", "items": {"type": "integer"}, "minItems": 1,
+             "maxItems": 2}
+        )
+    )
+    assert rx.fullmatch("[1]") and rx.fullmatch("[1, 2]")
+    assert not rx.fullmatch("[]") and not rx.fullmatch("[1, 2, 3]")

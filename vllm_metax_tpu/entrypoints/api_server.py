@@ -39,7 +39,56 @@ class ServerState:
         self.eos_token_id = tokenizer.eos_token_id if tokenizer else None
 
 
+class RequestValidationError(ValueError):
+    """Maps to an HTTP 400 with an OpenAI-style error body."""
+
+
+def _validate_request(body: dict) -> None:
+    """Schema/range validation before engine admission (the reference's
+    FastAPI/pydantic layer does this; here it is explicit checks)."""
+
+    def check(name, types, lo=None, hi=None):
+        v = body.get(name)
+        if v is None:
+            return
+        if not isinstance(v, types) or (
+            isinstance(v, bool) and bool not in types
+        ):
+            raise RequestValidationError(
+                f"'{name}' must be of type {'/'.join(t.__name__ for t in types)}"
+            )
+        if lo is not None and v < lo:
+            raise RequestValidationError(f"'{name}' must be >= {lo}")
+        if hi is not None and v > hi:
+            raise RequestValidationError(f"'{name}' must be <= {hi}")
+
+    check("n", (int,), 1, 64)
+    check("max_tokens", (int,), 1)
+    check("max_completion_tokens", (int,), 1)
+    check("temperature", (int, float), 0.0, 2.0)
+    check("top_p", (int, float), 0.0, 1.0)
+    check("top_k", (int,), -1)
+    check("min_p", (int, float), 0.0, 1.0)
+    check("presence_penalty", (int, float), -2.0, 2.0)
+    check("frequency_penalty", (int, float), -2.0, 2.0)
+    check("repetition_penalty", (int, float), 0.0)
+    check("seed", (int,))
+    check("logprobs", (int, bool))
+    check("top_logprobs", (int,), 0, 20)
+    if body.get("stream") not in (None, True, False):
+        raise RequestValidationError("'stream' must be a boolean")
+    if body.get("logit_bias") is not None and not isinstance(
+        body["logit_bias"], dict
+    ):
+        raise RequestValidationError("'logit_bias' must be an object")
+    if body.get("stop") is not None and not isinstance(
+        body["stop"], (str, list)
+    ):
+        raise RequestValidationError("'stop' must be a string or array")
+
+
 def _sampling_from_request(body: dict) -> SamplingParams:
+    _validate_request(body)
     return SamplingParams(
         n=body.get("n") or 1,
         max_tokens=body.get("max_tokens") or body.get("max_completion_tokens") or 16,
@@ -267,6 +316,8 @@ def make_handler(state: ServerState):
                     self._error("not found", 404)
             except BrokenPipeError:
                 pass
+            except RequestValidationError as e:
+                self._error(str(e), 400)
             except Exception as e:  # surface engine errors as 500s
                 logger.exception("request failed")
                 try:

@@ -474,19 +474,58 @@ def json_schema_to_regex(schema: dict) -> str:
         return "null"
     if t == "array":
         item = json_schema_to_regex(schema.get("items", {"type": "string"}))
+        lo = schema.get("minItems")
+        hi = schema.get("maxItems")
+        if lo is not None or hi is not None:
+            lo = int(lo or 0)
+            rep = f"({_WS},{_WS}{item})"
+            hi_s = "" if hi is None else str(max(int(hi) - 1, 0))
+            if lo == 0:
+                core = f"({item}{rep}{{0,{hi_s}}})?" if hi else f"({item}{rep}*)?"
+            else:
+                core = f"{item}{rep}{{{lo - 1},{hi_s}}}" if hi else (
+                    f"{item}{rep}{{{lo - 1},}}"
+                )
+            return rf"\[{_WS}{core}{_WS}\]"
         core = f"{item}({_WS},{_WS}{item})*"
         return rf"\[{_WS}({core})?{_WS}\]"
     if t == "object" or "properties" in schema:
         props = schema.get("properties", {})
         if not props:
             return rf"\{{{_WS}\}}"
-        parts = []
-        for key, sub in props.items():
-            parts.append(
-                rf'"{_esc(key)}"{_WS}:{_WS}{json_schema_to_regex(sub)}'
-            )
-        body = rf"{_WS},{_WS}".join(parts)
-        return rf"\{{{_WS}{body}{_WS}\}}"
+        keys = list(props)
+        frags = {
+            key: rf'"{_esc(key)}"{_WS}:{_WS}{json_schema_to_regex(sub)}'
+            for key, sub in props.items()
+        }
+        # "required" honored exactly: optional properties may be omitted
+        # (emission stays in declaration order — the documented canonical-
+        # serialization simplification). Without "required", every listed
+        # property is emitted (backward-compatible strict mode).
+        if "required" in schema:
+            req = set(schema["required"])
+        else:
+            req = set(keys)
+        opt = [k for k in keys if k not in req]
+        if len(opt) > 8:
+            # subset enumeration would explode; degrade to all-required
+            req, opt = set(keys), []
+        alts = []
+        import itertools as _it
+
+        for r in range(len(opt) + 1):
+            for combo in _it.combinations(opt, r):
+                chosen = [k for k in keys if k in req or k in combo]
+                if not chosen:
+                    continue
+                alts.append(
+                    rf"{_WS},{_WS}".join(frags[k] for k in chosen)
+                )
+        if not alts:  # all optional, none chosen → empty object only
+            return rf"\{{{_WS}\}}"
+        body = "(" + "|".join(alts) + ")"
+        empty = rf"|\{{{_WS}\}}" if not req else ""
+        return rf"(\{{{_WS}{body}{_WS}\}}{empty})"
     raise ValueError(f"unsupported schema: {schema!r}")
 
 
