@@ -114,3 +114,26 @@ def test_logprobs_consistent(rng):
             np.sort(ref[i])[::-1][:8],
             rtol=1e-5,
         )
+
+
+def test_categorical_two_level_marginals():
+    """The block-decomposed inverse-CDF must sample the exact categorical,
+    including mass near block boundaries (block = 128)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_metax_tpu.sample.sampler import _categorical
+
+    rng = np.random.default_rng(0)
+    v = 300  # spans 3 blocks with a ragged tail
+    p = np.zeros(v, np.float32)
+    support = [0, 127, 128, 255, 256, 299]  # block edges + tail
+    p[support] = rng.random(len(support)).astype(np.float32) + 0.2
+    r = 60_000
+    probs = jnp.asarray(np.tile(p, (r, 1)))
+    toks = np.asarray(
+        _categorical(probs, jnp.arange(r, dtype=jnp.uint32))
+    )
+    assert set(np.unique(toks)) <= set(support)
+    emp = np.bincount(toks, minlength=v)[support] / r
+    np.testing.assert_allclose(emp, p[support] / p.sum(), atol=0.01)
