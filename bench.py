@@ -21,6 +21,11 @@ import json
 import os
 import time
 
+# Flagship GEMM path: int8-quantized activations on the int8 MXU against the
+# packed int4 weights (ops/pallas/quant_matmul.py W4A8 kernel) — the bf16
+# dequant path burns ~35% more step time on VPU nibble-unpacking.
+os.environ.setdefault("METAX_TPU_W4A8", "1")
+
 import jax
 import numpy as np
 
@@ -83,8 +88,10 @@ def _build_engine(on_tpu: bool):
                                 num_blocks=max(270, 5 * need // (4 * 128)),
                                 kv_cache_dtype=kv_dtype)
         else:
-            cache = CacheConfig(block_size=32,
-                                num_blocks=max(1100, 5 * need // (4 * 32)))
+            bs = int(os.environ.get("BENCH_BLOCK_SIZE", "32"))
+            cache = CacheConfig(block_size=bs,
+                                num_blocks=max(1100 * 32 // bs,
+                                               5 * need // (4 * bs)))
         # On-device decode loop amortizes the host/tunnel round trip. The
         # profiled steady-state window cost is ~200ms device + ~260ms
         # host+tunnel per call regardless of M (tools/perf/profile_step.py),

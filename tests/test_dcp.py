@@ -146,3 +146,58 @@ def test_manager_partition_exhaustion():
     assert m.allocate_slots(r1, 48) is not None
     r2 = _req("b", range(48))  # needs 2 from partition 0; only 0 free there
     assert m.allocate_slots(r2, 48) is None
+
+
+def test_dcp_pallas_decode_kernel_matches_xla(rng):
+    """Pallas DCP decode: rank-local partials (sentinel pages masked
+    in-kernel) + LSE distributed-softmax combine == single-device XLA."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from tests.test_pallas_attention import BS, _make_case
+    from vllm_metax_tpu.ops.attention import ragged_paged_attention_xla
+    from vllm_metax_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_pallas,
+    )
+    from vllm_metax_tpu.parallel.dcp import localize_metadata
+
+    # contexts spanning several blocks so both ranks own pages
+    q, kv, md = _make_case(
+        rng, seq_lens_ctx=[70, 33, 120, 5, 64, 48, 100, 15], qlens=[1] * 8,
+        num_blocks=64,
+    )
+    ref = ragged_paged_attention_xla(q, kv, md, 0.125)
+
+    dcp = 2
+    nbl = kv.k.shape[0] // dcp
+    mesh = make_tp_mesh(1, dcp_size=dcp)
+
+    def ranked(q, k, v, md):
+        from vllm_metax_tpu.ops.kv_cache import KVCache
+
+        mdl = localize_metadata(md, nbl, BS)
+        out_l, lse_l = paged_decode_attention_pallas(
+            q, KVCache(k, v), mdl, 0.125, dcp=True, return_lse=True,
+            interpret=True,
+        )
+        lse_max = jnp.maximum(jax.lax.pmax(lse_l, "dcp"), -1e30)
+        w = jnp.exp(lse_l - lse_max)
+        num = jax.lax.psum(out_l.astype(jnp.float32) * w[..., None], "dcp")
+        den = jax.lax.psum(w, "dcp")
+        return (num / jnp.maximum(den[..., None], 1e-30)).astype(q.dtype)
+
+    fn = jax.shard_map(
+        ranked,
+        mesh=mesh,
+        in_specs=(P(), P(("pp", "dcp")) if "pp" in mesh.axis_names else P("dcp"), P("dcp"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    # pool rows are already globally indexed; shard axis 0 over dcp
+    out = fn(q, kv.k, kv.v, md)
+    t = int(md.query_start_loc[-1])
+    np.testing.assert_allclose(
+        np.asarray(out)[:t], np.asarray(ref)[:t], rtol=1e-3, atol=2e-3
+    )

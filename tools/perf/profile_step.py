@@ -61,23 +61,29 @@ def main():
         return
     with gzip.open(files[0], "rt") as f:
         trace = json.load(f)
+    evs = trace.get("traceEvents", [])
+    dev_pids = {
+        ev["pid"]
+        for ev in evs
+        if ev.get("ph") == "M"
+        and ev.get("name") == "process_name"
+        and "TPU" in str(ev.get("args", {}).get("name", ""))
+    }
     by_op = defaultdict(float)
+    n_op = defaultdict(int)
     total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
+    for ev in evs:
+        if ev.get("ph") != "X" or "dur" not in ev or ev.get("pid") not in dev_pids:
             continue
-        pid_name = ev.get("pid")
-        name = ev.get("name", "")
-        args = ev.get("args", {})
-        # device-side ops carry a run_id / correlation in args on TPU traces
-        if not args or "run_id" not in args and "correlation_id" not in args:
-            continue
-        key = name.split(".")[0][:60]
+        key = ev.get("name", "").split(".")[0][:60]
+        if key == "while" or key.startswith("jit_"):
+            continue  # outer wrappers double-count their contents
         by_op[key] += ev["dur"] / 1e3  # ms
+        n_op[key] += 1
         total += ev["dur"] / 1e3
     print(f"\n== device time over {steps} engine steps (ms) ==")
     for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{v / steps:9.3f}  {k}")
+        print(f"{v / steps:9.3f}  x{n_op[k] // steps:6d}  {k}")
     print(f"{total / steps:9.3f}  TOTAL per engine step")
 
 

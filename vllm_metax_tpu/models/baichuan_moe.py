@@ -28,8 +28,16 @@ from vllm_metax_tpu.config import ModelConfig, QuantizationConfig
 from vllm_metax_tpu.layers.linear import apply_linear
 from vllm_metax_tpu.models import llama as _llama
 from vllm_metax_tpu.ops.activation import ACT2FN
-from vllm_metax_tpu.ops.attention import layer_view, ragged_paged_attention
-from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.attention import (
+    defer_kv_supported,
+    layer_view,
+    ragged_paged_attention,
+)
+from vllm_metax_tpu.ops.kv_cache import (
+    KVCache,
+    write_all_layers_to_kv_cache,
+    write_to_kv_cache,
+)
 from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm
 from vllm_metax_tpu.ops.moe import fused_experts, fused_topk
 from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
@@ -95,6 +103,13 @@ def forward(
     nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
+    # pure-decode steps defer the KV writes to one all-layer scatter after
+    # the (unrolled, heterogeneous) layer loop (see models/llama.py)
+    defer = defer_kv_supported(
+        jax.ShapeDtypeStruct((hidden.shape[0], hq, d), hidden.dtype),
+        kv_cache, md,
+    )
+    deferred_kv = []
     for l, lp in enumerate(params["layer_list"]):
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
@@ -106,8 +121,13 @@ def forward(
         k = k.reshape(t, hkv, d)
         v = v.reshape(t, hkv, d)
         q, k = apply_rope(q, k, md.positions, rope_cache)
-        kv_cache = write_to_kv_cache(kv_cache, k, v, md_l.slot_mapping)
-        attn = ragged_paged_attention(q, kv_cache, md_l, sm_scale)
+        if defer:
+            deferred_kv.append((k, v))
+            attn = ragged_paged_attention(q, kv_cache, md_l, sm_scale,
+                                          k_cur=k, v_cur=v)
+        else:
+            kv_cache = write_to_kv_cache(kv_cache, k, v, md_l.slot_mapping)
+            attn = ragged_paged_attention(q, kv_cache, md_l, sm_scale)
         attn_out = maybe_psum(
             apply_linear(lp["o"], attn.reshape(t, hq * d))
         )
@@ -138,6 +158,13 @@ def forward(
                     lp["down"], act_fn(apply_linear(lp["gate_up"], normed))
                 )
             )
+
+    if defer:
+        ks = jnp.stack([k for k, _ in deferred_kv])
+        vs = jnp.stack([v for _, v in deferred_kv])
+        kv_cache = write_all_layers_to_kv_cache(
+            kv_cache, ks, vs, md.slot_mapping, nb_layer
+        )
 
     hidden = (
         hidden.astype(jnp.float32) + residual.astype(jnp.float32)

@@ -39,10 +39,15 @@ from vllm_metax_tpu.models.llama import (
 from vllm_metax_tpu.ops.activation import ACT2FN
 from vllm_metax_tpu.ops.attention import (
     AttentionMetadata,
+    defer_kv_supported,
     layer_view,
     ragged_paged_attention,
 )
-from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.kv_cache import (
+    KVCache,
+    write_all_layers_to_kv_cache,
+    write_to_kv_cache,
+)
 from vllm_metax_tpu.ops.layernorm import rms_norm
 from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
 
@@ -78,15 +83,27 @@ def forward(
     nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
-    def attend(q, kv, md_l, window):
+    def attend(q, kv, md_l, window, k_cur=None, v_cur=None):
         return ragged_paged_attention(
             q, kv, md_l, sm_scale,
             sliding_window=window,
             logits_soft_cap=cfg.attn_logit_softcapping,
+            k_cur=k_cur, v_cur=v_cur,
         )
 
+    # pure-decode steps defer the KV write to one all-layer scatter after
+    # the scan (see models/llama.py run_layers)
+    defer = defer_kv_supported(
+        jax.ShapeDtypeStruct((hidden.shape[0], hq, d), hidden.dtype),
+        kv_cache, md,
+    )
+
     def layer_fn(carry, l):
-        x, kv = carry
+        if defer:
+            x, = carry
+            kv = kv_cache
+        else:
+            x, kv = carry
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
 
         # --- attention
@@ -98,17 +115,20 @@ def forward(
         k = k.reshape(t, hkv, d)
         v = v.reshape(t, hkv, d)
         q, k = apply_rope(q, k, md.positions, rope_cache)
-        kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
+        if not defer:
+            kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
+        kc, vc = (k, v) if defer else (None, None)
         if cfg.sliding_window and cfg.sliding_window_pattern == 2:
             # even layers sliding, odd layers global (Gemma 2)
             attn = jax.lax.cond(
                 l % 2 == 0,
-                lambda q, kv, md_l: attend(q, kv, md_l, cfg.sliding_window),
-                lambda q, kv, md_l: attend(q, kv, md_l, 0),
+                lambda q, kv, md_l: attend(q, kv, md_l, cfg.sliding_window,
+                                           kc, vc),
+                lambda q, kv, md_l: attend(q, kv, md_l, 0, kc, vc),
                 q, kv, md_l,
             )
         else:
-            attn = attend(q, kv, md_l, cfg.sliding_window)
+            attn = attend(q, kv, md_l, cfg.sliding_window, kc, vc)
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
         )
@@ -125,13 +145,25 @@ def forward(
         if sandwich:
             mlp_out = rms_norm(mlp_out, layers["post_ffw_ln"][l], eps)
         x = x + mlp_out
+        if defer:
+            return (x,), (k, v)
         return (x, kv), None
 
-    (hidden, new_kv), _ = jax.lax.scan(
-        layer_fn,
-        (hidden, kv_cache),
-        jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
-    )
+    if defer:
+        (hidden,), (ks, vs) = jax.lax.scan(
+            layer_fn,
+            (hidden,),
+            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        )
+        new_kv = write_all_layers_to_kv_cache(
+            kv_cache, ks, vs, md.slot_mapping, nb_layer
+        )
+    else:
+        (hidden, new_kv), _ = jax.lax.scan(
+            layer_fn,
+            (hidden, kv_cache),
+            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        )
     return hidden, new_kv
 
 

@@ -28,10 +28,15 @@ from vllm_metax_tpu.models import llama as _llama
 from vllm_metax_tpu.ops.activation import ACT2FN
 from vllm_metax_tpu.ops.attention import (
     AttentionMetadata,
+    defer_kv_supported,
     layer_view,
     ragged_paged_attention,
 )
-from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.kv_cache import (
+    KVCache,
+    write_all_layers_to_kv_cache,
+    write_to_kv_cache,
+)
 from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
 from vllm_metax_tpu.ops.moe import fused_experts, fused_topk
 from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
@@ -105,8 +110,20 @@ def forward(
     slots_per_layer = nb_layer * kv_cache.block_size
     layers = params["layers"]
 
+    # pure-decode steps defer the KV write to one all-layer scatter after the
+    # scan (see models/llama.py run_layers — per-layer scatters are
+    # overhead-bound)
+    defer = defer_kv_supported(
+        jax.ShapeDtypeStruct((hidden.shape[0], hq, d), hidden.dtype),
+        kv_cache, md,
+    )
+
     def layer_fn(carry, l):
-        hidden, residual, kv = carry
+        if defer:
+            hidden, residual = carry
+            kv = kv_cache
+        else:
+            hidden, residual, kv = carry
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
 
         normed, residual = fused_add_rms_norm(hidden, residual,
@@ -121,10 +138,16 @@ def forward(
             q = rms_norm(q, layers["q_norm"][l], eps)
             k = rms_norm(k, layers["k_norm"][l], eps)
         q, k = apply_rope(q, k, md.positions, rope_cache)
-        kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
-        attn = ragged_paged_attention(
-            q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
-        )
+        if defer:
+            attn = ragged_paged_attention(
+                q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window,
+                k_cur=k, v_cur=v,
+            )
+        else:
+            kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
+            attn = ragged_paged_attention(
+                q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
+            )
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
         )
@@ -158,14 +181,26 @@ def forward(
         moe_out = _moe_block(
             lp, normed, cfg, act_fn, axis_name, ep_axis_name, layer_idx=l
         )
+        if defer:
+            return (moe_out, residual), (k, v)
         return (moe_out, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
-    (hidden, residual, new_kv), _ = jax.lax.scan(
-        layer_fn,
-        (hidden, residual, kv_cache),
-        jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
-    )
+    if defer:
+        (hidden, residual), (ks, vs) = jax.lax.scan(
+            layer_fn,
+            (hidden, residual),
+            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        )
+        new_kv = write_all_layers_to_kv_cache(
+            kv_cache, ks, vs, md.slot_mapping, nb_layer
+        )
+    else:
+        (hidden, residual, new_kv), _ = jax.lax.scan(
+            layer_fn,
+            (hidden, residual, kv_cache),
+            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        )
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
         cfg.dtype
     )

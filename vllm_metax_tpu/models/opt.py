@@ -33,10 +33,15 @@ from vllm_metax_tpu.models.llama import (
 from vllm_metax_tpu.models.gpt2 import kv_cache_spec  # noqa: F401 (same spec)
 from vllm_metax_tpu.ops.attention import (
     AttentionMetadata,
+    defer_kv_supported,
     layer_view,
     ragged_paged_attention,
 )
-from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.kv_cache import (
+    KVCache,
+    write_all_layers_to_kv_cache,
+    write_to_kv_cache,
+)
 from vllm_metax_tpu.ops.layernorm import layer_norm
 
 _ACTS = {
@@ -83,8 +88,19 @@ def forward(
     nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
+    # pure-decode steps defer the KV write to one all-layer scatter after
+    # the scan (see models/llama.py run_layers)
+    defer = defer_kv_supported(
+        jax.ShapeDtypeStruct((hidden.shape[0], hq, d), hidden.dtype),
+        kv_cache, md,
+    )
+
     def layer_fn(carry, l):
-        x, kv = carry
+        if defer:
+            x, = carry
+            kv = kv_cache
+        else:
+            x, kv = carry
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
 
         h = layer_norm(x, layers["ln1_w"][l], layers["ln1_b"][l], eps) if pre_ln else x
@@ -94,8 +110,12 @@ def forward(
         q = q.reshape(t, hq, d)
         k = k.reshape(t, hkv, d)
         v = v.reshape(t, hkv, d)
-        kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
-        attn = ragged_paged_attention(q, kv, md_l, sm_scale)
+        if defer:
+            attn = ragged_paged_attention(q, kv, md_l, sm_scale,
+                                          k_cur=k, v_cur=v)
+        else:
+            kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
+            attn = ragged_paged_attention(q, kv, md_l, sm_scale)
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
         ) + layers["o_b"][l]
@@ -112,13 +132,25 @@ def forward(
         x = x + mlp_out
         if not pre_ln:
             x = layer_norm(x, layers["ln2_w"][l], layers["ln2_b"][l], eps)
+        if defer:
+            return (x,), (k, v)
         return (x, kv), None
 
-    (hidden, new_kv), _ = jax.lax.scan(
-        layer_fn,
-        (hidden, kv_cache),
-        jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
-    )
+    if defer:
+        (hidden,), (ks, vs) = jax.lax.scan(
+            layer_fn,
+            (hidden,),
+            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        )
+        new_kv = write_all_layers_to_kv_cache(
+            kv_cache, ks, vs, md.slot_mapping, nb_layer
+        )
+    else:
+        (hidden, new_kv), _ = jax.lax.scan(
+            layer_fn,
+            (hidden, kv_cache),
+            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+        )
     return hidden, new_kv
 
 

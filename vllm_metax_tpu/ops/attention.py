@@ -72,6 +72,29 @@ def layer_view(
     )
 
 
+def defer_kv_supported(
+    q: jnp.ndarray, kv_cache: KVCache, metadata: AttentionMetadata
+) -> bool:
+    """True when this step's attention can consume the current token's K/V
+    directly (k_cur/v_cur) so the model may DEFER the cache write to one
+    batched all-layer scatter after the layer scan (the per-layer scatter is
+    overhead-bound: ~71µs × 2 × L per step). Requires a pure-decode step and
+    a path that handles k_cur: the request-batched Pallas decode kernel or
+    the XLA reference. DCP keeps eager writes (rank-local page ownership)."""
+    if not metadata.decode_only or metadata.dcp_axis is not None:
+        return False
+    impl = envs.METAX_TPU_ATTN_IMPL
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl != "pallas":
+        return True  # XLA reference handles k_cur
+    from vllm_metax_tpu.ops.pallas.decode_attention import (
+        decode_attention_supported,
+    )
+
+    return decode_attention_supported(q, kv_cache, metadata)
+
+
 def ragged_paged_attention(
     q: jnp.ndarray,  # (T, HQ, D)
     kv_cache: KVCache,
@@ -80,12 +103,40 @@ def ragged_paged_attention(
     sliding_window: int = 0,  # 0 = disabled
     logits_soft_cap: float = 0.0,  # 0 = disabled
     impl: Optional[str] = None,
+    k_cur: Optional[jnp.ndarray] = None,  # (T, HKV, D): deferred-write mode —
+    v_cur: Optional[jnp.ndarray] = None,  # current K/V not yet in the pool
 ) -> jnp.ndarray:
     impl = impl or envs.METAX_TPU_ATTN_IMPL
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     if metadata.dcp_axis is not None:
-        # DCP needs the distributed-softmax path (Pallas DCP kernel: planned)
+        if impl == "pallas" and metadata.decode_only and k_cur is None:
+            from vllm_metax_tpu.ops.pallas.decode_attention import (
+                decode_attention_supported,
+                paged_decode_attention_pallas,
+            )
+
+            if decode_attention_supported(q, kv_cache, metadata):
+                # rank-local partial attention (sentinel pages masked in
+                # kernel) + LSE-weighted distributed-softmax combine over
+                # the dcp axis — the SPMD form of merge_attn_states
+                # (ref: flash_attn.py:794 _forward_with_dcp)
+                out_l, lse_l = paged_decode_attention_pallas(
+                    q, kv_cache, metadata, sm_scale, sliding_window,
+                    logits_soft_cap, dcp=True, return_lse=True,
+                )
+                lse_max = jax.lax.pmax(lse_l, metadata.dcp_axis)
+                lse_max = jnp.maximum(lse_max, -1e30)
+                w = jnp.exp(lse_l - lse_max)  # (T, HQ)
+                num = jax.lax.psum(
+                    out_l.astype(jnp.float32) * w[..., None],
+                    metadata.dcp_axis,
+                )
+                den = jax.lax.psum(w, metadata.dcp_axis)
+                return (num / jnp.maximum(den[..., None], 1e-30)).astype(
+                    q.dtype
+                )
+        # everything else: distributed-softmax XLA reference path
         impl = "xla"
     if impl == "pallas":
         from vllm_metax_tpu.ops.pallas.ragged_attention import (
@@ -102,14 +153,20 @@ def ragged_paged_attention(
             if decode_attention_supported(q, kv_cache, metadata):
                 return paged_decode_attention_pallas(
                     q, kv_cache, metadata, sm_scale, sliding_window,
-                    logits_soft_cap,
+                    logits_soft_cap, k_cur=k_cur, v_cur=v_cur,
                 )
+        if k_cur is not None:
+            raise NotImplementedError(
+                "deferred KV mode requires the decode kernel or the XLA "
+                "path (gate with defer_kv_supported)"
+            )
         if pallas_attention_supported(q, kv_cache, metadata):
             return ragged_paged_attention_pallas(
                 q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
             )
     return ragged_paged_attention_xla(
-        q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap
+        q, kv_cache, metadata, sm_scale, sliding_window, logits_soft_cap,
+        k_cur=k_cur, v_cur=v_cur,
     )
 
 
@@ -124,6 +181,8 @@ def ragged_paged_attention_xla(
     sm_scale: float,
     sliding_window: int = 0,
     logits_soft_cap: float = 0.0,
+    k_cur: Optional[jnp.ndarray] = None,  # deferred-write current K/V
+    v_cur: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact reference implementation (math of tests/kernels/attention/
     test_attention.py:50 ref_masked_attention, extended to paged+ragged)."""
@@ -142,6 +201,25 @@ def ragged_paged_attention_xla(
     # (R, CTX, HKV, D) → per-token context
     k_tok = k_all[metadata.req_idx]  # (T, CTX, HKV, D)
     v_tok = v_all[metadata.req_idx]
+    if k_cur is not None:
+        # deferred-write decode: the current token's K/V is not in the pool;
+        # patch it in at its position — quantize→dequantize first so the
+        # value matches what later steps will read back (and what the Pallas
+        # decode kernel's in-buffer store computes)
+        from vllm_metax_tpu.ops.kv_cache import _quantize_kv, dequantize_kv
+
+        kc, vc = k_cur, v_cur if v_cur is not None else k_cur[..., :0]
+        if kv_cache.quantized:
+            kq, ks = _quantize_kv(kc, kv_cache.k.dtype)
+            kc = dequantize_kv(kq, ks, jnp.float32)
+            if vc.size:
+                vq, vs = _quantize_kv(vc, kv_cache.k.dtype)
+                vc = dequantize_kv(vq, vs, jnp.float32)
+        rows = jnp.arange(t, dtype=jnp.int32)
+        pos = jnp.minimum(metadata.positions, ctx - 1)
+        k_tok = k_tok.at[rows, pos].set(kc.astype(jnp.float32))
+        if v_tok.shape[-1]:
+            v_tok = v_tok.at[rows, pos].set(vc.astype(jnp.float32))
 
     qf = q.astype(jnp.float32).reshape(t, hkv, g, d)
     scores = jnp.einsum("thgd,tchd->thgc", qf, k_tok) * sm_scale  # (T,HKV,G,CTX)

@@ -69,14 +69,21 @@ def new_kv_cache(
     dtype=jnp.bfloat16,
     model_dtype=jnp.bfloat16,
     store_v: bool = True,
+    v_dim: Optional[int] = None,
 ) -> KVCache:
     """store_v=False → zero-width v (MLA latent caches keep [ckv|k_pe] in k
-    only, ref: concat_and_cache_mla, csrc/cache_kernels.cu:503)."""
+    only, ref: concat_and_cache_mla, csrc/cache_kernels.cu:503). v_dim
+    overrides the v width: DeepSeek V3.2 stores the 128-wide indexer K rows
+    in the v pool alongside the 576-wide latents in k (ref:
+    DeepseekV32IndexerCache, vllm_metax/models/deepseek_v2.py:562)."""
     shape = (num_blocks, num_kv_heads, block_size, head_dim)
-    v_shape = shape if store_v else (num_blocks, num_kv_heads, block_size, 0)
+    if v_dim is None:
+        v_dim = head_dim if store_v else 0
+    v_shape = (num_blocks, num_kv_heads, block_size, v_dim)
     quantized = dtype in (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
     k = jnp.zeros(shape, dtype=dtype)
-    v = jnp.zeros(v_shape, dtype=dtype)
+    # the V3.2 indexer-K side pool stays bf16 (scales don't apply to it)
+    v = jnp.zeros(v_shape, dtype=model_dtype if (not store_v and v_dim) else dtype)
     if quantized:
         s = jnp.ones((num_blocks, num_kv_heads, block_size), dtype=jnp.float32)
         return KVCache(k, v, s, s)
@@ -170,6 +177,75 @@ def write_to_kv_cache(
     return KVCache(
         scatter(kv_cache.k, k.astype(cache_dtype)),
         scatter(kv_cache.v, v.astype(cache_dtype)),
+    )
+
+
+def write_all_layers_to_kv_cache(
+    kv_cache: KVCache,
+    k: jnp.ndarray,  # (L, T, H, D) — per-layer new K, stacked by lax.scan
+    v: jnp.ndarray,  # (L, T, H, D)
+    slot_mapping: jnp.ndarray,  # (T,) LAYER-LOCAL slots (layer 0's range)
+    nb_layer: int,  # blocks per layer in the flat all-layer pool
+) -> KVCache:
+    """One batched BLOCK-granularity write for every layer's K/V of a decode
+    step: gather the L·T touched blocks, blend the new token row into each,
+    scatter whole blocks back.
+
+    TPU scatter cost is per-ROW (~70ns measured regardless of row width), so
+    the natural token-row form (L·T·H rows of 256B) burns ~4.5ms/step at 8B
+    shapes. Whole (H, BS, D) blocks cut the row count H-fold and ride the
+    memory system at block width; the 2·L·T·H·BS·D read/write amplification
+    is bandwidth-cheap (~0.6ms at L=32, T=128, BS=32). Each decode step
+    touches exactly one block per (layer, request) and live requests never
+    share a block, so the RMW is race-free.
+    (ref layout: csrc/cache_kernels.cu:450 reshape_and_cache_flash)
+    """
+    nb, h, bs, d = kv_cache.k.shape
+    cache_dtype = kv_cache.k.dtype
+    n_layers = k.shape[0]
+    block_idx = slot_mapping // bs  # (T,) layer-local
+    off_idx = slot_mapping % bs
+    pad = slot_mapping >= nb_layer * bs  # (T,)
+    gb = jnp.where(
+        pad[None, :],
+        nb,  # OOB sentinel — scatter drops, gather is clamped
+        block_idx[None, :]
+        + jnp.arange(n_layers, dtype=jnp.int32)[:, None] * nb_layer,
+    )  # (L, T) global block ids
+    safe = jnp.minimum(gb, nb - 1).reshape(-1)
+    sel = (
+        jnp.arange(bs, dtype=jnp.int32)[None, None, None, :]
+        == off_idx[None, :, None, None]
+    )  # (1, T, 1, BS)
+
+    def rmw(cache_arr, vals):  # vals (L, T, H, Dv) or (L, T, H) for scales
+        if cache_arr.size == 0:
+            return cache_arr
+        blocks = jnp.take(cache_arr, safe, axis=0).reshape(
+            (n_layers, slot_mapping.shape[0]) + cache_arr.shape[1:]
+        )  # (L, T, H, BS[, Dv])
+        s = sel if cache_arr.ndim == 3 else sel[..., None]
+        nv = vals[:, :, :, None] if cache_arr.ndim == 3 else vals[:, :, :, None, :]
+        merged = jnp.where(s, nv.astype(cache_arr.dtype), blocks)
+        return cache_arr.at[gb.reshape(-1)].set(
+            merged.reshape((-1,) + cache_arr.shape[1:]),
+            mode="drop",
+            unique_indices=True,
+            indices_are_sorted=False,
+        )
+
+    if kv_cache.quantized:
+        kq, ks = _quantize_kv(k, cache_dtype)
+        vq, vs = _quantize_kv(v, cache_dtype)
+        return KVCache(
+            rmw(kv_cache.k, kq),
+            rmw(kv_cache.v, vq),
+            rmw(kv_cache.k_scale, ks),
+            rmw(kv_cache.v_scale, vs),
+        )
+    return KVCache(
+        rmw(kv_cache.k, k.astype(cache_dtype)),
+        rmw(kv_cache.v, v.astype(cache_dtype)),
     )
 
 

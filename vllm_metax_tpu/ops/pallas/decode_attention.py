@@ -35,7 +35,12 @@ from vllm_metax_tpu.ops.kv_cache import KVCache
 
 _NEG_INF = -1e30
 
-NR = 8  # requests per grid step
+# requests per grid step: more requests amortize the per-tile fixed op cost
+# (profiled ~16µs/tile at NR=8) at the price of a bigger shared KV buffer
+# (2·HKV·NR·CKV·D per k/v) and more wasted block-diagonal MXU lanes
+import os
+
+NR = int(os.getenv("METAX_TPU_DECODE_NR", "8"))
 
 
 def decode_attention_supported(q, kv_cache: KVCache, md, mla: bool = False) -> bool:
@@ -62,7 +67,8 @@ def _decode_kernel(
     # array inputs
     q_ref,  # (1, HKV, NR*G, D) VMEM
     k_hbm,  # (NB, HKV, BS, D) ANY
-    *rest,  # [v_hbm if not MLA], [ks/vs_hbm if quantized], out, scratch
+    *rest,  # [v_hbm if not MLA], [ks/vs_hbm if quantized],
+    #         [kcur/vcur if deferred], out, scratch
     sm_scale,
     ckv,
     maxb,
@@ -71,17 +77,41 @@ def _decode_kernel(
     logits_soft_cap,
     quantized,
     pv_width,
+    deferred,
+    dcp,
+    return_lse,
 ):
+    kcur_ref = vcur_ref = None
+    lse_ref = None
+    if return_lse:
+        # outputs come in declaration order: out_ref then lse_ref, followed
+        # by the scratch refs — pull lse out so the unpacks below stay shared
+        rest = list(rest)
+        n_scratch = (
+            8 if quantized else (5 if pv_width else 6)
+        )  # kv bufs [+ scale bufs] + acc/m/l + sem
+        lse_ref = rest.pop(-n_scratch - 1)
     if quantized:
-        (v_hbm, ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
-         acc_ref, m_ref, l_ref, sem) = rest
+        if deferred:
+            (v_hbm, ks_hbm, vs_hbm, kcur_ref, vcur_ref, out_ref, k_buf,
+             v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref, sem) = rest
+        else:
+            (v_hbm, ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
+             acc_ref, m_ref, l_ref, sem) = rest
     elif pv_width:
         # MLA latent MQA: no separate V — PV reads the first pv_width lanes
         # of the latent K buffer (ref: mla/common.py:1851 _forward_decode)
-        (out_ref, k_buf, acc_ref, m_ref, l_ref, sem) = rest
+        if deferred:
+            (kcur_ref, out_ref, k_buf, acc_ref, m_ref, l_ref, sem) = rest
+        else:
+            (out_ref, k_buf, acc_ref, m_ref, l_ref, sem) = rest
         v_hbm = v_buf = ks_hbm = vs_hbm = ks_buf = vs_buf = None
     else:
-        (v_hbm, out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = rest
+        if deferred:
+            (v_hbm, kcur_ref, vcur_ref, out_ref, k_buf, v_buf, acc_ref,
+             m_ref, l_ref, sem) = rest
+        else:
+            (v_hbm, out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = rest
         ks_hbm = vs_hbm = ks_buf = vs_buf = None
     t_idx = pl.program_id(0)
     hkv = k_buf.shape[1]
@@ -97,22 +127,34 @@ def _decode_kernel(
         max_sl = jnp.maximum(max_sl, sls[rr])
     num_chunks = (max_sl + ckv - 1) // ckv
 
+    nb_total = k_hbm.shape[0]
+
     def chunk_dma(c, slot, kind):
         for rr in range(NR):  # static unroll
             base = (req0 + rr) * maxb + c * ppc
             for p in range(ppc):
                 # page-level skip: only DMA pages the request's context
                 # actually reaches (chunk-level gating alone read the whole
-                # CKV span — up to ~45% wasted KV traffic at short contexts)
-                @pl.when(c * ckv + p * bs < sls[rr])
+                # CKV span — up to ~45% wasted KV traffic at short contexts).
+                # DCP: non-local pages carry an out-of-range sentinel
+                # (parallel/dcp.py DCP_SENTINEL) — skip those too.
+                reach = c * ckv + p * bs < sls[rr]
+                if dcp:
+                    reach &= bt_ref[base + p] < nb_total
+
+                @pl.when(reach)
                 def _(p=p):
                     page = bt_ref[base + p]
                     off = rr * ckv + p * bs
+                    # all of a request's page DMAs share one semaphore per
+                    # kind (waits are byte-counted, so per-descriptor waits
+                    # stay exact) — per-page semaphores blow the 2KB sflag
+                    # space at NR=16 (2·kinds·NR·ppc flags)
                     dmas = [
                         pltpu.make_async_copy(
                             k_hbm.at[page],
                             k_buf.at[slot, :, pl.ds(off, bs)],
-                            sem.at[slot, 0, rr * ppc + p],
+                            sem.at[slot, 0, rr],
                         ),
                     ]
                     if not pv_width:
@@ -120,7 +162,7 @@ def _decode_kernel(
                             pltpu.make_async_copy(
                                 v_hbm.at[page],
                                 v_buf.at[slot, :, pl.ds(off, bs)],
-                                sem.at[slot, 1, rr * ppc + p],
+                                sem.at[slot, 1, rr],
                             )
                         )
                     if quantized:
@@ -128,14 +170,14 @@ def _decode_kernel(
                             pltpu.make_async_copy(
                                 ks_hbm.at[page],
                                 ks_buf.at[slot, :, pl.ds(off, bs)],
-                                sem.at[slot, 2, rr * ppc + p],
+                                sem.at[slot, 2, rr],
                             )
                         )
                         dmas.append(
                             pltpu.make_async_copy(
                                 vs_hbm.at[page],
                                 vs_buf.at[slot, :, pl.ds(off, bs)],
-                                sem.at[slot, 3, rr * ppc + p],
+                                sem.at[slot, 3, rr],
                             )
                         )
                     for dma in dmas:
@@ -151,6 +193,8 @@ def _decode_kernel(
     @pl.when(num_chunks == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        if return_lse:
+            lse_ref[:] = jnp.full_like(lse_ref, _NEG_INF)
 
     # per-row (NR*G,1) seq lens & per-column (1, NR*CKV) request slot
     row_sl = jnp.concatenate(
@@ -186,6 +230,75 @@ def _decode_kernel(
 
             chunk_dma(c, slot, "wait")
 
+            if deferred:
+                # Deferred KV write: the current token's K/V is NOT in the
+                # page pool yet (the runner scatters all layers once per
+                # step after the layer scan) — patch the fresh row into this
+                # chunk's buffer at its in-context position. Must match the
+                # pool quantization exactly so later steps read identical
+                # values (ops/kv_cache.py _quantize_kv).
+                if quantized:
+                    qmax = (
+                        127.0 if k_buf.dtype == jnp.int8
+                        else 57344.0 if k_buf.dtype == jnp.float8_e5m2
+                        else 448.0
+                    )
+
+                def _quant_row(x):  # (HKV, 1, D) → (quant vals, f32 scales)
+                    xf = x.astype(jnp.float32)
+                    amax = jnp.max(jnp.abs(xf), axis=2)  # (HKV, 1)
+                    scale = jnp.maximum(amax / qmax, 1e-10)
+                    qv = xf / scale[:, :, None]
+                    if k_buf.dtype == jnp.int8:
+                        qv = jnp.clip(jnp.round(qv), -127.0, 127.0)
+                    return qv.astype(k_buf.dtype), scale
+
+                def blend_row(buf, off, row):
+                    # Mosaic needs sublane stores 8-aligned: read the aligned
+                    # 8-row slab, blend the single row in, write it back
+                    base = pl.multiple_of((off // 8) * 8, 8)
+                    slab = buf[slot, :, pl.ds(base, 8), :]
+                    sel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+                        == off % 8
+                    )
+                    buf[slot, :, pl.ds(base, 8), :] = jnp.where(
+                        sel, row.astype(buf.dtype), slab
+                    )
+
+                def blend_scale(buf, off, sc):
+                    # lane stores need 128-alignment: same blend over lanes
+                    base = pl.multiple_of((off // 128) * 128, 128)
+                    slab = buf[slot, :, pl.ds(base, 128)]
+                    sel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                        == off % 128
+                    )
+                    buf[slot, :, pl.ds(base, 128)] = jnp.where(sel, sc, slab)
+
+                for rr in range(NR):  # static unroll
+                    last = sls[rr] - 1  # -1 on pad rows → both guards false
+
+                    @pl.when((last >= c * ckv) & (last < (c + 1) * ckv))
+                    def _(rr=rr, last=last):
+                        off = rr * ckv + (last - c * ckv)
+                        kc = kcur_ref[0, :, rr : rr + 1, :]  # (HKV, 1, D)
+                        if quantized:
+                            kq, ks = _quant_row(kc)
+                            blend_row(k_buf, off, kq)
+                            blend_scale(ks_buf, off, ks)
+                            vq, vs = _quant_row(
+                                vcur_ref[0, :, rr : rr + 1, :]
+                            )
+                            blend_row(v_buf, off, vq)
+                            blend_scale(vs_buf, off, vs)
+                        else:
+                            blend_row(k_buf, off, kc)
+                            if not pv_width:
+                                blend_row(
+                                    v_buf, off, vcur_ref[0, :, rr : rr + 1, :]
+                                )
+
             kv_pos = c * ckv + col_in_req  # (1, NR*CKV)
             # columns whose request skipped this chunk's DMA hold stale/
             # uninitialized buffer data (NaN in interpret mode): p is 0 there
@@ -193,6 +306,21 @@ def _decode_kernel(
             # its scales) must be zeroed on invalid columns too
             col_ok = kv_pos < col_sl  # (1, NR*CKV)
             mask = same_req & (kv_pos < row_sl)  # (NR*G, NR*CKV)
+            if dcp:
+                # only columns whose page this rank owns contribute locally
+                # (sentinel pages skipped the DMA → stale buffer data)
+                segs = []
+                for rr in range(NR):
+                    base = (req0 + rr) * maxb + c * ppc
+                    for pg in range(ppc):
+                        segs.append(
+                            jnp.broadcast_to(
+                                bt_ref[base + pg], (1, bs)
+                            )
+                        )
+                owned = jnp.concatenate(segs, axis=1) < nb_total  # (1,NR*CKV)
+                col_ok &= owned
+                mask &= owned
             if sliding_window > 0:
                 mask &= kv_pos > (row_sl - 1) - sliding_window
             mask = mask[None]  # (1, NR*G, NR*CKV) broadcasts over HKV
@@ -230,6 +358,15 @@ def _decode_kernel(
             else:
                 v_mm = v_all
             col_ok3 = (c * ckv + col_in_req3) < col_sl3  # (1, NR*CKV, 1)
+            if dcp:
+                segs3 = []
+                for rr in range(NR):
+                    base = (req0 + rr) * maxb + c * ppc
+                    for pg in range(ppc):
+                        segs3.append(
+                            jnp.broadcast_to(bt_ref[base + pg], (1, bs, 1))
+                        )
+                col_ok3 &= jnp.concatenate(segs3, axis=1) < nb_total
             v_mm = jnp.where(col_ok3, v_mm, jnp.zeros((), v_mm.dtype))
             pv = jax.lax.dot_general(
                 p.astype(v_mm.dtype),
@@ -246,12 +383,20 @@ def _decode_kernel(
         out_ref[0] = (
             acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
         ).astype(out_ref.dtype)
+        if return_lse:
+            l = l_ref[...]
+            lse_ref[0] = jnp.where(
+                l > 0.0,
+                m_ref[...] + jnp.log(jnp.maximum(l, 1e-30)),
+                _NEG_INF,
+            )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "sliding_window", "logits_soft_cap", "pv_width", "interpret"
+        "sm_scale", "sliding_window", "logits_soft_cap", "pv_width",
+        "dcp", "return_lse", "interpret",
     ),
 )
 def paged_decode_attention_pallas(
@@ -262,8 +407,12 @@ def paged_decode_attention_pallas(
     sliding_window: int = 0,
     logits_soft_cap: float = 0.0,
     pv_width: int = 0,  # MLA: PV reads k_buf[..., :pv_width]; out D = pv_width
+    k_cur: jnp.ndarray | None = None,  # (T, HKV, D) deferred-write current K
+    v_cur: jnp.ndarray | None = None,
+    dcp: bool = False,  # block tables hold rank-local ids + OOB sentinels
+    return_lse: bool = False,  # also return per-row log-sum-exp (T, HQ) f32
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     t, hq, d = q.shape
     nb, hkv, bs, _ = kv_cache.k.shape
     g = hq // hkv
@@ -273,6 +422,7 @@ def paged_decode_attention_pallas(
     ckv = min(bs * 16, 256)
     if ckv % bs:
         ckv = bs
+    deferred = k_cur is not None
 
     # (R, HQ, D) → (NT, HKV, NR*G, D): row rr*G+gi of tile t is request
     # t*NR+rr, group gi — pure transpose, no gathers
@@ -282,6 +432,9 @@ def paged_decode_attention_pallas(
         .transpose(0, 2, 1, 3, 4)
         .reshape(nt, hkv, NR * g, d)
     )
+
+    def cur_tiled(x):  # (T, HKV, D) → (NT, HKV, NR, D), same tiling as q
+        return x[:r].reshape(nt, NR, hkv, -1).transpose(0, 2, 1, 3)
 
     quantized = kv_cache.quantized
     in_specs = [
@@ -311,21 +464,40 @@ def paged_decode_attention_pallas(
             pltpu.VMEM((2, hkv, NR * ckv), jnp.float32),
             pltpu.VMEM((2, hkv, NR * ckv), jnp.float32),
         ]
+    if deferred:
+        in_specs.append(
+            pl.BlockSpec((1, hkv, NR, d), lambda i, *_: (i, 0, 0, 0))
+        )
+        inputs.append(cur_tiled(k_cur))
+        if not pv_width:
+            in_specs.append(
+                pl.BlockSpec((1, hkv, NR, d), lambda i, *_: (i, 0, 0, 0))
+            )
+            inputs.append(cur_tiled(v_cur))
     scratch += [
         pltpu.VMEM((hkv, NR * g, d_out), jnp.float32),
         pltpu.VMEM((hkv, NR * g, 1), jnp.float32),
         pltpu.VMEM((hkv, NR * g, 1), jnp.float32),
-        pltpu.SemaphoreType.DMA(
-            (2, 4 if quantized else 2, NR * (ckv // bs))
-        ),
+        pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, NR)),
     ]
+    out_specs = pl.BlockSpec(
+        (1, hkv, NR * g, d_out), lambda i, *_: (i, 0, 0, 0)
+    )
+    out_shape = jax.ShapeDtypeStruct((nt, hkv, NR * g, d_out), q.dtype)
+    if return_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, hkv, NR * g, 1), lambda i, *_: (i, 0, 0, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((nt, hkv, NR * g, 1), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, hkv, NR * g, d_out), lambda i, *_: (i, 0, 0, 0)
-        ),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
@@ -338,16 +510,20 @@ def paged_decode_attention_pallas(
         logits_soft_cap=logits_soft_cap,
         quantized=quantized,
         pv_width=pv_width,
+        deferred=deferred,
+        dcp=dcp,
+        return_lse=return_lse,
     )
-    out_tiled = pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, hkv, NR * g, d_out), q.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
+    out_tiled = result[0] if return_lse else result
 
     out = (
         out_tiled.reshape(nt, hkv, NR, g, d_out)
@@ -358,4 +534,16 @@ def paged_decode_attention_pallas(
         out = jnp.concatenate(
             [out, jnp.zeros((t - r, hq, d_out), out.dtype)], axis=0
         )
-    return out
+    if not return_lse:
+        return out
+    lse = (
+        result[1]
+        .reshape(nt, hkv, NR, g)
+        .transpose(0, 2, 1, 3)
+        .reshape(r, hq)
+    )
+    if t > r:
+        lse = jnp.concatenate(
+            [lse, jnp.full((t - r, hq), _NEG_INF, jnp.float32)], axis=0
+        )
+    return out, lse
