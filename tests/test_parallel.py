@@ -283,3 +283,38 @@ def test_tp_gpt_neox_matches_single_device():
     ref = _run_engine(_make_config(mc, 1))
     out = _run_engine(_make_config(mc, 2), mesh=make_tp_mesh(2))
     assert out == ref
+
+
+def test_ep_a2a_matches_single_device(monkeypatch):
+    """All-to-all EP dispatch (METAX_TPU_EP_DISPATCH=a2a): token-sharded
+    dispatch over the ep axis must match single-device exactly when no
+    capacity drops occur (capacity_factor 2 at tiny T·K)."""
+    from vllm_metax_tpu.config import ParallelConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    monkeypatch.setenv("METAX_TPU_EP_DISPATCH", "a2a")
+    mc = _moe_config_for_parallel()
+    ref = _run_engine(_make_config(mc, 1))
+
+    cfg = _make_config(mc, 1)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=1, expert_parallel_size=2
+    )
+    out = _run_engine(cfg, mesh=make_tp_mesh(1, 2))
+    assert out == ref
+
+
+def test_ep_a2a_x_tp_matches_single_device(monkeypatch):
+    from vllm_metax_tpu.config import ParallelConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    monkeypatch.setenv("METAX_TPU_EP_DISPATCH", "a2a")
+    mc = _moe_config_for_parallel()
+    ref = _run_engine(_make_config(mc, 1))
+
+    cfg = _make_config(mc, 2)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=2, expert_parallel_size=2
+    )
+    out = _run_engine(cfg, mesh=make_tp_mesh(2, 2))
+    assert out == ref

@@ -89,9 +89,16 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
-    # DeepSeek multi-token prediction (MTP) spec-decode head
+    # Draft-head spec decode: DeepSeek MTP or EAGLE — both are one extra
+    # decoder layer with its own KV range in the pool
     num_nextn_predict_layers: int = 0  # spec layers present in the checkpoint
-    mtp_enabled: bool = False  # set by check_and_update when method == "mtp"
+    mtp_enabled: bool = False  # set by check_and_update (method mtp/eagle)
+    draft_model: str = ""  # EAGLE head checkpoint path (copied from spec cfg)
+    # DeepSeek V3.2 sparse attention ("lightning indexer", ref:
+    # vllm_metax/models/deepseek_v2.py:769 Indexer; is_v32 == index_topk set)
+    index_topk: int = 0  # 0 = dense MLA (V2/V3); V3.2 uses 2048
+    index_n_heads: int = 0  # 64
+    index_head_dim: int = 0  # 128
     # raw HF config dict for model-specific extras
     hf_config: dict = field(default_factory=dict)
 
@@ -238,6 +245,10 @@ class ModelConfig:
             kw["qk_nope_head_dim"] = cfg.get("qk_nope_head_dim", 128)
             kw["qk_rope_head_dim"] = cfg.get("qk_rope_head_dim", 64)
             kw["v_head_dim"] = cfg.get("v_head_dim", 128)
+            if cfg.get("index_topk"):  # V3.2 sparse attention indexer
+                kw["index_topk"] = cfg["index_topk"]
+                kw["index_n_heads"] = cfg.get("index_n_heads", 64)
+                kw["index_head_dim"] = cfg.get("index_head_dim", 128)
         kw.update(overrides)
         return ModelConfig(**kw)
 
@@ -429,6 +440,12 @@ class EngineConfig:
             # slices (ragged_attention.py); keep total KV bytes constant
             cc.num_blocks = max(1, cc.num_blocks * cc.block_size // 128)
             cc.block_size = 128
+        if mc.index_topk and cc.kv_quantized:
+            # V3.2: the bf16 indexer-K side pool shares the v slot; per-row
+            # scale plumbing for a quantized latent pool is not wired yet
+            raise ValueError(
+                "DeepSeek V3.2 (index_topk) requires kv_cache_dtype=auto"
+            )
         sc.max_num_batched_tokens = max(
             sc.max_num_batched_tokens, cc.block_size
         )
@@ -451,3 +468,17 @@ class EngineConfig:
                     "matching DeepSeek-V3 checkpoints)"
                 )
             mc.mtp_enabled = True
+        if spec is not None and spec.method == "eagle" and spec.enabled:
+            # EAGLE draft head (one llama decoder layer + fc, separate
+            # checkpoint; ref: vllm v1/spec_decode/eagle.py)
+            if mc.use_mla:
+                raise ValueError(
+                    "speculative method 'eagle' targets dense-attention "
+                    "models; use method 'mtp' for DeepSeek"
+                )
+            if spec.num_speculative_tokens != 1:
+                raise ValueError(
+                    "eagle currently supports num_speculative_tokens=1"
+                )
+            mc.mtp_enabled = True
+            mc.draft_model = spec.draft_model

@@ -94,12 +94,15 @@ class ModelRunner:
                 )
         spec = config.speculative_config
         self.mtp = bool(
-            spec is not None and spec.method == "mtp" and spec.enabled
+            spec is not None
+            and spec.method in ("mtp", "eagle")
+            and spec.enabled
         )
         if self.mtp:
             if not hasattr(self.model, "mtp_forward"):
                 raise ValueError(
-                    f"{self.model_cfg.architecture} has no MTP draft head"
+                    f"{self.model_cfg.architecture} has no "
+                    f"{spec.method} draft head"
                 )
             if self.pp_size > 1 or self.dcp_size > 1:
                 raise NotImplementedError("mtp spec decode with pp/dcp")
@@ -326,7 +329,9 @@ class ModelRunner:
             kv_spec["num_kv_heads"],
             kv_spec["head_dim"],
             cc.kv_dtype(self.model_cfg.dtype),
+            model_dtype=self.model_cfg.dtype,
             store_v=kv_spec.get("store_v", True),
+            v_dim=kv_spec.get("v_dim"),
         )
         if self._is_sharded:
             from jax.sharding import NamedSharding
@@ -386,15 +391,29 @@ class ModelRunner:
 
             logger.info("loading sharded state from %s", self.model_cfg.model)
             return load_sharded_state(None, self.model_cfg.model)
+        spec = self.config.speculative_config
+        eagle = bool(spec is not None and spec.method == "eagle"
+                     and spec.enabled)
         if lc.load_format == "dummy" or not self.model_cfg.model:
             logger.info("initializing dummy weights (load_format=dummy)")
-            return self.model.init_params(
+            params = self.model.init_params(
                 self.model_cfg, self.config.quant_config, seed=lc.seed
             )
+            if eagle:
+                params["mtp"] = self.model.init_eagle_params(self.model_cfg)
+            return params
         logger.info("loading weights from %s", self.model_cfg.model)
-        return self.model.load_weights(
+        params = self.model.load_weights(
             self.model_cfg, self.config.quant_config, self.model_cfg.model
         )
+        if eagle:
+            logger.info("loading EAGLE head from %s",
+                        self.model_cfg.draft_model)
+            params["mtp"] = self.model.load_eagle_weights(
+                self.model_cfg, self.config.quant_config,
+                self.model_cfg.draft_model,
+            )
+        return params
 
     @property
     def _is_sharded(self) -> bool:

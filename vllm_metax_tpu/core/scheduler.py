@@ -97,7 +97,7 @@ class Scheduler:
                     speculative_config.prompt_lookup_max,
                     speculative_config.num_speculative_tokens,
                 )
-            elif speculative_config.method == "mtp":
+            elif speculative_config.method in ("mtp", "eagle"):
                 self.external_drafts = True
             else:
                 raise ValueError(

@@ -16,6 +16,12 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # and run the int8 MXU (2x the bf16 MXU rate, no per-weight VPU dequant).
     # "1" = on for the tiled int4 path; "0" = exact bf16-activation kernel.
     "METAX_TPU_W4A8": lambda: os.getenv("METAX_TPU_W4A8", "0") == "1",
+    # EP token dispatch: "replicated" (dropless; every rank routes all
+    # tokens) or "a2a" (token-sharded all-to-all, capacity-bounded — the
+    # analog of the reference's VLLM_ALL2ALL_BACKEND, platform.py:202)
+    "METAX_TPU_EP_DISPATCH": lambda: os.getenv(
+        "METAX_TPU_EP_DISPATCH", "replicated"
+    ),
     # Fraction of free HBM to dedicate to the KV cache.
     "METAX_TPU_GPU_MEMORY_UTILIZATION": lambda: float(
         os.getenv("METAX_TPU_GPU_MEMORY_UTILIZATION", "0.9")

@@ -49,12 +49,18 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 def kv_cache_spec(cfg: ModelConfig) -> dict:
     # the MTP spec head is one extra MLA layer with its own KV range
     # (ref: deepseek_mtp.py DeepSeekMultiTokenPredictorLayer.mtp_block)
-    return {
+    spec = {
         "num_layers": cfg.num_hidden_layers + (1 if cfg.mtp_enabled else 0),
         "num_kv_heads": 1,
         "head_dim": cfg.kv_lora_rank + cfg.qk_rope_head_dim,
         "store_v": False,
     }
+    if cfg.index_topk:
+        # V3.2: the per-token 128-wide indexer K rows ride the (otherwise
+        # zero-width) v pool — same paging, one cache manager (ref:
+        # DeepseekV32IndexerCache, vllm_metax/models/deepseek_v2.py:562)
+        spec["v_dim"] = cfg.index_head_dim
+    return spec
 
 
 def _sm_scale(cfg: ModelConfig) -> float:
@@ -160,6 +166,92 @@ def mla_attention_xla_chunked(
     return out.astype(q.dtype)
 
 
+# -------------------------------------------------- V3.2 sparse indexer
+
+def indexer_topk(
+    q_idx: jnp.ndarray,  # (T, NH, DI) roped indexer queries
+    w_idx: jnp.ndarray,  # (T, NH) fully-scaled head weights
+    kv_cache: KVCache,  # v pool holds the (NB, 1, BS, DI) indexer K rows
+    md: AttentionMetadata,
+    topk: int,
+    chunk_tokens: int = 256,
+) -> jnp.ndarray:
+    """DeepSeek V3.2 "lightning indexer": logits[t,s] = Σ_h w[t,h]·relu(q·k_s)
+    over the causal context, then top-k token positions per query row.
+
+    Ref math: deep_gemm bf16_mqa_logits consumed by sparse_attn_indexer
+    (vllm_metax/models/deepseek_v2.py:585-727, utils/deep_gemm.py:53).
+    Chunked over the context like mla_attention_xla_chunked — peak
+    intermediate is (T, NH, CKV), never (T, NH, CTX). Returns (T, K) absolute
+    positions, -1 where fewer than K causal tokens exist.
+    """
+    t, nh, di = q_idx.shape
+    r, maxb = md.block_tables.shape
+    bs = kv_cache.block_size
+    cb = max(1, chunk_tokens // bs)
+    nchunks = -(-maxb // cb)
+    bt = jnp.pad(md.block_tables, ((0, 0), (0, nchunks * cb - maxb)))
+    ckv = cb * bs
+
+    qf = q_idx.astype(jnp.float32)
+    wf = w_idx.astype(jnp.float32)
+    q_pos = md.positions[:, None]
+    seq_len = md.seq_lens[md.req_idx][:, None]
+    pos_in_chunk = jnp.arange(ckv, dtype=jnp.int32)[None, :]
+
+    def chunk_step(_, c):
+        pages = jax.lax.dynamic_slice_in_dim(bt, c * cb, cb, axis=1)
+        rows = jnp.take(kv_cache.v, pages, axis=0)  # (R, CB, 1, BS, DI)
+        rows_tok = rows.reshape(r, ckv, di)[md.req_idx].astype(jnp.float32)
+        s = jnp.einsum("thd,tcd->thc", qf, rows_tok)  # (T, NH, CKV)
+        s = jnp.einsum("th,thc->tc", wf, jax.nn.relu(s))  # (T, CKV)
+        kv_pos = c * ckv + pos_in_chunk
+        mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+        return 0, jnp.where(mask, s, _NEG_INF)
+
+    _, logits = jax.lax.scan(
+        chunk_step, 0, jnp.arange(nchunks, dtype=jnp.int32)
+    )  # (NCHUNKS, T, CKV)
+    logits = jnp.transpose(logits, (1, 0, 2)).reshape(t, nchunks * ckv)
+    k = min(topk, nchunks * ckv)
+    vals, idx = jax.lax.top_k(logits, k)  # positions ARE column indices
+    return jnp.where(vals > _NEG_INF / 2, idx.astype(jnp.int32), -1)
+
+
+def mla_sparse_attention_xla(
+    q: jnp.ndarray,  # (T, H_local, 576)
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    sm_scale: float,
+    kv_lora_rank: int,
+    topk_pos: jnp.ndarray,  # (T, K) absolute positions, -1 = invalid
+) -> jnp.ndarray:
+    """MQA over only the indexer-selected latent rows (ref:
+    flashmla_sparse.py:506 — topk indices → gathered sparse attention)."""
+    t, h, dq = q.shape
+    bs = kv_cache.block_size
+    safe = jnp.maximum(topk_pos, 0)
+    pages = jnp.take_along_axis(
+        md.block_tables[md.req_idx], safe // bs, axis=1
+    )  # (T, K)
+    rows = kv_cache.k.reshape(-1, dq)[
+        (pages * bs + safe % bs).reshape(-1)
+    ].reshape(t, -1, dq)  # (T, K, 576)
+    if kv_cache.quantized:
+        scale = kv_cache.k_scale.reshape(-1)[
+            (pages * bs + safe % bs).reshape(-1)
+        ].reshape(t, -1)
+        rows = rows.astype(jnp.float32) * scale[..., None]
+    rows = rows.astype(jnp.float32)
+    s = jnp.einsum("thd,tkd->thk", q.astype(jnp.float32), rows) * sm_scale
+    s = jnp.where((topk_pos >= 0)[:, None, :], s, _NEG_INF)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    out = jnp.einsum("thk,tkd->thd", p / denom, rows[..., :kv_lora_rank])
+    return out.astype(q.dtype)
+
+
 def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
                maybe_psum):
     eps = cfg.rms_norm_eps
@@ -191,10 +283,42 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
     q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # (T, H, lora+rope)
 
     latent = jnp.concatenate([ckv, k_pe[:, 0]], axis=-1)[:, None, :]  # (T,1,D)
-    kv_l = write_to_kv_cache(kv_l, latent, jnp.zeros((t, 1, 0), latent.dtype),
-                             md.slot_mapping)
 
-    attn_lat = mla_attention(q_full, kv_l, md, _sm_scale(cfg), lora)
+    if cfg.index_topk:
+        # V3.2 lightning indexer (ref: deepseek_v2.py:769 Indexer.forward):
+        # 64 query heads over a single 128-wide indexer K row per token;
+        # rope on the LEADING rope_d dims (split order [pe|nope]), GPT-J style
+        from vllm_metax_tpu.ops.layernorm import layer_norm
+
+        idx = lp["indexer"]
+        nh, di = cfg.index_n_heads, cfg.index_head_dim
+        qi = apply_linear(idx["wq_b"], cq).reshape(t, nh, di)
+        ki = layer_norm(
+            apply_linear(idx["wk"], normed), idx["k_norm"], idx["k_norm_b"],
+            eps=1e-6,
+        )
+        qi_pe, ki_pe = apply_rope(
+            qi[..., :rope_d], ki[:, None, :rope_d], md.positions, rope_cache,
+            is_neox_style=False,
+        )
+        qi = jnp.concatenate([qi_pe, qi[..., rope_d:]], axis=-1)
+        ki = jnp.concatenate([ki_pe[:, 0], ki[:, rope_d:]], axis=-1)
+        w_idx = apply_linear(idx["weights_proj"], normed) * (
+            di**-0.5 * nh**-0.5
+        )
+        # indexer K rows ride the v pool (kv_cache_spec v_dim)
+        kv_l = write_to_kv_cache(
+            kv_l, latent, ki[:, None, :], md.slot_mapping
+        )
+        topk_pos = indexer_topk(qi, w_idx, kv_l, md, cfg.index_topk)
+        attn_lat = mla_sparse_attention_xla(
+            q_full, kv_l, md, _sm_scale(cfg), lora, topk_pos
+        )
+    else:
+        kv_l = write_to_kv_cache(
+            kv_l, latent, jnp.zeros((t, 1, 0), latent.dtype), md.slot_mapping
+        )
+        attn_lat = mla_attention(q_full, kv_l, md, _sm_scale(cfg), lora)
     attn = jnp.einsum(
         "thk,hkv->thv", attn_lat.astype(jnp.float32),
         lp["w_uv"].astype(jnp.float32),
@@ -489,6 +613,17 @@ def init_params(
             lp["q_b"] = quantize({"w": dense((cfg.q_lora_rank, hq * (nope + rope_d)))})
         else:
             lp["q"] = quantize({"w": dense((e, hq * (nope + rope_d)))})
+        if cfg.index_topk:
+            if not cfg.q_lora_rank:
+                raise ValueError("V3.2 indexer requires q_lora_rank")
+            nh, di = cfg.index_n_heads, cfg.index_head_dim
+            lp["indexer"] = {
+                "wq_b": {"w": dense((cfg.q_lora_rank, nh * di))},
+                "wk": {"w": dense((e, di))},
+                "k_norm": jnp.ones((di,), dt),
+                "k_norm_b": jnp.zeros((di,), dt),
+                "weights_proj": {"w": dense((e, nh))},
+            }
         return lp
 
     def dense_layer():
@@ -583,6 +718,15 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
             lp["q_b"] = quantize(get_linear(f"{pre}.self_attn.q_b_proj"))
         else:
             lp["q"] = quantize(get_linear(f"{pre}.self_attn.q_proj"))
+        if cfg.index_topk:
+            ip = f"{pre}.self_attn.indexer"
+            lp["indexer"] = {
+                "wq_b": get_linear(f"{ip}.wq_b"),
+                "wk": get_linear(f"{ip}.wk"),
+                "k_norm": get(f"{ip}.k_norm.weight"),
+                "k_norm_b": get(f"{ip}.k_norm.bias"),
+                "weights_proj": get_linear(f"{ip}.weights_proj"),
+            }
         return lp
 
     def expert_bank(pre):
@@ -768,6 +912,15 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
         "q_a_norm": P(None, None),
         "q_b": linear_spec(1),
         "q": linear_spec(1),
+        # V3.2 indexer is replicated — "no tensor parallel, just replicated"
+        # (ref: deepseek_v2.py:791 ReplicatedLinear)
+        "indexer": {
+            "wq_b": {"w": P(None, None, None)},
+            "wk": {"w": P(None, None, None)},
+            "k_norm": P(None, None),
+            "k_norm_b": P(None, None),
+            "weights_proj": {"w": P(None, None, None)},
+        },
     }
     layer = {
         **attn,

@@ -40,10 +40,15 @@ from vllm_metax_tpu.layers.linear import apply_linear
 from vllm_metax_tpu.ops.activation import ACT2FN
 from vllm_metax_tpu.ops.attention import (
     AttentionMetadata,
+    defer_kv_supported,
     layer_view,
     ragged_paged_attention,
 )
-from vllm_metax_tpu.ops.kv_cache import KVCache, write_to_kv_cache
+from vllm_metax_tpu.ops.kv_cache import (
+    KVCache,
+    write_all_layers_to_kv_cache,
+    write_to_kv_cache,
+)
 from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
 from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
 
@@ -100,6 +105,15 @@ def run_layers(
     nb_layer = kv_cache.k.shape[0] // n_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
+    # Pure-decode steps DEFER the per-layer KV write: attention reads the
+    # current token's K/V directly (k_cur/v_cur) and ONE batched scatter
+    # lands all layers after the scan — the per-layer scatter fusion is
+    # overhead-bound (~71µs for a 256KB write; ×2×L ≈ 4.5ms/step at 8B).
+    t = hidden.shape[0]
+    defer = defer_kv_supported(
+        jax.ShapeDtypeStruct((t, hq, d), hidden.dtype), kv_cache, md
+    )
+
     # Layer weights stay CLOSED OVER (scan constants) and the scan runs over
     # the layer index only: big quantized banks are indexed inside the Pallas
     # matmul via a prefetched layer id — scanning weights as xs would
@@ -108,7 +122,11 @@ def run_layers(
     layers = params["layers"]
 
     def layer_fn(carry, l):
-        hidden, residual, kv = carry
+        if defer:
+            hidden, residual = carry
+            kv = kv_cache  # read-only inside the scan (scan constant)
+        else:
+            hidden, residual, kv = carry
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
 
         normed, residual = fused_add_rms_norm(hidden, residual,
@@ -126,10 +144,16 @@ def run_layers(
             q = rms_norm(q, layers["q_norm"][l], eps)
             k = rms_norm(k, layers["k_norm"][l], eps)
         q, k = apply_rope(q, k, md.positions, rope_cache)
-        kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
-        attn = ragged_paged_attention(
-            q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
-        )
+        if defer:
+            attn = ragged_paged_attention(
+                q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window,
+                k_cur=k, v_cur=v,
+            )
+        else:
+            kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
+            attn = ragged_paged_attention(
+                q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
+            )
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
                          lora_idx=md.lora_idx)
@@ -145,13 +169,25 @@ def run_layers(
                          lora_idx=md.lora_idx)
         )
 
+        if defer:
+            return (mlp_out, residual), (k, v)
         return (mlp_out, residual, kv), None
 
-    (hidden, residual, new_kv), _ = jax.lax.scan(
-        layer_fn,
-        (hidden, residual, kv_cache),
-        jnp.arange(n_layers, dtype=jnp.int32),
-    )
+    if defer:
+        (hidden, residual), (ks, vs) = jax.lax.scan(
+            layer_fn,
+            (hidden, residual),
+            jnp.arange(n_layers, dtype=jnp.int32),
+        )
+        new_kv = write_all_layers_to_kv_cache(
+            kv_cache, ks, vs, md.slot_mapping, nb_layer
+        )
+    else:
+        (hidden, residual, new_kv), _ = jax.lax.scan(
+            layer_fn,
+            (hidden, residual, kv_cache),
+            jnp.arange(n_layers, dtype=jnp.int32),
+        )
     return hidden, residual, new_kv
 
 
@@ -583,12 +619,172 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
+    if cfg.mtp_enabled:
+        # EAGLE head: one UNSTACKED decoder layer — strip the leading L axis
+        strip = lambda sp: P(*tuple(sp)[1:])  # noqa: E731
+        specs["mtp"] = {
+            "fc": {"w": P(None, None)},
+            "layer": jax.tree_util.tree_map(
+                strip, layer_spec, is_leaf=lambda x: isinstance(x, P)
+            ),
+            "embed": P(None, None),
+        }
     return specs
 
 
 def kv_cache_spec(cfg: ModelConfig) -> dict:
     return {
-        "num_layers": cfg.num_hidden_layers,
+        # the EAGLE draft head is one extra decoder layer with its own KV
+        # range at index num_hidden_layers (ref: vllm v1/spec_decode/eagle.py)
+        "num_layers": cfg.num_hidden_layers + (1 if cfg.mtp_enabled else 0),
         "num_kv_heads": cfg.num_kv_heads,
         "head_dim": cfg.head_dim,
+    }
+
+
+# ----------------------------------------------------------- EAGLE draft head
+
+def mtp_forward(
+    params: dict,
+    input_ids: jnp.ndarray,  # (T,) NEXT token per row (sampled/ground truth)
+    prev_hidden: jnp.ndarray,  # (T, E) main model's output hidden
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
+):
+    """EAGLE-1 draft head: h = decoder_layer(fc([embed(tok_next) | hidden])).
+
+    Ref: vllm v1/spec_decode/eagle.py EagleProposer + the EAGLE checkpoint
+    layout (fc.weight + one LlamaDecoderLayer whose layer-0 input_layernorm
+    is removed). Like the DeepSeek MTP head (models/deepseek.py:mtp_forward)
+    it reuses the step metadata unshifted — draft proposals are verified
+    exactly, so metadata skew only affects acceptance rate, not correctness.
+    The head's KV lives in the pool's LAST layer range."""
+    ep = params["mtp"]
+    hq = num_q_heads or cfg.num_q_heads
+    hkv = cfg.num_kv_heads * hq // cfg.num_q_heads
+    d = cfg.head_dim
+    eps = cfg.rms_norm_eps
+    act_fn = ACT2FN[cfg.hidden_act]
+    t = input_ids.shape[0]
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    emb_table = ep.get("embed", params["embed"])
+    emb = jnp.take(emb_table, input_ids, axis=0).astype(cfg.dtype)
+    prev = rms_norm(prev_hidden, params["final_norm"], eps)
+    x = apply_linear(ep["fc"], jnp.concatenate([emb, prev], axis=-1))
+
+    nb_layer = kv_cache.k.shape[0] // (cfg.num_hidden_layers + 1)
+    md_l = layer_view(
+        md, cfg.num_hidden_layers, nb_layer, nb_layer * kv_cache.block_size
+    )
+    lp = ep["layer"]
+    residual = x
+    normed = rms_norm(x, lp["ln1"], eps) if "ln1" in lp else x
+    qkv = apply_linear(lp["qkv"], normed)
+    q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+    q, k = apply_rope(
+        q.reshape(t, hq, d), k.reshape(t, hkv, d), md.positions,
+        params["rope_cache"],
+    )
+    kv_cache = write_to_kv_cache(
+        kv_cache, k, v.reshape(t, hkv, d), md_l.slot_mapping
+    )
+    attn = ragged_paged_attention(q, kv_cache, md_l, d**-0.5,
+                                  sliding_window=cfg.sliding_window)
+    attn_out = maybe_psum(apply_linear(lp["o"], attn.reshape(t, hq * d)))
+    h = residual + attn_out
+    normed = rms_norm(h, lp["ln2"], eps)
+    mlp = maybe_psum(
+        apply_linear(lp["down"], ACT2FN[cfg.hidden_act](
+            apply_linear(lp["gate_up"], normed)))
+    )
+    return h + mlp, kv_cache
+
+
+def mtp_compute_logits(
+    params: dict,
+    hidden: jnp.ndarray,
+    cfg: ModelConfig,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """EAGLE shares the base model's final norm + lm_head."""
+    return compute_logits(params, hidden, cfg, axis_name=axis_name)
+
+
+def load_eagle_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
+    """Load an EAGLE draft checkpoint (fc + one decoder layer, e.g.
+    yuhuili/EAGLE-LLaMA3-*) into the params['mtp'] group."""
+    from vllm_metax_tpu.weights.loader import CheckpointReader
+
+    reader = CheckpointReader(path)
+
+    def get(name):
+        return jnp.asarray(reader.get(name), dtype=cfg.dtype)
+
+    def get_linear(prefix):
+        return {"w": get(f"{prefix}.weight").T}
+
+    def first(*names):
+        for n in names:
+            if reader.has(f"{n}.self_attn.q_proj.weight"):
+                return n
+        raise KeyError(names)
+
+    pre = first("layers.0", "model.layers.0", "midlayer")
+    gate = get(f"{pre}.mlp.gate_proj.weight").T
+    up = get(f"{pre}.mlp.up_proj.weight").T
+    layer = {
+        "qkv": {
+            "w": jnp.concatenate(
+                [
+                    get(f"{pre}.self_attn.q_proj.weight").T,
+                    get(f"{pre}.self_attn.k_proj.weight").T,
+                    get(f"{pre}.self_attn.v_proj.weight").T,
+                ],
+                axis=-1,
+            )
+        },
+        "o": get_linear(f"{pre}.self_attn.o_proj"),
+        "ln2": get(f"{pre}.post_attention_layernorm.weight"),
+        "gate_up": {"w": jnp.concatenate([gate, up], axis=-1)},
+        "down": get_linear(f"{pre}.mlp.down_proj"),
+    }
+    if reader.has(f"{pre}.input_layernorm.weight"):  # absent in EAGLE-1
+        layer["ln1"] = get(f"{pre}.input_layernorm.weight")
+    mtp = {"fc": get_linear("fc"), "layer": layer}
+    if reader.has("embed_tokens.weight"):
+        mtp["embed"] = get("embed_tokens.weight")
+    elif reader.has("model.embed_tokens.weight"):
+        mtp["embed"] = get("model.embed_tokens.weight")
+    return mtp
+
+
+def init_eagle_params(cfg: ModelConfig, seed: int = 1) -> dict:
+    """Dummy EAGLE head (load_format=dummy)."""
+    key = jax.random.PRNGKey(seed)
+    e = cfg.hidden_size
+    dt = cfg.dtype
+
+    def dense(shape, i, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[0]))
+        return (
+            jax.random.normal(jax.random.fold_in(key, i), shape, jnp.float32)
+            * scale
+        ).astype(dt)
+
+    return {
+        "fc": {"w": dense((2 * e, e), 0)},
+        "layer": {
+            "qkv": {"w": dense(_linear_shape("qkv", cfg), 1)},
+            "o": {"w": dense(_linear_shape("o", cfg), 2)},
+            "ln2": jnp.ones((e,), dt),
+            "gate_up": {"w": dense(_linear_shape("gate_up", cfg), 3)},
+            "down": {"w": dense(_linear_shape("down", cfg), 4)},
+        },
     }

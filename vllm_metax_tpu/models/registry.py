@@ -39,6 +39,9 @@ _REGISTRY: dict[str, str] = {
     # DeepSeek (MLA + MoE)
     "DeepseekV2ForCausalLM": "vllm_metax_tpu.models.deepseek",
     "DeepseekV3ForCausalLM": "vllm_metax_tpu.models.deepseek",
+    # V3.2 = V3 + sparse-attention lightning indexer (ref:
+    # vllm_metax/models/__init__.py:43 maps V32 onto the V3 class too)
+    "DeepseekV32ForCausalLM": "vllm_metax_tpu.models.deepseek",
     # Baichuan-MoE (per-layer heterogeneous experts + NormHead;
     # ref: vllm_metax/models/baichuan_moe.py)
     "BaiChuanMoEForCausalLM": "vllm_metax_tpu.models.baichuan_moe",

@@ -135,6 +135,20 @@ def fused_experts(
     k = topk_ids.shape[1]
     dtype = x.dtype
 
+    if (
+        ep_axis is not None
+        and "w" in gate_up_bank
+        and gate_up_bank["w"].shape[0] != num_experts
+        and t % jax.lax.axis_size(ep_axis) == 0
+    ):
+        from vllm_metax_tpu import envs
+
+        if envs.METAX_TPU_EP_DISPATCH == "a2a":
+            return _fused_experts_a2a(
+                x, gate_up_bank, down_bank, topk_weights, topk_ids,
+                act_fn, num_experts, ep_axis,
+            )
+
     flat_expert = topk_ids.reshape(-1)  # (T*K,)
     flat_token = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)
     flat_weight = topk_weights.reshape(-1)
@@ -179,6 +193,100 @@ def fused_experts(
 
     ys = ys.astype(jnp.float32) * weight[:, None]
     out = jnp.zeros((t, h), jnp.float32).at[sorted_token].add(ys)
+    return out.astype(dtype)
+
+
+def _fused_experts_a2a(
+    x: jnp.ndarray,  # (T, H) — REPLICATED over the ep axis
+    gate_up_bank: dict,
+    down_bank: dict,
+    topk_weights: jnp.ndarray,  # (T, K)
+    topk_ids: jnp.ndarray,  # (T, K) global expert ids
+    act_fn,
+    num_experts: int,
+    ep_axis: str,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """Token-sharded all-to-all EP dispatch (the analog of the reference's
+    all2all backends, vllm_metax/platform.py:202-217 VLLM_ALL2ALL_BACKEND).
+
+    Each ep rank routes/dispatches only its T/ep token slice: tokens travel
+    to their experts' owner ranks over ICI (lax.all_to_all), the grouped
+    GEMM runs on ~T·K/ep rows per rank, and results return by a second
+    all_to_all. Rank r contributes rows [r·T/ep, (r+1)·T/ep) of a zero
+    (T, H) canvas — the caller's existing psum over (ep, tp) assembles the
+    full batch, so the call signature stays drop-in with the replicated
+    path. Per-destination capacity = ceil(T/ep·K/ep·cf): overflow drops
+    (capacity-based, unlike the dropless replicated path) — enable via
+    METAX_TPU_EP_DISPATCH=a2a when ep > top-k makes the a2a volume
+    (2·T·K·H/ep per rank) beat replicated compute."""
+    t, h = x.shape
+    k = topk_ids.shape[1]
+    dtype = x.dtype
+    ep = jax.lax.axis_size(ep_axis)
+    rank = jax.lax.axis_index(ep_axis)
+    tl = t // ep
+
+    w1 = _dequant_bank(gate_up_bank, dtype)  # (E_local, H, 2I)
+    w2 = _dequant_bank(down_bank, dtype)
+    e_local = w1.shape[0]
+
+    x_r = jax.lax.dynamic_slice_in_dim(x, rank * tl, tl, 0)
+    ids_r = jax.lax.dynamic_slice_in_dim(topk_ids, rank * tl, tl, 0)
+    w_r = jax.lax.dynamic_slice_in_dim(topk_weights, rank * tl, tl, 0)
+
+    flat_ids = ids_r.reshape(-1)  # (tl*k,) global expert ids
+    dest = flat_ids // e_local  # owner rank per assignment
+    cap = max(8, -(-int(tl * k * capacity_factor) // ep // 8) * 8)
+
+    # slot within each destination's capacity window (cumcount of dest)
+    hit = dest[:, None] == jnp.arange(ep, dtype=jnp.int32)[None, :]
+    pos = jnp.cumsum(hit, axis=0) - 1  # (tl*k, ep)
+    slot = jnp.sum(jnp.where(hit, pos, 0), axis=1)
+    send_idx = jnp.where(slot < cap, dest * cap + slot, ep * cap)  # OOB drop
+    src_row = jnp.repeat(jnp.arange(tl, dtype=jnp.int32), k)
+
+    send_x = jnp.zeros((ep * cap, h), dtype).at[send_idx].set(
+        x_r[src_row], mode="drop"
+    )
+    send_eid = jnp.full((ep * cap,), e_local, jnp.int32).at[send_idx].set(
+        flat_ids % e_local, mode="drop"
+    )  # pad slots carry e_local (sorts past every real expert)
+    send_w = jnp.zeros((ep * cap,), jnp.float32).at[send_idx].set(
+        w_r.reshape(-1), mode="drop"
+    )
+
+    recv_x = jax.lax.all_to_all(
+        send_x.reshape(ep, cap, h), ep_axis, 0, 0
+    ).reshape(ep * cap, h)
+    recv_eid = jax.lax.all_to_all(
+        send_eid.reshape(ep, cap, 1), ep_axis, 0, 0
+    ).reshape(ep * cap)
+
+    order = jnp.argsort(recv_eid, stable=True)  # pads sort last
+    counts = (
+        jnp.zeros(e_local + 1, jnp.int32).at[recv_eid].add(1)[:e_local]
+    )
+    xs = recv_x[order]
+    hdn = act_fn(jax.lax.ragged_dot(xs, w1, counts))
+    ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, counts)
+    out_slots = jnp.zeros_like(ys).at[order].set(ys)  # back to slot layout
+
+    back = jax.lax.all_to_all(
+        out_slots.reshape(ep, cap, h), ep_axis, 0, 0
+    ).reshape(ep * cap, h)
+    yb = back.astype(jnp.float32) * send_w[:, None]  # pads: weight 0
+    scatter_row = (
+        jnp.full((ep * cap,), tl, jnp.int32)
+        .at[send_idx]
+        .set(src_row, mode="drop")
+    )  # slot → source token row (tl = dropped)
+    y_r = jnp.zeros((tl, h), jnp.float32).at[scatter_row].add(
+        yb, mode="drop"
+    )
+    out = jax.lax.dynamic_update_slice(
+        jnp.zeros((t, h), jnp.float32), y_r, (rank * tl, 0)
+    )
     return out.astype(dtype)
 
 
