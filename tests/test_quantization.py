@@ -235,3 +235,49 @@ def test_quantized_model_generates(small_model_config, method, bits):
             tokens.extend(out.new_token_ids)
     assert len(tokens) == 8
     assert all(0 <= t < small_model_config.vocab_size for t in tokens)
+
+
+def test_gptq_desc_act_row_parallel_tp2(rng):
+    """desc_act GPTQ under TP: rows (sorted by g_idx at load) shard
+    contiguously; each rank all-gathers its activation slice to full width
+    and indexes it with its perm slice (layers/linear.py gather_axis) —
+    result must equal the unsharded linear exactly."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_metax_tpu.layers.linear import apply_linear
+    from vllm_metax_tpu.models.llama import _repack_p4_for_shards
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+    from vllm_metax_tpu.quantization.gptq import repack_gptq
+
+    k, n, gs, tp = 128, 64, 32, 2
+    g = k // gs
+    q = rng.integers(0, 16, size=(k, n)).astype(np.uint8)
+    z = rng.integers(1, 16, size=(g, n)).astype(np.uint8)
+    s = (rng.random((g, n), dtype=np.float32) + 0.5).astype(np.float32)
+    g_idx = rng.permutation(np.arange(k) // gs).astype(np.int32)
+    p = repack_gptq(_pack_gptq_qweight(q), _pack_gptq_qzeros(z), s, g_idx)
+    x = rng.standard_normal((4, k)).astype(np.float32)
+    y_ref = np.asarray(apply_linear(p, jnp.asarray(x)))
+
+    stacked = jax.tree_util.tree_map(lambda a: a[None], p)  # L=1
+    stacked = _repack_p4_for_shards(stacked, tp)
+    specs = {
+        "w_p4": P(None, "tp", None),
+        "s": P(None, "tp", None),
+        "zs": P(None, "tp", None),
+        "perm": P(None, "tp"),
+    }
+    mesh = make_tp_mesh(tp)
+
+    def fn(pl, xl):
+        y = apply_linear(
+            pl, xl, layer_idx=jnp.int32(0), gather_axis="tp"
+        )
+        return jax.lax.psum(y, "tp")
+
+    y = jax.shard_map(
+        fn, mesh=mesh, in_specs=(specs, P(None, "tp")), out_specs=P(),
+        check_vma=False,
+    )(stacked, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)

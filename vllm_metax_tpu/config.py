@@ -397,6 +397,9 @@ class SpeculativeConfig:
     prompt_lookup_min: int = 1
     prompt_lookup_max: int = 4
     draft_model: str = ""
+    # draft-head candidates per step (>1 → a depth-1 draft TREE verified
+    # with tree-attention ancestor masks; ref: tree_attn.py + spec trees)
+    speculative_branching: int = 1
 
     @property
     def enabled(self) -> bool:

@@ -114,6 +114,9 @@ class EngineCore:
             req = self.scheduler.requests.get(rid)
             if req is not None and req.status == RequestStatus.RUNNING:
                 req.spec_token_ids = list(drafts)
+                req.spec_token_parents = list(
+                    runner_output.draft_parents.get(rid, ())
+                )
         # attach logprobs
         lp_by_req = dict(zip(runner_output.req_ids, runner_output.logprobs))
         for out in outputs:

@@ -53,8 +53,12 @@ class Request:
     stop_reason: Optional[str] = None
     # logprobs accumulated per output token: list of {token_id: logprob}
     logprobs: Optional[list[dict[int, float]]] = None
-    # spec decode bookkeeping
+    # spec decode bookkeeping. spec_token_parents (same length) encodes a
+    # draft TREE: parent index into spec_token_ids, -1 = the committed root
+    # token; empty = linear chain. Parents must be topologically ordered
+    # (parents[i] < i) so prefix truncation keeps a valid tree.
     spec_token_ids: list[int] = field(default_factory=list)
+    spec_token_parents: list[int] = field(default_factory=list)
 
     @property
     def num_prompt_tokens(self) -> int:

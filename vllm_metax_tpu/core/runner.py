@@ -61,8 +61,10 @@ class ModelRunnerOutput:
     # per request: list per new token of {token_id: logprob} (top-k + chosen)
     logprobs: list[Optional[list[dict[int, float]]]] = field(default_factory=list)
     # MTP/EAGLE draft proposals for the NEXT step (engine feeds them back to
-    # the scheduler's requests)
+    # the scheduler's requests); draft_parents present for TREE drafts
+    # (parent index per draft, -1 = committed root)
     draft_tokens: dict[str, list[int]] = field(default_factory=dict)
+    draft_parents: dict[str, list[int]] = field(default_factory=dict)
 
 
 class ModelRunner:
@@ -175,6 +177,48 @@ class ModelRunner:
         self._step_fns: dict[tuple[bool, bool], object] = {}
         self._multi_step_fns: dict[tuple, object] = {}
         self._msd_cache = None  # warm multi-step-window device inputs
+        # (src_slot, dst_slot) KV row moves from tree-spec path compaction,
+        # applied across all layers after each verify step
+        self._kv_moves: list[tuple[int, int]] = []
+        self._kv_move_fn = None
+        self._spec_branching = (
+            getattr(spec, "speculative_branching", 1) if self.mtp else 1
+        )
+
+    def _apply_kv_moves(self) -> None:
+        """Tree-spec KV compaction: copy accepted nodes' rows to their
+        path-order slots across all layers (ops/kv_cache.py move_kv_slots).
+        Padded to a small bucket so the jitted move is shape-stable."""
+        from vllm_metax_tpu.ops.kv_cache import move_kv_slots
+
+        moves, self._kv_moves = self._kv_moves, []
+        cap = 8
+        while cap < len(moves):
+            cap *= 2
+        src = np.full(cap, self.num_slots, np.int32)
+        dst = np.full(cap, self.num_slots, np.int32)
+        for j, (s_, d_) in enumerate(moves):
+            src[j], dst[j] = s_, d_
+        nb_layer = self.cache_cfg.num_blocks
+
+        if self._kv_move_fn is None:
+            if self._is_sharded:
+                from jax.sharding import PartitionSpec as P
+
+                kv_specs = self._kv_specs()
+                fn = jax.shard_map(
+                    lambda kv, s, d: move_kv_slots(kv, s, d, nb_layer),
+                    mesh=self.mesh,
+                    in_specs=(kv_specs, P(), P()),
+                    out_specs=kv_specs,
+                    check_vma=False,
+                )
+            else:
+                fn = lambda kv, s, d: move_kv_slots(kv, s, d, nb_layer)  # noqa
+            self._kv_move_fn = jax.jit(fn, donate_argnums=(0,))
+        self.kv_cache = self._kv_move_fn(
+            self.kv_cache, jnp.asarray(src), jnp.asarray(dst)
+        )
 
     def _finalize_quant_layout(self, params):
         """Convert stacked packed-int4 linears to the pre-tiled contiguous
@@ -441,16 +485,10 @@ class ModelRunner:
         from vllm_metax_tpu.parallel.mesh import shard_params
 
         specs = self._param_spec_tree()
-        # desc_act GPTQ keeps a global activation permutation; its row-parallel
-        # application crosses shards — unsupported under TP until the Pallas
-        # kernel does in-kernel x-permutation.
-        flat = jax.tree_util.tree_flatten_with_path(params)[0]
-        for path, _ in flat:
-            if any(getattr(k, "key", None) == "perm" for k in path):
-                raise NotImplementedError(
-                    "GPTQ desc_act checkpoints are not yet supported with "
-                    "tensor_parallel_size > 1"
-                )
+        # desc_act GPTQ under TP: column-parallel layers carry the full
+        # replicated perm; row-parallel layers all-gather their activation
+        # to full width and index it with their (tp-sharded) perm slice
+        # (layers/linear.py apply_linear gather_axis).
         if hasattr(self.model, "prepare_for_tp"):
             params = self.model.prepare_for_tp(params, self.model_cfg, self.tp_size)
         return shard_params(params, specs, self.mesh)
@@ -608,7 +646,13 @@ class ModelRunner:
                     params, jnp.take(mtp_hidden, logits_indices, axis=0),
                     cfg, axis_name=axis_name,
                 )
-                drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
+                if self._spec_branching > 1:
+                    # top-B candidates per row → a depth-1 draft TREE
+                    # verified with tree-attention ancestor masks next step
+                    _, drafts = jax.lax.top_k(d_logits, self._spec_branching)
+                    drafts = drafts.astype(jnp.int32)
+                else:
+                    drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
             return (out, drafts), kv_cache
 
         def step_split(params, kv_vals, kv_scales, *rest):
@@ -1000,6 +1044,7 @@ class ModelRunner:
         block_tables = np.zeros((rb, maxb), np.int32)
         logits_indices = np.zeros(rb * s_rows, np.int32)
 
+        tree_bits_np = None
         offset = 0
         any_penalty = False
         hist_lens = []
@@ -1014,6 +1059,23 @@ class ModelRunner:
             assert len(toks) == n, (rid, start, n, len(st.token_ids))
             input_ids[offset : offset + n] = toks
             positions[offset : offset + n] = np.arange(start, start + n)
+            parents = so.spec_token_parents.get(rid)
+            if parents and n == 1 + len(drafts):
+                # TREE verify: scheduled row 0 is the committed root, row
+                # j+1 is draft node j. Positions are depth-based (siblings
+                # share a position); attention sees ancestors only via the
+                # per-row bitmask (ref: tree_attn.py ancestor masks).
+                if tree_bits_np is None:
+                    tree_bits_np = np.zeros(tb, np.uint32)
+                depth = np.zeros(len(drafts), np.int32)
+                bits = np.zeros(n, np.uint64)
+                bits[0] = 1  # root: self
+                for j, par in enumerate(parents):
+                    prow = 0 if par < 0 else par + 1
+                    depth[j] = 0 if par < 0 else depth[par] + 1
+                    bits[j + 1] = bits[prow] | (np.uint64(1) << np.uint64(j + 1))
+                positions[offset + 1 : offset + n] = start + 1 + depth
+                tree_bits_np[offset : offset + n] = bits.astype(np.uint32)
             bids = np.asarray(st.block_ids, np.int32)
             block_tables[i, : len(bids)] = bids
             pos = np.arange(start, start + n)
@@ -1066,6 +1128,9 @@ class ModelRunner:
             num_seqs=jnp.asarray(num_reqs, jnp.int32),
             lora_idx=lora_idx,
             decode_only=decode_only,
+            tree_bits=(
+                None if tree_bits_np is None else jnp.asarray(tree_bits_np)
+            ),
         )
 
         # structured outputs: PACKED BITSET masks per constrained row (the
@@ -1321,25 +1386,73 @@ class ModelRunner:
                 continue
             want_lp = st.sampling_params.logprobs is not None
             drafts = so.num_scheduled_spec_tokens.get(rid, [])
+            parents = so.spec_token_parents.get(rid)
             emitted: list[int] = []
             lps: list[dict] = []
-            # draft verification: accept the prefix the target reproduces;
-            # the first mismatching sampled token is the corrected output
-            # (exactly rejection sampling for point-mass ngram proposals)
-            for j in range(1 + len(drafts)):
-                row = i * s_rows + j
-                tok = int(tokens[row])
-                emitted.append(tok)
-                if want_lp:
-                    lps.append(row_lp(row, tok))
-                if j < len(drafts) and tok != drafts[j]:
-                    break
+            last_row = i * s_rows
+            if drafts and parents:
+                # TREE verification: walk from the root, descending into the
+                # child whose draft token matches the parent row's sampled
+                # token; the final mismatching sample is the corrected/bonus
+                # token (exact for point-mass proposals, like the linear walk)
+                children: dict[int, list[int]] = {}
+                for j, par in enumerate(parents):
+                    children.setdefault(par, []).append(j)
+                cur = -1
+                path: list[int] = []
+                while True:
+                    row = i * s_rows + (0 if cur < 0 else cur + 1)
+                    tok = int(tokens[row])
+                    emitted.append(tok)
+                    last_row = row
+                    if want_lp:
+                        lps.append(row_lp(row, tok))
+                    nxt = next(
+                        (c for c in children.get(cur, ()) if drafts[c] == tok),
+                        None,
+                    )
+                    if nxt is None:
+                        break
+                    path.append(nxt)
+                    cur = nxt
+                # KV compaction: accepted node k sits at list-order slot
+                # start+1+node but must live at path slot start+1+k
+                start = st.num_computed_tokens
+                bids = np.asarray(st.block_ids, np.int64)
+                bs_ = self.cache_cfg.block_size
+                for k_path, node in enumerate(path):
+                    if node != k_path:
+                        sp_, dp_ = start + 1 + node, start + 1 + k_path
+                        self._kv_moves.append(
+                            (
+                                int(bids[sp_ // bs_] * bs_ + sp_ % bs_),
+                                int(bids[dp_ // bs_] * bs_ + dp_ % bs_),
+                            )
+                        )
+            else:
+                # linear chains: accept the prefix the target reproduces;
+                # the first mismatching sampled token is the corrected output
+                # (exactly rejection sampling for point-mass ngram proposals)
+                for j in range(1 + len(drafts)):
+                    row = i * s_rows + j
+                    tok = int(tokens[row])
+                    emitted.append(tok)
+                    last_row = row
+                    if want_lp:
+                        lps.append(row_lp(row, tok))
+                    if j < len(drafts) and tok != drafts[j]:
+                        break
             result.sampled_token_ids.append(emitted)
             st.token_ids.extend(emitted)
             result.logprobs.append(lps if want_lp else None)
             if drafts_np is not None and emitted:
-                # the MTP draft conditioned on the LAST COMMITTED row's
-                # sampled token proposes the next step's speculative token
-                last_row = i * s_rows + len(emitted) - 1
-                result.draft_tokens[rid] = [int(drafts_np[last_row])]
+                # the draft head conditioned on the LAST COMMITTED row's
+                # sampled token proposes the next step's speculative tokens
+                cand = drafts_np[last_row]
+                branch = np.atleast_1d(np.asarray(cand)).tolist()
+                result.draft_tokens[rid] = [int(c) for c in branch]
+                if len(branch) > 1:
+                    result.draft_parents[rid] = [-1] * len(branch)
+        if self._kv_moves:
+            self._apply_kv_moves()
         return result

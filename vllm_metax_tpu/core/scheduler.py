@@ -49,6 +49,9 @@ class SchedulerOutput:
     num_scheduled_tokens: dict[str, int] = field(default_factory=dict)
     total_num_scheduled_tokens: int = 0
     num_scheduled_spec_tokens: dict[str, list[int]] = field(default_factory=dict)
+    # tree drafts: parent index per spec token (-1 = committed root);
+    # absent key = linear chain (ref: v1/attention/backends/tree_attn.py)
+    spec_token_parents: dict[str, list[int]] = field(default_factory=dict)
     finished_req_ids: set[str] = field(default_factory=set)
     preempted_req_ids: set[str] = field(default_factory=set)
     # >1 → the runner may run this many decode steps on-device before
@@ -195,11 +198,16 @@ class Scheduler:
                 )
                 if not ok:
                     req.spec_token_ids = []
+                    req.spec_token_parents = []
                     continue
                 room = self.max_model_len - req.num_tokens - 1
                 req.spec_token_ids = drafts = list(drafts)[: max(room, 0)]
+                parents = list(req.spec_token_parents)[: len(drafts)]
+                req.spec_token_parents = parents
                 if drafts:
                     out.num_scheduled_spec_tokens[req.req_id] = list(drafts)
+                    if parents and parents != list(range(-1, len(drafts) - 1)):
+                        out.spec_token_parents[req.req_id] = parents
 
         # Multi-step decode: when every running request is decode-ready and
         # nothing is waiting, reserve KV slots for M steps so the runner can
@@ -344,6 +352,7 @@ class Scheduler:
                 scheduler_output.num_scheduled_spec_tokens.get(req_id, ())
             )
             req.spec_token_ids = []
+            req.spec_token_parents = []
             req.num_computed_tokens += num_scheduled - num_draft
             new_tokens = sampled_tokens.get(req_id, [])
             finished = False

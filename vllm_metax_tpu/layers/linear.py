@@ -36,12 +36,21 @@ def _idx(arr, layer_idx):
 
 
 def apply_linear(
-    p: dict, x: jnp.ndarray, layer_idx=None, lora_idx=None
+    p: dict, x: jnp.ndarray, layer_idx=None, lora_idx=None,
+    gather_axis: Optional[str] = None,
 ) -> jnp.ndarray:
+    """gather_axis: mesh axis for ROW-parallel layers under TP. Only used by
+    the GPTQ desc_act path: the global activation permutation crosses rank
+    shards, so the local x slice is all-gathered to full width first and the
+    rank's perm slice (sharded P(..., "tp")) indexes into it — the TP analog
+    of exllama's act-order handling (ref: q_gemm.cu:1059)."""
     stacked = layer_idx is not None
 
     def leaf(name):
         return _idx(p[name], layer_idx) if stacked else p[name]
+
+    if "perm" in p and gather_axis is not None:
+        x = jax.lax.all_gather(x, gather_axis, axis=1, tiled=True)
 
     def lora_delta(y):
         # Batched multi-LoRA via mask-and-matmul (vllm_metax_tpu/lora.py):

@@ -156,7 +156,7 @@ def run_layers(
             )
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
-                         lora_idx=md.lora_idx)
+                         lora_idx=md.lora_idx, gather_axis=axis_name)
         )
 
         # --- mlp
@@ -166,7 +166,7 @@ def run_layers(
                                lora_idx=md.lora_idx)
         mlp_out = maybe_psum(
             apply_linear(layers["down"], act_fn(gate_up), layer_idx=l,
-                         lora_idx=md.lora_idx)
+                         lora_idx=md.lora_idx, gather_axis=axis_name)
         )
 
         if defer:

@@ -69,7 +69,9 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
         y = jax.lax.psum(y, axes)
     if "gate_up_shared" in lp:
         shared = apply_linear(
-            lp["down_shared"], act_fn(apply_linear(lp["gate_up_shared"], normed))
+            lp["down_shared"],
+            act_fn(apply_linear(lp["gate_up_shared"], normed)),
+            gather_axis=axis_name,
         )
         if "shared_gate" in lp:
             g = jax.nn.sigmoid(
@@ -149,7 +151,8 @@ def forward(
                 q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
             )
         attn_out = maybe_psum(
-            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
+            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         gather_axis=axis_name)
         )
 
         normed, residual = fused_add_rms_norm(attn_out, residual,
@@ -171,13 +174,13 @@ def forward(
         lp = jax.tree_util.tree_map(
             lambda a: a[l],
             {
-                k: v
-                for k, v in layers.items()
-                if k in moe_keys and k not in stacked_keys
+                name: leaf
+                for name, leaf in layers.items()
+                if name in moe_keys and name not in stacked_keys
             },
         )
-        for k in stacked_keys:
-            lp[k] = layers[k]
+        for sk in stacked_keys:  # NB: must not shadow the attention k/v,
+            lp[sk] = layers[sk]  # which defer mode returns as scan ys
         moe_out = _moe_block(
             lp, normed, cfg, act_fn, axis_name, ep_axis_name, layer_idx=l
         )

@@ -55,6 +55,11 @@ class AttentionMetadata:
     # per-token LoRA adapter slot (0 = none); models thread it into their
     # apply_linear calls (vllm_metax_tpu/lora.py)
     lora_idx: Optional[jnp.ndarray] = None
+    # TREE spec-decode verify (ref: v1/attention/backends/tree_attn.py):
+    # per-token uint32 ancestor bitmask over its request's scheduled-region
+    # rows (bit j = may attend to scheduled token j; self bit always set).
+    # 0 = plain causal row. Limits tree verify regions to 32 rows.
+    tree_bits: Optional[jnp.ndarray] = None
 
 
 def layer_view(
@@ -109,6 +114,10 @@ def ragged_paged_attention(
     impl = impl or envs.METAX_TPU_ATTN_IMPL
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if metadata.tree_bits is not None:
+        # tree-verify ancestor masks run the XLA reference path (in-kernel
+        # tree masks: future work); verify steps are a small token batch
+        impl = "xla"
     if metadata.dcp_axis is not None:
         if impl == "pallas" and metadata.decode_only and k_cur is None:
             from vllm_metax_tpu.ops.pallas.decode_attention import (
@@ -230,6 +239,26 @@ def ragged_paged_attention_xla(
     q_pos = metadata.positions[:, None]  # (T, 1)
     seq_len = metadata.seq_lens[metadata.req_idx][:, None]  # (T, 1)
     mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+    if metadata.tree_bits is not None:
+        # tree-verify rows (bits != 0): committed context < region_start is
+        # fully visible; within the scheduled region only ancestor slots
+        # (ref: tree_attn.py — drafts attend along their tree path only)
+        n_sched = (
+            metadata.query_start_loc[1:] - metadata.query_start_loc[:-1]
+        )[metadata.req_idx][:, None]  # (T, 1)
+        region_start = seq_len - n_sched
+        rel = kv_pos - region_start
+        in_region = (rel >= 0) & (rel < 32)
+        bit = (
+            metadata.tree_bits[:, None]
+            >> jnp.clip(rel, 0, 31).astype(jnp.uint32)
+        ) & jnp.uint32(1)
+        tree_mask = (
+            (kv_pos < region_start) | (in_region & (bit == 1))
+        ) & (kv_pos < seq_len)
+        mask = jnp.where(
+            (metadata.tree_bits != 0)[:, None], tree_mask, mask
+        )
     if sliding_window > 0:
         mask &= kv_pos > q_pos - sliding_window
     if metadata.dcp_axis is not None:

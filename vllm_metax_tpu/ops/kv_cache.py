@@ -272,6 +272,61 @@ def gather_kv_for_requests(
     return k.reshape(r, maxb * bs, h, d), v.reshape(r, maxb * bs, h, d)
 
 
+def move_kv_slots(
+    kv_cache: KVCache,
+    src_slots: jnp.ndarray,  # (M,) layer-LOCAL token slots; OOB = skip
+    dst_slots: jnp.ndarray,  # (M,)
+    nb_layer: int,
+) -> KVCache:
+    """Copy token rows src→dst across EVERY layer of the flat pool — the
+    tree-spec KV compaction: accepted tree nodes sit at their list-order
+    slots and must land at their path-depth slots before the next step
+    (the tree-attn analog of the reference's accepted-path gather,
+    v1/attention/backends/tree_attn.py)."""
+    nb, h, bs, d = kv_cache.k.shape
+    n_layers = nb // nb_layer
+    m = src_slots.shape[0]
+    layer_off = (
+        jnp.arange(n_layers, dtype=jnp.int32)[:, None] * (nb_layer * bs)
+    )
+    ok = (src_slots < nb_layer * bs) & (dst_slots < nb_layer * bs)
+    src = jnp.where(ok[None, :], src_slots[None] + layer_off, 0).reshape(-1)
+    dst = jnp.where(
+        ok[None, :], dst_slots[None] + layer_off, nb * bs
+    ).reshape(-1)  # OOB rows dropped
+
+    def flat_rows(slots):  # (L*M,) token slots → (L*M, H) flat rows
+        blk, off = slots // bs, slots % bs
+        return (
+            (blk[:, None] * h + jnp.arange(h, dtype=jnp.int32)[None, :]) * bs
+            + off[:, None]
+        )
+
+    src_rows = flat_rows(src).reshape(-1)
+    dst_rows = jnp.where(
+        (dst >= nb * bs)[:, None], nb * h * bs, flat_rows(dst)
+    ).reshape(-1)
+
+    def mv(arr):
+        if arr is None or arr.size == 0:
+            return arr
+        tail = arr.shape[3:]
+        flat = arr.reshape((nb * h * bs,) + tail)
+        vals = flat[src_rows]
+        return flat.at[dst_rows].set(vals, mode="drop").reshape(arr.shape)
+
+    return KVCache(
+        mv(kv_cache.k),
+        mv(kv_cache.v),
+        None
+        if kv_cache.k_scale is None
+        else mv(kv_cache.k_scale[..., None])[..., 0],
+        None
+        if kv_cache.v_scale is None
+        else mv(kv_cache.v_scale[..., None])[..., 0],
+    )
+
+
 def swap_blocks(src: KVCache, dst: KVCache, src_to_dst: jnp.ndarray) -> KVCache:
     """Copy whole blocks src→dst by (src_id, dst_id) pairs (ref: swap_blocks,
     csrc/cache_kernels.cu:18). Used for CPU offload tiers."""

@@ -11,8 +11,11 @@ mcblasFusedMoe grouped GEMM csrc/moe/moe_ops.cpp:16):
   one ragged GEMM per projection. This replaces moe_align_block_size + the
   chunked Triton kernel loop (fused_moe.py:1916) with a single dropless
   sorted-scatter formulation — no capacity factor, no token dropping.
-- quantized experts (int4/int8/fp8 banks) dequantize per-layer on the fly in
-  the same pass; a Pallas grouped dequant-GEMM is the planned upgrade.
+- quantized experts: tiled int4/int8 banks run the Pallas aligned-slot grouped
+  dequant-GEMM (ops/pallas/moe_gmm.py — packed bank read once per step);
+  non-tiled banks dequantize on the fly in the same pass.
+- EP dispatch: dropless replicated-dispatch by default, token-sharded
+  all-to-all behind METAX_TPU_EP_DISPATCH=a2a (_fused_experts_a2a).
 
 TP: expert weights shard on the intermediate dim (rank-major for the merged
 gate|up), psum after w_down — same pattern as the dense MLP path.
