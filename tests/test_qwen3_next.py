@@ -1,0 +1,152 @@
+"""Qwen3-Next (hybrid Gated-DeltaNet + gated full attention): greedy parity
+vs transformers, chunked-prefill continuation, and the state-slot lifecycle.
+
+Reference analog: the reference ships Qwen3-Next through its FLA kernel
+patch (vllm_metax/patch/model_executor/kernel/fla.py).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _tiny_cfg():
+    from transformers import Qwen3NextConfig
+
+    return Qwen3NextConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        shared_expert_intermediate_size=32,
+        num_hidden_layers=4,
+        layer_types=[
+            "linear_attention",
+            "full_attention",
+            "linear_attention",
+            "linear_attention",
+        ],
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        partial_rotary_factor=0.25,
+        linear_num_key_heads=2,
+        linear_num_value_heads=4,
+        linear_key_head_dim=16,
+        linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        num_experts=4,
+        num_experts_per_tok=2,
+        decoder_sparse_step=1,
+        norm_topk_prob=True,
+        vocab_size=256,
+        max_position_embeddings=512,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+
+
+def _hf_and_ours(tmp_path, prompts, max_new=8, **llm_kw):
+    from transformers import Qwen3NextForCausalLM
+
+    torch.manual_seed(0)
+    m = Qwen3NextForCausalLM(_tiny_cfg()).eval()
+    path = str(tmp_path / "tiny_qwen3next")
+    m.save_pretrained(path, safe_serialization=True)
+
+    hf_out = []
+    with torch.no_grad():
+        for p in prompts:
+            hf_out.append(
+                m.generate(
+                    torch.tensor([p]), max_new_tokens=max_new, do_sample=False
+                )[0, len(p):].tolist()
+            )
+
+    from vllm_metax_tpu.entrypoints.llm import LLM
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    llm = LLM(model=path, dtype="float32", max_model_len=256, **llm_kw)
+    outs = llm.generate(
+        prompt_token_ids=prompts,
+        sampling_params=SamplingParams(max_tokens=max_new, temperature=0.0),
+    )
+    ours = [o.outputs[0].token_ids for o in outs]
+    return hf_out, ours
+
+
+def test_qwen3_next_greedy_parity(tmp_path):
+    prompts = [[1, 5, 9, 13, 200, 47], [7, 3, 11, 42]]
+    hf, ours = _hf_and_ours(tmp_path, prompts)
+    assert ours == hf
+
+
+def test_qwen3_next_chunked_prefill(tmp_path):
+    # prompt longer than max_num_batched_tokens → multi-chunk prefill runs
+    # the per-token state scan across chunk boundaries
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 250, size=40).tolist()]
+    hf, ours = _hf_and_ours(
+        tmp_path, prompts, max_new=6, max_num_batched_tokens=16
+    )
+    assert ours == hf
+
+
+def test_qwen3_next_state_slot_reuse():
+    """Dummy engine: sequential waves of requests must recycle state slots
+    (fresh requests start at position 0 → slots reset lazily)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    hf = _tiny_cfg().to_dict()
+    mc = ModelConfig(
+        architecture="Qwen3NextForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=256,
+        dtype="float32",
+        hf_config=hf,
+    )
+    config = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(max_num_seqs=2,
+                                         max_num_batched_tokens=64),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    )
+    assert not config.cache_config.enable_prefix_caching
+    engine = EngineCore(config)
+
+    def wave(tag, prompt):
+        engine.add_request(tag, prompt,
+                           SamplingParams(max_tokens=5, temperature=0.0))
+        toks = []
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                toks.extend(out.new_token_ids)
+        return toks
+
+    first = wave("a", [1, 2, 3, 4])
+    second = wave("b", [1, 2, 3, 4])  # reuses slot of "a"
+    assert first == second  # slot reuse must not leak state
+    # slots conserved (finished ids free on the NEXT runner step, so "b"'s
+    # slot may still be held here)
+    r = engine.runner
+    assert len(r._state_free) + len(r._state_slots) == 2

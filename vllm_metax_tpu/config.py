@@ -443,6 +443,17 @@ class EngineConfig:
             # slices (ragged_attention.py); keep total KV bytes constant
             cc.num_blocks = max(1, cc.num_blocks * cc.block_size // 128)
             cc.block_size = 128
+        if "linear_attention" in (mc.hf_config or {}).get("layer_types", ()):
+            # hybrid linear-attention (Qwen3-Next): recurrent state can be
+            # neither prefix-shared nor rewound, so prefix caching and
+            # speculative drafts are off (the reference gates its FLA models
+            # the same way)
+            cc.enable_prefix_caching = False
+            if self.speculative_config is not None and self.speculative_config.enabled:
+                raise ValueError(
+                    "speculative decoding is not supported for hybrid "
+                    "linear-attention models (recurrent state cannot rewind)"
+                )
         if mc.index_topk and cc.kv_quantized:
             # V3.2: the bf16 indexer-K side pool shares the v slot; per-row
             # scale plumbing for a quantized latent pool is not wired yet

@@ -184,6 +184,70 @@ class ModelRunner:
         self._spec_branching = (
             getattr(spec, "speculative_branching", 1) if self.mtp else 1
         )
+        # hybrid linear-attention state slots: _alloc_kv_cache (which runs
+        # earlier in __init__) populates these for hybrid models
+        if not hasattr(self, "_state_free"):
+            self._state_free: Optional[list] = None
+            self._state_slots: dict[str, int] = {}
+
+    def rebalance_experts(self, loads) -> None:
+        """EPLB: re-permute the physical expert placement so per-rank load
+        evens out (ref: fused_moe.py:1273 expert rearrangement). `loads` is
+        (E,) or (L_moe, E) per-expert load statistics; routing stays logical
+        via the per-layer expert_map applied before dispatch."""
+        from vllm_metax_tpu.parallel.eplb import balanced_placement
+
+        group_key = None
+        for gk in ("layers", "moe_layers"):
+            if gk in self.params and "experts_gate_up" in self.params[gk]:
+                group_key = gk
+                break
+        if group_key is None:
+            raise ValueError("model has no expert banks to rebalance")
+        group = dict(self.params[group_key])
+        any_leaf = next(iter(group["experts_gate_up"].values()))
+        n_layers, n_exp = any_leaf.shape[0], any_leaf.shape[1]
+        ep = max(self.ep_size, 1)
+        loads = np.atleast_2d(np.asarray(loads, np.float64))
+        if loads.shape[0] == 1:
+            loads = np.repeat(loads, n_layers, axis=0)
+        placement = np.stack(
+            [balanced_placement(loads[i], ep) for i in range(n_layers)]
+        ).astype(np.int32)  # (L, E) logical → NEW physical
+        inv = np.argsort(placement, axis=1).astype(np.int32)  # new phys → logical
+        old_map = group.get("expert_map")
+        if old_map is None:
+            src = inv  # banks currently in logical order
+        else:
+            # banks currently at OLD physical slots: new slot p pulls from
+            # old_map[logical at p] = old_map[inv[p]]
+            src = np.take_along_axis(np.asarray(old_map), inv, axis=1)
+        src_dev = jnp.asarray(src)
+
+        def perm(a):
+            out = jax.vmap(lambda x, i: jnp.take(x, i, axis=0))(a, src_dev)
+            return jax.device_put(out, a.sharding)
+
+        for key in ("experts_gate_up", "experts_down"):
+            group[key] = {k: perm(a) for k, a in group[key].items()}
+        group["expert_map"] = jnp.asarray(placement)
+        params = dict(self.params)
+        params[group_key] = group
+        self.params = params
+        # the params pytree gained/changed leaves — drop cached executables
+        self._step_fns.clear()
+        self._multi_step_fns.clear()
+        self._msd_cache = None
+
+    def _build_state_idx(self, req_ids, rb):
+        """Per-row linear-attention state slot; RSLOT sentinel on pad rows."""
+        if self._state_free is None:
+            return None
+        rslot = self.kv_cache.lin_state.shape[1]
+        si = np.full(rb, rslot, np.int32)
+        for i, rid in enumerate(req_ids):
+            si[i] = self._state_slots[rid]
+        return jnp.asarray(si)
 
     def _apply_kv_moves(self) -> None:
         """Tree-spec KV compaction: copy accepted nodes' rows to their
@@ -377,6 +441,23 @@ class ModelRunner:
             store_v=kv_spec.get("store_v", True),
             v_dim=kv_spec.get("v_dim"),
         )
+        n_lin = kv_spec.get("linear_layers", 0)
+        if n_lin:
+            # hybrid linear-attention state pools: one slot per live request
+            # (Qwen3-Next gated DeltaNet; slots reset lazily at position 0)
+            rslot = self.config.scheduler_config.max_num_seqs
+            self.kv_cache = self.kv_cache._replace(
+                lin_state=jnp.zeros(
+                    (n_lin, rslot) + tuple(kv_spec["linear_state_shape"]),
+                    jnp.float32,
+                ),
+                conv_state=jnp.zeros(
+                    (n_lin, rslot) + tuple(kv_spec["conv_state_shape"]),
+                    self.model_cfg.dtype,
+                ),
+            )
+            self._state_free = list(range(rslot - 1, -1, -1))
+            self._state_slots: dict[str, int] = {}
         if self._is_sharded:
             from jax.sharding import NamedSharding
 
@@ -520,6 +601,9 @@ class ModelRunner:
             v=val,
             k_scale=scale if has_scale else None,
             v_scale=scale if has_scale else None,
+            # hybrid linear-attention state: replicated (small vs the pool)
+            lin_state=None if self.kv_cache.lin_state is None else P(),
+            conv_state=None if self.kv_cache.conv_state is None else P(),
         )
         mesh_axes = set(self.mesh.axis_names) if self.mesh else None
         return _jax.tree_util.tree_map(
@@ -536,7 +620,9 @@ class ModelRunner:
         value buffers are donated; the small scale arrays copy per step."""
         from vllm_metax_tpu.ops.kv_cache import KVCache
 
-        vals = KVCache(kv.k, kv.v)
+        vals = KVCache(
+            kv.k, kv.v, lin_state=kv.lin_state, conv_state=kv.conv_state
+        )
         scales = (
             (kv.k_scale, kv.v_scale) if kv.k_scale is not None else None
         )
@@ -544,11 +630,9 @@ class ModelRunner:
 
     @staticmethod
     def _join_kv(vals, scales):
-        from vllm_metax_tpu.ops.kv_cache import KVCache
-
         if scales is None:
             return vals
-        return KVCache(vals.k, vals.v, scales[0], scales[1])
+        return vals._replace(k_scale=scales[0], v_scale=scales[1])
 
     def _get_step_fn(self, all_greedy: bool, need_logprobs: bool,
                      plain: bool = False):
@@ -698,6 +782,10 @@ class ModelRunner:
     def _update_states(self, so: SchedulerOutput) -> None:
         for req_id in so.finished_req_ids:
             self.requests.pop(req_id, None)
+            if self._state_free is not None:
+                slot = self._state_slots.pop(req_id, None)
+                if slot is not None:
+                    self._state_free.append(slot)
         # NOTE: preempted requests keep their runner state (token ids, sampling
         # params); only their blocks are invalid until resume — vLLM semantics.
         for nr in so.scheduled_new_reqs:
@@ -711,6 +799,10 @@ class ModelRunner:
                         "request has a LoRA adapter but LoRA is not enabled"
                     )
                 lora_slot = self.lora_mgr.slot_of(lora_name)
+            if self._state_free is not None and nr.req_id not in self._state_slots:
+                if not self._state_free:
+                    raise RuntimeError("out of linear-attention state slots")
+                self._state_slots[nr.req_id] = self._state_free.pop()
             self.requests[nr.req_id] = CachedReqState(
                 token_ids=list(nr.prompt_token_ids),
                 block_ids=list(nr.block_ids),
@@ -748,7 +840,8 @@ class ModelRunner:
         bs = self.cache_cfg.block_size
         num_slots = self.num_slots
 
-        def run(params, kv_cache, tokens0, block_tables, pos0, valid, st):
+        def run(params, kv_cache, tokens0, block_tables, pos0, valid, st,
+                state_idx):
             req_rows = jnp.arange(rb, dtype=jnp.int32)
             qsl = jnp.arange(rb + 1, dtype=jnp.int32)
 
@@ -767,6 +860,7 @@ class ModelRunner:
                     positions=pos,
                     num_seqs=jnp.asarray(rb, jnp.int32),
                     decode_only=True,
+                    state_idx=state_idx,
                 )
                 if self.dcp_size > 1:
                     from vllm_metax_tpu.parallel.dcp import localize_metadata
@@ -855,7 +949,7 @@ class ModelRunner:
             run_split,
             mesh=self.mesh,
             in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
-                      P(), P(), P()),
+                      P(), P(), P(), P()),
             out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P()),
             check_vma=False,
         )
@@ -951,6 +1045,7 @@ class ModelRunner:
             )
         fn = self._multi_step_fns[key]
 
+        state_idx = self._build_state_idx(req_ids, rb)
         ys, self.kv_cache, tokens_next, pos_next = fn(
             self.params,
             self.kv_cache,
@@ -959,6 +1054,7 @@ class ModelRunner:
             dev_pos,
             dev_valid,
             st_tensors,
+            state_idx,
         )
         # prime the next window's inputs (device-resident; no host hop).
         # fingerprint uses the POST-window block counts so a block-boundary
@@ -1131,6 +1227,7 @@ class ModelRunner:
             tree_bits=(
                 None if tree_bits_np is None else jnp.asarray(tree_bits_np)
             ),
+            state_idx=self._build_state_idx(req_ids, rb),
         )
 
         # structured outputs: PACKED BITSET masks per constrained row (the

@@ -45,6 +45,10 @@ _REGISTRY: dict[str, str] = {
     # Baichuan-MoE (per-layer heterogeneous experts + NormHead;
     # ref: vllm_metax/models/baichuan_moe.py)
     "BaiChuanMoEForCausalLM": "vllm_metax_tpu.models.baichuan_moe",
+    # Qwen3-Next: hybrid Gated-DeltaNet linear attention + gated full
+    # attention (ref: the reference's FLA kernel patch,
+    # vllm_metax/patch/model_executor/kernel/fla.py)
+    "Qwen3NextForCausalLM": "vllm_metax_tpu.models.qwen3_next",
 }
 
 

@@ -60,6 +60,9 @@ class AttentionMetadata:
     # rows (bit j = may attend to scheduled token j; self bit always set).
     # 0 = plain causal row. Limits tree verify regions to 32 rows.
     tree_bits: Optional[jnp.ndarray] = None
+    # hybrid linear-attention models: per-request recurrent-state slot into
+    # the KVCache lin_state/conv_state pools (padding rows carry RSLOT)
+    state_idx: Optional[jnp.ndarray] = None
 
 
 def layer_view(

@@ -43,6 +43,11 @@ class KVCache(NamedTuple):
     # requires block_size % 128 == 0 for the native quantized path
     k_scale: Optional[jnp.ndarray] = None  # (NB, H, BS) f32 if quantized
     v_scale: Optional[jnp.ndarray] = None
+    # hybrid linear-attention models (Qwen3-Next gated DeltaNet): per-request
+    # recurrent fast-weight state and causal-conv history, indexed by the
+    # runner's per-request state slot (NOT paged)
+    lin_state: Optional[jnp.ndarray] = None  # (NLIN, RSLOT, Hv, Dk, Dv) f32
+    conv_state: Optional[jnp.ndarray] = None  # (NLIN, RSLOT, K-1, CONVDIM)
 
     @property
     def quantized(self) -> bool:
@@ -168,15 +173,15 @@ def write_to_kv_cache(
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
         vq, vs = _quantize_kv(v, cache_dtype)
-        return KVCache(
-            scatter(kv_cache.k, kq),
-            scatter(kv_cache.v, vq),
-            scatter_scale(kv_cache.k_scale, ks),
-            scatter_scale(kv_cache.v_scale, vs),
+        return kv_cache._replace(
+            k=scatter(kv_cache.k, kq),
+            v=scatter(kv_cache.v, vq),
+            k_scale=scatter_scale(kv_cache.k_scale, ks),
+            v_scale=scatter_scale(kv_cache.v_scale, vs),
         )
-    return KVCache(
-        scatter(kv_cache.k, k.astype(cache_dtype)),
-        scatter(kv_cache.v, v.astype(cache_dtype)),
+    return kv_cache._replace(
+        k=scatter(kv_cache.k, k.astype(cache_dtype)),
+        v=scatter(kv_cache.v, v.astype(cache_dtype)),
     )
 
 
@@ -237,15 +242,15 @@ def write_all_layers_to_kv_cache(
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
         vq, vs = _quantize_kv(v, cache_dtype)
-        return KVCache(
-            rmw(kv_cache.k, kq),
-            rmw(kv_cache.v, vq),
-            rmw(kv_cache.k_scale, ks),
-            rmw(kv_cache.v_scale, vs),
+        return kv_cache._replace(
+            k=rmw(kv_cache.k, kq),
+            v=rmw(kv_cache.v, vq),
+            k_scale=rmw(kv_cache.k_scale, ks),
+            v_scale=rmw(kv_cache.v_scale, vs),
         )
-    return KVCache(
-        rmw(kv_cache.k, k.astype(cache_dtype)),
-        rmw(kv_cache.v, v.astype(cache_dtype)),
+    return kv_cache._replace(
+        k=rmw(kv_cache.k, k.astype(cache_dtype)),
+        v=rmw(kv_cache.v, v.astype(cache_dtype)),
     )
 
 
@@ -315,13 +320,13 @@ def move_kv_slots(
         vals = flat[src_rows]
         return flat.at[dst_rows].set(vals, mode="drop").reshape(arr.shape)
 
-    return KVCache(
-        mv(kv_cache.k),
-        mv(kv_cache.v),
-        None
+    return kv_cache._replace(
+        k=mv(kv_cache.k),
+        v=mv(kv_cache.v),
+        k_scale=None
         if kv_cache.k_scale is None
         else mv(kv_cache.k_scale[..., None])[..., 0],
-        None
+        v_scale=None
         if kv_cache.v_scale is None
         else mv(kv_cache.v_scale[..., None])[..., 0],
     )
