@@ -71,6 +71,13 @@ class EngineCore:
 
     # ----------------------------------------------------------- sleep/wake
 
+    def rebalance_experts(self, loads) -> None:
+        """EPLB: re-permute expert placement to balance EP rank load
+        (parallel/eplb.py; ref: fused_moe.py:1273). loads: (E,) or
+        (L_moe, E) per-expert statistics. Placement is semantically
+        neutral — outputs are unchanged."""
+        self.runner.rebalance_experts(loads)
+
     def sleep(self, level: int = 1) -> None:
         """Offload/free device memory between serving bursts (RLHF weight
         sync pattern; ref: patched Worker.sleep, device_allocator.py:15)."""

@@ -364,6 +364,9 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
                 logits, cfg.num_experts_per_tok, cfg.norm_topk_prob
             )
             weights = weights * cfg.routed_scaling_factor
+    if "expert_map" in lp:
+        # EPLB rebalanced placement (parallel/eplb.py)
+        ids = lp["expert_map"][ids]
     y = fused_experts(
         normed, lp["experts_gate_up"], lp["experts_down"], weights, ids,
         act_fn, cfg.num_experts, ep_axis=ep_axis_name, layer_idx=layer_idx,
@@ -940,6 +943,7 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
         "experts_down": bank_spec(0),
         "gate_up_shared": linear_spec(1),
         "down_shared": linear_spec(0),
+        "expert_map": P(None, None),
     }
     specs = {
         "embed": P(None, None),

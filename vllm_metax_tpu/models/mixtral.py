@@ -52,6 +52,10 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
     )
     renorm = cfg.norm_topk_prob or cfg.architecture == "MixtralForCausalLM"
     weights, ids = fused_topk(router_logits, cfg.num_experts_per_tok, renorm)
+    if "expert_map" in lp:
+        # EPLB: logical expert id → rebalanced physical slot
+        # (parallel/eplb.py; ref: fused_moe.py:1273)
+        ids = lp["expert_map"][ids]
     y = fused_experts(
         normed,
         lp["experts_gate_up"],
@@ -159,7 +163,7 @@ def forward(
                                               layers["ln2"][l], eps)
         moe_keys = (
             "router", "experts_gate_up", "experts_down",
-            "gate_up_shared", "down_shared", "shared_gate",
+            "gate_up_shared", "down_shared", "shared_gate", "expert_map",
         )
         # tiled quantized expert banks stay STACKED over layers: the grouped
         # kernel prefetches the layer index, avoiding a per-layer XLA gather
@@ -479,6 +483,7 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
 
     layer_spec["gate_up_shared"] = linear_spec(1)
     layer_spec["down_shared"] = linear_spec(0)
+    layer_spec["expert_map"] = P(None, None)
     layer_spec["shared_gate"] = {"w": P(None, None, None)}
     specs["layers"] = layer_spec
     return specs
