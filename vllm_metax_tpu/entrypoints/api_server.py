@@ -32,8 +32,9 @@ logger = init_logger(__name__)
 
 
 class ServerState:
-    def __init__(self, config, tokenizer, served_model: str, dp_size: int = 1):
-        self.engine = EnginePool(config, dp_size)
+    def __init__(self, config, tokenizer, served_model: str, dp_size: int = 1,
+                 dp_backend: str = "thread"):
+        self.engine = EnginePool(config, dp_size, backend=dp_backend)
         self.tokenizer = tokenizer
         self.served_model = served_model
         self.eos_token_id = tokenizer.eos_token_id if tokenizer else None
@@ -504,14 +505,16 @@ def make_handler(state: ServerState):
 
 def build_server(
     host: str, port: int, model: str, served_model_name: str = "",
-    data_parallel_size: int = 1, **engine_kwargs
+    data_parallel_size: int = 1, data_parallel_backend: str = "thread",
+    **engine_kwargs
 ) -> ThreadingHTTPServer:
     config = _build_engine_config(model, **engine_kwargs)
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(model)
     state = ServerState(
-        config, tokenizer, served_model_name or model, data_parallel_size
+        config, tokenizer, served_model_name or model, data_parallel_size,
+        dp_backend=data_parallel_backend,
     )
     server = ThreadingHTTPServer((host, port), make_handler(state))
     server.state = state
@@ -532,6 +535,12 @@ def main(argv=None):
     parser.add_argument("--quantization", default=None)
     parser.add_argument("--tensor-parallel-size", type=int, default=1)
     parser.add_argument("--data-parallel-size", type=int, default=1)
+    parser.add_argument(
+        "--data-parallel-backend", choices=("thread", "process"),
+        default="thread",
+        help="'process' isolates each DP engine replica in its own process "
+             "(per-replica device visibility; no shared scheduler GIL)",
+    )
     parser.add_argument("--num-decode-steps", type=int, default=1)
     parser.add_argument("--dtype", default="auto")
     parser.add_argument("--load-format", default="auto")
@@ -543,6 +552,7 @@ def main(argv=None):
         args.model,
         served_model_name=args.served_model_name,
         data_parallel_size=args.data_parallel_size,
+        data_parallel_backend=args.data_parallel_backend,
         max_model_len=args.max_model_len,
         max_num_seqs=args.max_num_seqs,
         max_num_batched_tokens=args.max_num_batched_tokens,

@@ -49,11 +49,9 @@ class EnginePool:
     device env + front-end LB, patch/maca_visible_device.py:28 and the
     internal/external LB test suites)."""
 
-    def __init__(self, config: EngineConfig, dp_size: int = 1):
-        import jax
-
-        from vllm_metax_tpu.parallel.mesh import make_tp_mesh
-
+    def __init__(
+        self, config: EngineConfig, dp_size: int = 1, backend: str = "thread"
+    ):
         pc = config.parallel_config
         per_rank = (
             pc.tensor_parallel_size
@@ -61,6 +59,19 @@ class EnginePool:
             * pc.pipeline_parallel_size
             * pc.decode_context_parallel_size
         )
+        self._rr = Counter()
+        if backend == "process":
+            # per-replica engine PROCESSES: schedulers/detokenizers never
+            # share a GIL, and each process owns its device slice (the
+            # reference's per-DP-rank isolation, maca_visible_device.py:28)
+            self.engines = [
+                ProcEngine(config, r, per_rank) for r in range(dp_size)
+            ]
+            return
+        import jax
+
+        from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
         devices = jax.devices()
         if dp_size * per_rank > len(devices):
             raise ValueError(
@@ -82,12 +93,14 @@ class EnginePool:
                 else None
             )
             self.engines.append(AsyncEngine(config, mesh=mesh))
-        self._rr = Counter()
 
-    def pick(self) -> "AsyncEngine":
+    def pick(self):
         """Least-loaded engine (falls back to round robin on ties)."""
         loads = [
-            e.engine.scheduler.get_num_unfinished_requests() for e in self.engines
+            e.engine.scheduler.get_num_unfinished_requests()
+            if isinstance(e, AsyncEngine)
+            else e.inflight
+            for e in self.engines
         ]
         m = min(loads)
         candidates = [i for i, l in enumerate(loads) if l == m]
@@ -227,3 +240,166 @@ class AsyncEngine:
                 )
                 if out.finished:
                     del self._streams[out.req_id]
+
+
+# ------------------------------------------------------------ process DP
+
+def _engine_worker(config, dp_rank: int, per_rank: int, req_q, out_q):
+    """Engine replica process body (spawn-safe top-level function).
+
+    The reference isolates each DP engine in its own process with its own
+    device visibility (patch/maca_visible_device.py:28); the TPU analog
+    restricts this process's chips via TPU_VISIBLE_CHIPS before jax loads,
+    so scheduling/detokenization of replicas never share a GIL."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "tpu" not in plat and "cpu" in plat:
+        pass  # test mode: CPU client per process
+    elif "TPU_VISIBLE_CHIPS" not in os.environ:
+        chips = ",".join(
+            str(c) for c in range(dp_rank * per_rank, (dp_rank + 1) * per_rank)
+        )
+        os.environ["TPU_VISIBLE_CHIPS"] = chips
+        os.environ.setdefault("TPU_CHIPS_PER_PROCESS_BOUNDS", "1,1,1")
+    import jax
+
+    if plat:
+        # env alone loses to an axon/site-pinned platform — force via config
+        jax.config.update("jax_platforms", plat.split(",")[0])
+
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    pc = config.parallel_config
+    mesh = (
+        make_tp_mesh(
+            pc.tensor_parallel_size,
+            pc.expert_parallel_size,
+            devices=jax.devices()[:per_rank],
+            pp_size=pc.pipeline_parallel_size,
+            dcp_size=pc.decode_context_parallel_size,
+        )
+        if per_rank > 1
+        else None
+    )
+    engine = EngineCore(config, mesh=mesh)
+    import queue as _queue
+
+    live = True
+    while live:
+        # drain control messages: block briefly when idle, poll when busy
+        first = True
+        while True:
+            try:
+                if first and not engine.has_unfinished_requests():
+                    msg = req_q.get(timeout=0.05)
+                else:
+                    msg = req_q.get_nowait()
+            except _queue.Empty:
+                break
+            first = False
+            kind = msg[0]
+            if kind == "add":
+                _, rid, prompt, params, eos = msg
+                try:
+                    engine.add_request(rid, prompt, params, eos)
+                except ValueError as e:
+                    out_q.put((rid, [], True, "error", str(e), None))
+            elif kind == "abort":
+                engine.abort_request(msg[1])
+                out_q.put((msg[1], [], True, "abort", None, None))
+            elif kind == "stop":
+                live = False
+                break
+        if live and engine.has_unfinished_requests():
+            for out in engine.step():
+                out_q.put(
+                    (
+                        out.req_id,
+                        out.new_token_ids,
+                        out.finished,
+                        out.finish_reason,
+                        out.stop_reason,
+                        out.new_logprobs,
+                    )
+                )
+    out_q.put(("__exit__", [], True, None, None, None))
+
+
+class ProcEngine:
+    """AsyncEngine-shaped facade over an engine replica PROCESS. Used by
+    EnginePool(backend='process') — the reference's per-DP-rank engine
+    process isolation (no shared GIL between replica schedulers)."""
+
+    def __init__(self, config: EngineConfig, dp_rank: int, per_rank: int):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self._req_q = ctx.Queue()
+        self._out_q = ctx.Queue()
+        self._proc = ctx.Process(
+            target=_engine_worker,
+            args=(config, dp_rank, per_rank, self._req_q, self._out_q),
+            daemon=True,
+        )
+        self._proc.start()
+        self._streams: dict[str, queue.Queue] = {}
+        self._lock = threading.Lock()
+        self._counter = Counter()
+        self.inflight = 0
+        self._collector = threading.Thread(target=self._collect, daemon=True)
+        self._collector.start()
+
+    def _collect(self) -> None:
+        while True:
+            rid, toks, fin, reason, stop, lps = self._out_q.get()
+            if rid == "__exit__":
+                return
+            with self._lock:
+                q = self._streams.get(rid)
+                if fin:
+                    self._streams.pop(rid, None)
+                    self.inflight = max(0, self.inflight - 1)
+            if q is not None:
+                q.put(StreamItem(toks, fin, reason, stop, lps))
+
+    def submit(self, prompt_token_ids, sampling_params, eos_token_id=None,
+               req_id=None):
+        req_id = req_id or f"req-{next(self._counter)}"
+        out: "queue.Queue[StreamItem]" = queue.Queue()
+        with self._lock:
+            self._streams[req_id] = out
+            self.inflight += 1
+        self._req_q.put(
+            ("add", req_id, list(prompt_token_ids), sampling_params,
+             eos_token_id)
+        )
+        return req_id, out
+
+    def stream(self, prompt_token_ids, sampling_params, eos_token_id=None,
+               timeout: float = 600.0):
+        req_id, q = self.submit(prompt_token_ids, sampling_params, eos_token_id)
+        try:
+            while True:
+                item = q.get(timeout=timeout)
+                yield item
+                if item.finished:
+                    return
+        finally:
+            self.abort(req_id)
+
+    def abort(self, req_id: str) -> None:
+        with self._lock:
+            known = req_id in self._streams
+        if known:
+            self._req_q.put(("abort", req_id))
+
+    def get_stats(self) -> dict:
+        return {"num_waiting": self.inflight}
+
+    def shutdown(self) -> None:
+        self._req_q.put(("stop",))
+        self._proc.join(timeout=10)
+        if self._proc.is_alive():
+            self._proc.terminate()
