@@ -25,6 +25,9 @@ import time
 # packed int4 weights (ops/pallas/quant_matmul.py W4A8 kernel) — the bf16
 # dequant path burns ~35% more step time on VPU nibble-unpacking.
 os.environ.setdefault("METAX_TPU_W4A8", "1")
+# Conservative KV-commit form: the block-RMW variant hung the remote TPU
+# compiler once (2026-08-18); rows compiles reliably at ~4.5ms/step cost.
+os.environ.setdefault("METAX_TPU_KV_COMMIT", "rows")
 
 import jax
 import numpy as np

@@ -204,8 +204,16 @@ def write_all_layers_to_kv_cache(
     touches exactly one block per (layer, request) and live requests never
     share a block, so the RMW is race-free.
     (ref layout: csrc/cache_kernels.cu:450 reshape_and_cache_flash)
+
+    METAX_TPU_KV_COMMIT=rows falls back to the one-shot token-row scatter:
+    the block-RMW HLO was observed to hang the TPU compiler on some
+    toolchains (2026-08-18 axon v5e incident), so the fallback stays a knob.
     """
+    from vllm_metax_tpu import envs
+
     nb, h, bs, d = kv_cache.k.shape
+    if envs.METAX_TPU_KV_COMMIT == "rows":
+        return _write_all_layers_rows(kv_cache, k, v, slot_mapping, nb_layer)
     cache_dtype = kv_cache.k.dtype
     n_layers = k.shape[0]
     block_idx = slot_mapping // bs  # (T,) layer-local
@@ -251,6 +259,63 @@ def write_all_layers_to_kv_cache(
     return kv_cache._replace(
         k=rmw(kv_cache.k, k.astype(cache_dtype)),
         v=rmw(kv_cache.v, v.astype(cache_dtype)),
+    )
+
+
+def _write_all_layers_rows(
+    kv_cache: KVCache,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+    nb_layer: int,
+) -> KVCache:
+    """Token-row form of the batched all-layer commit (one scatter of
+    L·T·H rows) — see write_all_layers_to_kv_cache."""
+    nb, h, bs, d = kv_cache.k.shape
+    cache_dtype = kv_cache.k.dtype
+    n_layers = k.shape[0]
+    block_idx = slot_mapping // bs
+    off_idx = slot_mapping % bs
+    rows0 = (
+        (block_idx[:, None] * h + jnp.arange(h, dtype=jnp.int32)[None, :]) * bs
+        + off_idx[:, None]
+    )  # (T, H) — layer-0 rows
+    rows0 = jnp.where(
+        (slot_mapping >= nb_layer * bs)[:, None], nb * h * bs, rows0
+    )
+    layer_off = (
+        jnp.arange(n_layers, dtype=jnp.int32)[:, None, None]
+        * (nb_layer * h * bs)
+    )
+    rows = jnp.where(
+        rows0[None] >= nb * h * bs, nb * h * bs, rows0[None] + layer_off
+    ).reshape(-1)
+
+    def scatter(cache_arr, vals):
+        if cache_arr.size == 0:
+            return cache_arr
+        tail = cache_arr.shape[3:]
+        flat = cache_arr.reshape((nb * h * bs,) + tail)
+        flat = flat.at[rows].set(
+            vals.reshape((-1,) + tail),
+            mode="drop",
+            unique_indices=True,
+            indices_are_sorted=False,
+        )
+        return flat.reshape(cache_arr.shape)
+
+    if kv_cache.quantized:
+        kq, ks = _quantize_kv(k, cache_dtype)
+        vq, vs = _quantize_kv(v, cache_dtype)
+        return kv_cache._replace(
+            k=scatter(kv_cache.k, kq),
+            v=scatter(kv_cache.v, vq),
+            k_scale=scatter(kv_cache.k_scale[..., None], ks[..., None])[..., 0],
+            v_scale=scatter(kv_cache.v_scale[..., None], vs[..., None])[..., 0],
+        )
+    return kv_cache._replace(
+        k=scatter(kv_cache.k, k.astype(cache_dtype)),
+        v=scatter(kv_cache.v, v.astype(cache_dtype)),
     )
 
 
