@@ -150,3 +150,78 @@ def test_qwen3_next_state_slot_reuse():
     # slot may still be held here)
     r = engine.runner
     assert len(r._state_free) + len(r._state_slots) == 2
+
+
+def test_qwen3_next_multi_step_decode(tmp_path):
+    """Multi-step on-device windows must match single-step decode exactly
+    (state_idx rides the window metadata; gdn_step inside the scan)."""
+    prompts = [[1, 5, 9, 13], [7, 3, 11, 42, 19]]
+    hf, ours_single = _hf_and_ours(tmp_path, prompts, max_new=10)
+    _, ours_multi = _hf_and_ours(
+        tmp_path, prompts, max_new=10, num_decode_steps=4
+    )
+    assert ours_single == hf
+    assert ours_multi == hf
+
+
+def test_qwen3_next_preemption_recompute():
+    """KV pressure forces preemption; resumed requests recompute from
+    position 0, which must RESET their linear-attention state slots."""
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    hf = _tiny_cfg().to_dict()
+    mc = ModelConfig(
+        architecture="Qwen3NextForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=96,
+        dtype="float32",
+        hf_config=hf,
+    )
+
+    def run(num_blocks):
+        cfg = EngineConfig(
+            model_config=mc,
+            cache_config=CacheConfig(block_size=16, num_blocks=num_blocks),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=4, max_num_batched_tokens=64
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        )
+        engine = EngineCore(cfg)
+        for i in range(3):
+            engine.add_request(
+                f"r{i}", [1 + i, 5, 9, 13],
+                SamplingParams(max_tokens=24, temperature=0.0),
+            )
+        acc = {f"r{i}": [] for i in range(3)}
+        steps = 0
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                acc[out.req_id].extend(out.new_token_ids)
+            steps += 1
+            assert steps < 400
+        return [acc[f"r{i}"] for i in range(3)], engine
+
+    ref, _ = run(num_blocks=64)  # roomy: no preemption
+    tight, engine = run(num_blocks=5)  # 80 slots < 3 reqs x 28 tokens
+    assert engine.scheduler.num_preemptions > 0
+    assert tight == ref

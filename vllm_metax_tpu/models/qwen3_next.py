@@ -150,7 +150,11 @@ def _linear_attn_block(lp, normed, kv, md, cfg, hp, lin_idx):
     conv_state = kv.conv_state  # (NLIN, RSLOT, K-1, CONV)
     rslot = lin_state.shape[1]
     slots = md.state_idx  # (R,) int32; padding rows carry RSLOT (OOB)
-    tok_slot = slots[md.req_idx]  # (T,)
+    # bucket-padding TOKENS carry req_idx 0 — routing them by req_idx would
+    # corrupt request 0's state (their position-0 even RESETS it). The OOB
+    # slot_mapping sentinel identifies them; send them to the scratch slot.
+    tok_pad = md.slot_mapping >= kv.k.shape[0] * kv.block_size
+    tok_slot = jnp.where(tok_pad, rslot, slots[md.req_idx])  # (T,)
 
     if md.decode_only:
         # vectorized single-step path: row i IS request i
