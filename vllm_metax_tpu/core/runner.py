@@ -1082,9 +1082,10 @@ class ModelRunner:
             topk_lp_steps = np.asarray(ys[3])
 
         result = ModelRunnerOutput()
+        tok_cols = tok_steps.T  # (RB, M) — per-request token rows
         for i, rid in enumerate(req_ids):
             st = self.requests[rid]
-            toks = [int(tok_steps[s, i]) for s in range(m)]
+            toks = tok_cols[i].tolist()  # one C call, not M int() casts
             result.req_ids.append(rid)
             result.sampled_token_ids.append(toks)
             st.token_ids.extend(toks)

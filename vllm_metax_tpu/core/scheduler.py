@@ -360,12 +360,30 @@ class Scheduler:
             # A sampled token is only valid once the whole context has been
             # computed (partial chunked-prefill steps produce none).
             if req.num_computed_tokens >= req.num_tokens and new_tokens:
-                for tok in new_tokens:
-                    req.append_output_token(tok)
-                    emitted.append(tok)
+                sp = req.sampling_params
+                if (
+                    len(new_tokens) > 1
+                    and (sp.ignore_eos or req.eos_token_id is None)
+                    and not sp.stop_token_ids
+                ):
+                    # bulk fast path (multi-step windows): only the length
+                    # caps can fire — O(1) instead of per-token check_stop
+                    # (16k calls per 128x128 window)
+                    mt = sp.max_tokens if sp.max_tokens is not None else 1 << 30
+                    room = min(
+                        mt - req.num_output_tokens,
+                        self.max_model_len - req.num_tokens,
+                    )
+                    emitted = list(new_tokens[: max(room, 0)])
+                    req.output_token_ids.extend(emitted)
                     finished = req.check_stop(self.max_model_len)
-                    if finished:
-                        break
+                else:
+                    for tok in new_tokens:
+                        req.append_output_token(tok)
+                        emitted.append(tok)
+                        finished = req.check_stop(self.max_model_len)
+                        if finished:
+                            break
                 # With spec decode, accepted tokens beyond the first already
                 # had their KV computed this step; account for them.
                 req.num_computed_tokens += len(emitted) - 1
