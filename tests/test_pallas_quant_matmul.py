@@ -140,3 +140,52 @@ def test_int4_matmul_tiled_xla_fallback(rng):
     w_ref = dequant_int4(banks[1][1], banks[1][2], banks[1][3], jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_act_quant_pallas_matches_reference(rng):
+    """Fused act-quant prologue == the unfused XLA reference bit-for-bit."""
+    import jax.numpy as jnp
+
+    from vllm_metax_tpu.ops.pallas.quant_matmul import (
+        act_quant_pallas,
+        quantize_activations_int8,
+    )
+
+    t, k, gs = 32, 256, 64
+    x = jnp.asarray(rng.standard_normal((t, k)).astype(np.float32) * 3)
+    xq, xs, sxq = act_quant_pallas(x, gs, interpret=True)
+    xq_ref, xs_ref = quantize_activations_int8(x)
+    sxq_ref = xq_ref.astype(jnp.float32).reshape(t, k // gs, gs).sum(-1)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(xq_ref))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sxq), np.asarray(sxq_ref), atol=0)
+
+
+def test_w4a8_matmul_with_fused_act_quant(rng, monkeypatch):
+    """W4A8 tiled matmul result is identical with the fused prologue on."""
+    import jax.numpy as jnp
+
+    from vllm_metax_tpu.ops.pallas.quant_matmul import (
+        int4a8_matmul_tiled_pallas,
+        w4a8_repack,
+    )
+    from vllm_metax_tpu.ops.quant import pack_int4
+
+    t, k, n, gs = 16, 128, 256, 64
+    g = k // gs
+    q = rng.integers(0, 16, size=(k, n)).astype(np.uint8)
+    s = (rng.random((g, n), np.float32) + 0.5).astype(np.float32)
+    z = np.full((g, n), 8.0, np.float32)
+    x = rng.standard_normal((t, k)).astype(np.float32)
+    packed = pack_int4(jnp.asarray(q))
+    wp = w4a8_repack(jnp.asarray(packed)[None, None])  # (L=1, NT=1, K/2, N)
+    sj = jnp.asarray(s)[None]
+    zsj = jnp.asarray(z * s)[None]
+
+    monkeypatch.setenv("METAX_TPU_FUSED_ACT_QUANT", "0")
+    y0 = np.asarray(int4a8_matmul_tiled_pallas(
+        jnp.asarray(x), wp, sj, zsj, 0, interpret=True))
+    monkeypatch.setenv("METAX_TPU_FUSED_ACT_QUANT", "1")
+    y1 = np.asarray(int4a8_matmul_tiled_pallas(
+        jnp.asarray(x), wp, sj, zsj, 0, interpret=True))
+    np.testing.assert_allclose(y0, y1, rtol=1e-6, atol=1e-6)

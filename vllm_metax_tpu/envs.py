@@ -22,6 +22,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "METAX_TPU_EP_DISPATCH": lambda: os.getenv(
         "METAX_TPU_EP_DISPATCH", "replicated"
     ),
+    # fuse the W4A8 activation quant + per-group sums into one Pallas pass
+    # (replaces 3-4 XLA fusions per linear; validate on hardware first)
+    "METAX_TPU_FUSED_ACT_QUANT": lambda: os.getenv(
+        "METAX_TPU_FUSED_ACT_QUANT", "0"
+    ) == "1",
     # batched all-layer KV commit form: "block" (gather→blend→scatter of
     # whole blocks, H× fewer scatter rows) or "rows" (token rows; fallback —
     # the block form hung the TPU compiler on one toolchain)

@@ -383,6 +383,50 @@ def quantize_activations_int8(x: jnp.ndarray):
     return xq, xs
 
 
+def _act_quant_kernel(x_ref, xq_ref, xs_ref, sxq_ref, *, gs):
+    """One pass over a (TT, K) activation tile: per-token amax → int8 quant
+    + scale + per-group int sums. Fuses what XLA runs as 3-4 separate
+    fusions per linear (the reference fuses act-quant into its GEMM
+    prologue the same way, csrc/quantization/fused kernels)."""
+    xf = x_ref[...].astype(jnp.float32)
+    tt, k = xf.shape
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / xs), -127.0, 127.0)
+    xq_ref[...] = q.astype(jnp.int8)
+    xs_ref[...] = xs
+    sxq_ref[...] = jnp.sum(q.reshape(tt, k // gs, gs), axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("gs", "interpret"))
+def act_quant_pallas(x: jnp.ndarray, gs: int, interpret: bool = False):
+    """Fused per-token int8 activation quant + per-group sums (the W4A8
+    GEMM's prologue): x (T, K) → (xq int8, xs (T, 1) f32, sxq (T, K/gs) f32).
+    """
+    t, k = x.shape
+    g = k // gs
+    tt = _choose_tile(t, (256, 128, 64, 32, 16, 8))
+    grid_spec = pl.GridSpec(
+        grid=(t // tt,),
+        in_specs=[pl.BlockSpec((tt, k), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((tt, k), lambda i: (i, 0)),
+            pl.BlockSpec((tt, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tt, g), lambda i: (i, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_act_quant_kernel, gs=gs),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, k), jnp.int8),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int4a8_matmul_tiled_pallas(
     x: jnp.ndarray,  # (T, K) bf16/f32 activations
@@ -404,8 +448,15 @@ def int4a8_matmul_tiled_pallas(
         raise ValueError(f"bad tiling: T={t} K={k} gs={gs}")
     kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
 
-    xq, xs = quantize_activations_int8(x)
-    sxq = xq.astype(jnp.float32).reshape(t, g, gs).sum(-1)  # (T, G)
+    from vllm_metax_tpu import envs
+
+    if envs.METAX_TPU_FUSED_ACT_QUANT and t % 8 == 0:
+        xq, xs, sxq = act_quant_pallas(
+            x, gs, interpret=jax.devices()[0].platform == "cpu"
+        )
+    else:
+        xq, xs = quantize_activations_int8(x)
+        sxq = xq.astype(jnp.float32).reshape(t, g, gs).sum(-1)  # (T, G)
 
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     kernel = functools.partial(_int4a8_tiled_kernel, kc=kc, gs=gs)
