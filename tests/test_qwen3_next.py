@@ -225,3 +225,16 @@ def test_qwen3_next_preemption_recompute():
     tight, engine = run(num_blocks=5)  # 80 slots < 3 reqs x 28 tokens
     assert engine.scheduler.num_preemptions > 0
     assert tight == ref
+
+
+def test_qwen3_next_scan_path_matches_grid(tmp_path, monkeypatch):
+    """The per-token scan fallback (big-batch regime) must equal the grid
+    path token-for-token."""
+    from vllm_metax_tpu.models import qwen3_next as q3n
+
+    prompts = [[1, 5, 9, 13, 200, 47], [7, 3, 11, 42]]
+    hf, grid = _hf_and_ours(tmp_path, prompts)
+    monkeypatch.setattr(q3n, "_GDN_GRID_MAX_BYTES", 0)  # force the scan
+    _, scan = _hf_and_ours(tmp_path, prompts)
+    assert grid == hf
+    assert scan == hf

@@ -50,6 +50,10 @@ from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
 
 compute_logits = _llama.compute_logits
 
+# ragged GDN prefill: grid path when the padded (R+1, T, conv_dim) scratch
+# fits; per-token scan otherwise (tests pin both paths)
+_GDN_GRID_MAX_BYTES = 64 * 1024 * 1024
+
 
 def _hp(cfg: ModelConfig) -> dict:
     hc = cfg.hf_config or {}
@@ -178,6 +182,67 @@ def _linear_attn_block(lp, normed, kv, md, cfg, hp, lin_idx):
             core = jnp.concatenate(
                 [core, jnp.zeros((t - r, nv, dv), jnp.float32)], axis=0
             )
+    elif (
+        (slots.shape[0] + 1) * t * mixed.shape[1] * mixed.dtype.itemsize
+        <= _GDN_GRID_MAX_BYTES
+    ):
+        # ragged prefill/mixed batch, grid path: scatter tokens into
+        # per-request (R+1, T) padded grids (β=0/g=0 pads are state no-ops —
+        # ops/gdn.py) and run the CHUNKED delta rule — the batched analog of
+        # the reference's varlen FLA prefill. Row R is the scratch row for
+        # bucket-padding tokens.
+        r = slots.shape[0]
+        qsl = md.query_start_loc
+        col = jnp.arange(t, dtype=jnp.int32) - qsl[md.req_idx]
+        row = jnp.where(tok_pad, r, md.req_idx)
+        grid_x = jnp.zeros((r + 1, t, mixed.shape[1]), mixed.dtype).at[
+            row, col
+        ].set(mixed, mode="drop")
+        grid_g = jnp.zeros((r + 1, t, nv), jnp.float32).at[row, col].set(
+            g, mode="drop"
+        )
+        grid_b = jnp.zeros((r + 1, t, nv), jnp.float32).at[row, col].set(
+            beta, mode="drop"
+        )
+        first_pos = md.positions[jnp.minimum(qsl[:-1], t - 1)]  # (R,)
+        safe = jnp.minimum(slots, rslot - 1)
+        fresh = (first_pos == 0)[:, None]
+        h0 = jnp.where(
+            fresh[..., None], 0.0, conv_state[lin_idx][safe]
+        ).astype(conv_state.dtype)
+        s0 = jnp.where(
+            fresh[..., None, None], 0.0, lin_state[lin_idx][safe]
+        )
+        h0 = jnp.concatenate(
+            [h0, jnp.zeros((1,) + h0.shape[1:], h0.dtype)], axis=0
+        )
+        s0 = jnp.concatenate(
+            [s0, jnp.zeros((1,) + s0.shape[1:], s0.dtype)], axis=0
+        )
+        y, _ = causal_conv1d(grid_x, h0, conv_w)
+        from vllm_metax_tpu.ops.gdn import gdn_chunked
+
+        qg, kg, vg = _gdn_split_mixed(
+            y.reshape((r + 1) * t, -1).astype(normed.dtype), hp, (r + 1) * t
+        )
+        qg = qg.reshape(r + 1, t, nv, dk)
+        kg = kg.reshape(r + 1, t, nv, dk)
+        vg = vg.reshape(r + 1, t, nv, dv)
+        out_grid, s1 = gdn_chunked(qg, kg, vg, grid_g, grid_b, s0)
+        core = out_grid[row, col]  # (T, Hv, Dv) — pads read scratch garbage
+        # conv history: last K-1 REAL inputs per request from [h0 | grid_x]
+        window = jnp.concatenate([h0, grid_x.astype(h0.dtype)], axis=1)
+        n_r = (qsl[1:] - qsl[:-1])[:r]  # scheduled tokens per request
+        hist_idx = n_r[:, None] + jnp.arange(ck - 1, dtype=jnp.int32)[None]
+        h1 = jnp.take_along_axis(
+            window[:r], hist_idx[..., None], axis=1
+        )  # (R, K-1, CONV)
+        ok = slots < rslot
+        wslot = jnp.where(ok, slots, rslot)
+        lin_state = lin_state.at[lin_idx, wslot].set(s1[:r], mode="drop")
+        conv_state = conv_state.at[lin_idx, wslot].set(
+            h1.astype(conv_state.dtype), mode="drop"
+        )
     else:
         # ragged prefill/mixed batch: exact per-token scan. Position-0
         # tokens reset their slots (fresh request / recompute-after-preempt).
