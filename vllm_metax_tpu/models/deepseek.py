@@ -81,6 +81,7 @@ def mla_attention(
     md: AttentionMetadata,
     sm_scale: float,
     kv_lora_rank: int,
+    latent_cur: Optional[jnp.ndarray] = None,  # (T, 1, 576) deferred write
 ) -> jnp.ndarray:
     """MQA over the latent cache (ref math: mla/common.py:154-233 'Decode'
     derivation). Returns (T, H_local, kv_lora_rank).
@@ -88,7 +89,8 @@ def mla_attention(
     Dispatch: pure-decode steps hit the Pallas request-batched paged kernel
     (ops/pallas/decode_attention.py, pv_width=lora — the analog of the
     reference's FlashMLA decode, mla/flashmla.py:221); everything else runs
-    the chunked online-softmax XLA path below."""
+    the chunked online-softmax XLA path below. latent_cur: deferred-write
+    mode — the current token's latent row is not in the pool yet."""
     from vllm_metax_tpu import envs
     from vllm_metax_tpu.ops.attention import _on_tpu
 
@@ -102,9 +104,12 @@ def mla_attention(
 
         if decode_attention_supported(q, kv_cache, md, mla=True):
             return paged_decode_attention_pallas(
-                q, kv_cache, md, sm_scale, pv_width=kv_lora_rank
+                q, kv_cache, md, sm_scale, pv_width=kv_lora_rank,
+                k_cur=latent_cur,
             )
-    return mla_attention_xla_chunked(q, kv_cache, md, sm_scale, kv_lora_rank)
+    return mla_attention_xla_chunked(
+        q, kv_cache, md, sm_scale, kv_lora_rank, latent_cur=latent_cur
+    )
 
 
 def mla_attention_xla_chunked(
@@ -114,6 +119,7 @@ def mla_attention_xla_chunked(
     sm_scale: float,
     kv_lora_rank: int,
     chunk_tokens: int = 256,
+    latent_cur: Optional[jnp.ndarray] = None,  # (T, 1, 576) deferred write
 ) -> jnp.ndarray:
     """Online-softmax over fixed-size context chunks under lax.scan — the
     chunked-workspace strategy of the reference's MLA prefill
@@ -131,6 +137,15 @@ def mla_attention_xla_chunked(
     q_pos = md.positions[:, None]  # (T, 1)
     seq_len = md.seq_lens[md.req_idx][:, None]  # (T, 1)
     pos_in_chunk = jnp.arange(ckv, dtype=jnp.int32)[None, :]  # (1, CKV)
+    t_rows = jnp.arange(t, dtype=jnp.int32)
+    cur = None
+    if latent_cur is not None:
+        cur = latent_cur[:, 0].astype(jnp.float32)  # (T, 576)
+        if kv_cache.quantized:
+            from vllm_metax_tpu.ops.kv_cache import _quantize_kv
+
+            cq, cs = _quantize_kv(latent_cur, kv_cache.k.dtype)
+            cur = (cq[:, 0].astype(jnp.float32) * cs[:, 0, None])
 
     def chunk_step(carry, c):
         m, l, acc = carry
@@ -140,6 +155,17 @@ def mla_attention_xla_chunked(
             ks = jnp.take(kv_cache.k_scale, pages, axis=0)  # (R, CB, 1, BS)
             lat = lat.astype(jnp.float32) * ks[..., None]
         lat_tok = lat.reshape(r, ckv, dq)[md.req_idx].astype(jnp.float32)
+        if cur is not None:
+            # deferred write: patch the current token's latent into its
+            # in-chunk position (quantize→dequantize above keeps later-step
+            # reads identical)
+            rel = q_pos[:, 0] - c * ckv
+            in_chunk = (rel >= 0) & (rel < ckv)
+            idx = jnp.clip(rel, 0, ckv - 1)
+            patched = jnp.where(
+                in_chunk[:, None], cur, lat_tok[t_rows, idx]
+            )
+            lat_tok = lat_tok.at[t_rows, idx].set(patched)
         s = jnp.einsum("thd,tcd->thc", qf, lat_tok) * sm_scale  # (T, H, CKV)
         kv_pos = c * ckv + pos_in_chunk
         mask = (kv_pos <= q_pos) & (kv_pos < seq_len)  # (T, CKV)
@@ -253,7 +279,7 @@ def mla_sparse_attention_xla(
 
 
 def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
-               maybe_psum):
+               maybe_psum, defer: bool = False):
     eps = cfg.rms_norm_eps
     nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     lora = cfg.kv_lora_rank
@@ -314,6 +340,13 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
         attn_lat = mla_sparse_attention_xla(
             q_full, kv_l, md, _sm_scale(cfg), lora, topk_pos
         )
+    elif defer:
+        # pure-decode: the latent write is deferred to ONE batched all-layer
+        # commit after the layer scan (see models/llama.py run_layers);
+        # attention reads the fresh row via latent_cur
+        attn_lat = mla_attention(
+            q_full, kv_l, md, _sm_scale(cfg), lora, latent_cur=latent
+        )
     else:
         kv_l = write_to_kv_cache(
             kv_l, latent, jnp.zeros((t, 1, 0), latent.dtype), md.slot_mapping
@@ -326,6 +359,8 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
     out = maybe_psum(
         apply_linear(lp["o"], attn.reshape(t, hq_local * cfg.v_head_dim))
     )
+    if defer:
+        return out, kv_l, latent
     return out, kv_l
 
 
@@ -412,15 +447,30 @@ def forward(
     nb_layer = kv_cache.k.shape[0] // n_kv_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
+    # pure-decode steps defer the per-layer latent write to one batched
+    # all-layer commit per scan group (see models/llama.py run_layers; the
+    # MLA decode kernel / chunked XLA path read the fresh row via latent_cur)
+    defer = bool(md.decode_only and md.dcp_axis is None and not cfg.index_topk)
+
     def dense_layer(carry, l):
-        hidden, residual, kv = carry
+        if defer:
+            hidden, residual = carry
+            kv = kv_cache
+        else:
+            hidden, residual, kv = carry
         layers = params["dense_layers"]
         lp = jax.tree_util.tree_map(lambda a: a[l], layers)
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
-        attn_out, kv = _mla_block(
-            lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
-        )
+        if defer:
+            attn_out, kv, latent = _mla_block(
+                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum,
+                defer=True,
+            )
+        else:
+            attn_out, kv = _mla_block(
+                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
+            )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         mlp = maybe_psum(
             apply_linear(layers["down"],
@@ -428,10 +478,16 @@ def forward(
                                              layer_idx=l)),
                          layer_idx=l)
         )
+        if defer:
+            return (mlp, residual), latent
         return (mlp, residual, kv), None
 
     def moe_layer(carry, l):
-        hidden, residual, kv = carry
+        if defer:
+            hidden, residual = carry
+            kv = kv_cache
+        else:
+            hidden, residual, kv = carry
         ml = params["moe_layers"]
         # tiled quantized expert banks stay stacked — the grouped kernel
         # prefetches the layer index (see models/mixtral.py layer_fn)
@@ -447,28 +503,65 @@ def forward(
             lp[k] = ml[k]
         md_l = layer_view(md, l, nb_layer, slots_per_layer)
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln1"], eps)
-        attn_out, kv = _mla_block(
-            lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
-        )
+        if defer:
+            attn_out, kv, latent = _mla_block(
+                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum,
+                defer=True,
+            )
+        else:
+            attn_out, kv = _mla_block(
+                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
+            )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         moe = _moe_block(
             lp, normed, cfg, act_fn, axis_name, ep_axis_name,
             layer_idx=l - k_dense,
         )
+        if defer:
+            return (moe, residual), latent
         return (moe, residual, kv), None
 
     residual = jnp.zeros_like(hidden)
-    carry = (hidden, residual, kv_cache)
-    if k_dense > 0:
-        carry, _ = jax.lax.scan(
-            dense_layer, carry, jnp.arange(k_dense, dtype=jnp.int32)
+    if defer:
+        from vllm_metax_tpu.ops.kv_cache import write_all_layers_to_kv_cache
+
+        t = hidden.shape[0]
+        carry = (hidden, residual)
+        new_kv = kv_cache
+
+        def zero_v(lat):  # (L, T, 1, 576) → matching zero-width v
+            return jnp.zeros(lat.shape[:3] + (0,), lat.dtype)
+
+        if k_dense > 0:
+            carry, lat_dense = jax.lax.scan(
+                dense_layer, carry, jnp.arange(k_dense, dtype=jnp.int32)
+            )
+            new_kv = write_all_layers_to_kv_cache(
+                new_kv, lat_dense, zero_v(lat_dense), md.slot_mapping,
+                nb_layer, first_layer=0,
+            )
+        carry, lat_moe = jax.lax.scan(
+            moe_layer,
+            carry,
+            jnp.arange(k_dense, cfg.num_hidden_layers, dtype=jnp.int32),
         )
-    carry, _ = jax.lax.scan(
-        moe_layer,
-        carry,
-        jnp.arange(k_dense, cfg.num_hidden_layers, dtype=jnp.int32),
-    )
-    hidden, residual, new_kv = carry
+        new_kv = write_all_layers_to_kv_cache(
+            new_kv, lat_moe, zero_v(lat_moe), md.slot_mapping, nb_layer,
+            first_layer=k_dense,
+        )
+        hidden, residual = carry
+    else:
+        carry = (hidden, residual, kv_cache)
+        if k_dense > 0:
+            carry, _ = jax.lax.scan(
+                dense_layer, carry, jnp.arange(k_dense, dtype=jnp.int32)
+            )
+        carry, _ = jax.lax.scan(
+            moe_layer,
+            carry,
+            jnp.arange(k_dense, cfg.num_hidden_layers, dtype=jnp.int32),
+        )
+        hidden, residual, new_kv = carry
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
         cfg.dtype
     )

@@ -191,6 +191,7 @@ def write_all_layers_to_kv_cache(
     v: jnp.ndarray,  # (L, T, H, D)
     slot_mapping: jnp.ndarray,  # (T,) LAYER-LOCAL slots (layer 0's range)
     nb_layer: int,  # blocks per layer in the flat all-layer pool
+    first_layer: int = 0,  # pool layer index of k/v's layer 0 (scan groups)
 ) -> KVCache:
     """One batched BLOCK-granularity write for every layer's K/V of a decode
     step: gather the L·T touched blocks, blend the new token row into each,
@@ -213,7 +214,9 @@ def write_all_layers_to_kv_cache(
 
     nb, h, bs, d = kv_cache.k.shape
     if envs.METAX_TPU_KV_COMMIT == "rows":
-        return _write_all_layers_rows(kv_cache, k, v, slot_mapping, nb_layer)
+        return _write_all_layers_rows(
+            kv_cache, k, v, slot_mapping, nb_layer, first_layer
+        )
     cache_dtype = kv_cache.k.dtype
     n_layers = k.shape[0]
     block_idx = slot_mapping // bs  # (T,) layer-local
@@ -223,7 +226,8 @@ def write_all_layers_to_kv_cache(
         pad[None, :],
         nb,  # OOB sentinel — scatter drops, gather is clamped
         block_idx[None, :]
-        + jnp.arange(n_layers, dtype=jnp.int32)[:, None] * nb_layer,
+        + (first_layer + jnp.arange(n_layers, dtype=jnp.int32))[:, None]
+        * nb_layer,
     )  # (L, T) global block ids
     safe = jnp.minimum(gb, nb - 1).reshape(-1)
     sel = (
@@ -249,12 +253,17 @@ def write_all_layers_to_kv_cache(
 
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
-        vq, vs = _quantize_kv(v, cache_dtype)
+        if v.size:  # zero-width v (MLA latent pools): leave v/v_scale alone
+            vq, vs = _quantize_kv(v, cache_dtype)
+            return kv_cache._replace(
+                k=rmw(kv_cache.k, kq),
+                v=rmw(kv_cache.v, vq),
+                k_scale=rmw(kv_cache.k_scale, ks),
+                v_scale=rmw(kv_cache.v_scale, vs),
+            )
         return kv_cache._replace(
             k=rmw(kv_cache.k, kq),
-            v=rmw(kv_cache.v, vq),
             k_scale=rmw(kv_cache.k_scale, ks),
-            v_scale=rmw(kv_cache.v_scale, vs),
         )
     return kv_cache._replace(
         k=rmw(kv_cache.k, k.astype(cache_dtype)),
@@ -268,6 +277,7 @@ def _write_all_layers_rows(
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,
     nb_layer: int,
+    first_layer: int = 0,
 ) -> KVCache:
     """Token-row form of the batched all-layer commit (one scatter of
     L·T·H rows) — see write_all_layers_to_kv_cache."""
@@ -284,7 +294,7 @@ def _write_all_layers_rows(
         (slot_mapping >= nb_layer * bs)[:, None], nb * h * bs, rows0
     )
     layer_off = (
-        jnp.arange(n_layers, dtype=jnp.int32)[:, None, None]
+        (first_layer + jnp.arange(n_layers, dtype=jnp.int32))[:, None, None]
         * (nb_layer * h * bs)
     )
     rows = jnp.where(
@@ -306,12 +316,23 @@ def _write_all_layers_rows(
 
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
-        vq, vs = _quantize_kv(v, cache_dtype)
+        if v.size:  # zero-width v (MLA latent pools): leave v/v_scale alone
+            vq, vs = _quantize_kv(v, cache_dtype)
+            return kv_cache._replace(
+                k=scatter(kv_cache.k, kq),
+                v=scatter(kv_cache.v, vq),
+                k_scale=scatter(
+                    kv_cache.k_scale[..., None], ks[..., None]
+                )[..., 0],
+                v_scale=scatter(
+                    kv_cache.v_scale[..., None], vs[..., None]
+                )[..., 0],
+            )
         return kv_cache._replace(
             k=scatter(kv_cache.k, kq),
-            v=scatter(kv_cache.v, vq),
-            k_scale=scatter(kv_cache.k_scale[..., None], ks[..., None])[..., 0],
-            v_scale=scatter(kv_cache.v_scale[..., None], vs[..., None])[..., 0],
+            k_scale=scatter(
+                kv_cache.k_scale[..., None], ks[..., None]
+            )[..., 0],
         )
     return kv_cache._replace(
         k=scatter(kv_cache.k, k.astype(cache_dtype)),
