@@ -470,3 +470,30 @@ def test_engine_pool_process_backend(small_model_config, monkeypatch):
         assert r0["x"] == r0["y"]
     finally:
         pool.shutdown()
+
+
+def test_embeddings_endpoint(server):
+    """OpenAI /v1/embeddings over pooled hidden states."""
+    url = server
+    resp = _post(url, "/v1/embeddings", {
+        "model": "tiny", "input": ["hello world", [1, 5, 9]],
+    })
+    assert resp["object"] == "list"
+    assert len(resp["data"]) == 2
+    assert resp["data"][0]["index"] == 0
+    v0 = resp["data"][0]["embedding"]
+    v1 = resp["data"][1]["embedding"]
+    assert len(v0) == len(v1) > 0
+    assert v0 != v1
+    assert resp["usage"]["prompt_tokens"] > 0
+
+
+def test_embeddings_requires_input(server):
+    import urllib.error
+
+    url = server
+    try:
+        _post(url, "/v1/embeddings", {"model": "tiny"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

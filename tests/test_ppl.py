@@ -102,3 +102,33 @@ def test_llm_embed(ckpt):
     assert vecs[0].shape == (64,)
     mean_vecs = llm.embed(prompt_token_ids=[[1, 2, 3, 4]], pooling="mean")
     assert not np.allclose(mean_vecs[0], vecs[0])
+
+
+def test_ppl_int8_kv_delta(ckpt):
+    """INT8-KV quality gate (VERDICT/BASELINE config 3 pairing): perplexity
+    with the quantized cache must sit within 0.1 of the bf16-cache PPL."""
+    m, path = ckpt
+    rng = np.random.default_rng(1)
+    token_ids = rng.integers(0, 256, size=150).tolist()
+
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, ModelConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.runner import ModelRunner
+    from vllm_metax_tpu.evaluation import compute_ppl
+
+    def ppl(kv_dtype):
+        config = EngineConfig(
+            model_config=ModelConfig.from_pretrained(path, dtype="float32",
+                                                     max_model_len=256),
+            cache_config=CacheConfig(block_size=16, num_blocks=32,
+                                     kv_cache_dtype=kv_dtype),
+            scheduler_config=SchedulerConfig(max_num_seqs=2,
+                                             max_num_batched_tokens=256),
+            load_config=LoadConfig(),
+        )
+        return compute_ppl(ModelRunner(config), token_ids)
+
+    base = ppl("auto")
+    quant = ppl("int8")
+    assert abs(quant - base) < 0.1, (base, quant)

@@ -305,6 +305,8 @@ def make_handler(state: ServerState):
                     self._completions(body)
                 elif self.path == "/v1/chat/completions":
                     self._chat(body)
+                elif self.path == "/v1/embeddings":
+                    self._embeddings(body)
                 elif self.path == "/tokenize":
                     self._json(
                         {"tokens": state.tokenizer.encode(body.get("prompt", ""))}
@@ -325,6 +327,53 @@ def make_handler(state: ServerState):
                     self._error(str(e), 500)
                 except Exception:
                     pass
+
+        # ------------------------------------------------------- embeddings
+
+        def _embeddings(self, body):
+            """OpenAI embeddings API over pooled hidden states (the
+            reference's pooling-model surface)."""
+            raw = body.get("input")
+            if raw is None:
+                raise RequestValidationError("'input' is required")
+            if isinstance(raw, str):
+                raw = [raw]
+            token_lists = []
+            for item in raw:
+                if isinstance(item, str):
+                    token_lists.append(state.tokenizer.encode(item))
+                elif isinstance(item, list):
+                    token_lists.append([int(x) for x in item])
+                else:
+                    raise RequestValidationError(
+                        "'input' must be a string, list of strings, or "
+                        "list of token-id lists"
+                    )
+            eng = state.engine.pick()
+            if not hasattr(eng, "embed"):
+                return self._error(
+                    "embeddings are not available on the process DP "
+                    "backend", 501,
+                )
+            vecs = eng.embed(token_lists)
+            self._json(
+                {
+                    "object": "list",
+                    "model": body.get("model", state.served_model),
+                    "data": [
+                        {
+                            "object": "embedding",
+                            "index": i,
+                            "embedding": [float(x) for x in v],
+                        }
+                        for i, v in enumerate(vecs)
+                    ],
+                    "usage": {
+                        "prompt_tokens": sum(len(t) for t in token_lists),
+                        "total_tokens": sum(len(t) for t in token_lists),
+                    },
+                }
+            )
 
         # ------------------------------------------------------- completions
 

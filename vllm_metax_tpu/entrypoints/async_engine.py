@@ -131,6 +131,7 @@ class AsyncEngine:
         self.config = config
         self.engine = EngineCore(config, mesh=mesh)
         self._intake: "queue.Queue[_Pending]" = queue.Queue()
+        self._embed_jobs: "queue.Queue" = queue.Queue()
         self._streams: dict[str, _Pending] = {}
         self._aborted: set[str] = set()
         self._counter = Counter()
@@ -178,6 +179,17 @@ class AsyncEngine:
         self._aborted.add(req_id)
         self._wake.set()
 
+    def embed(self, prompt_token_ids, pooling: str = "last", timeout=600.0):
+        """Pooled hidden-state embeddings, executed ON the engine thread
+        between steps (the runner is single-threaded state)."""
+        out: "queue.Queue" = queue.Queue()
+        self._embed_jobs.put((list(prompt_token_ids), pooling, out))
+        self._wake.set()
+        res = out.get(timeout=timeout)
+        if isinstance(res, Exception):
+            raise res
+        return res
+
     def get_stats(self) -> dict:
         s = self.engine.stats.snapshot()
         s["num_waiting"] = self.engine.scheduler.get_num_unfinished_requests()
@@ -211,9 +223,34 @@ class AsyncEngine:
                     StreamItem([], True, finish_reason="error", stop_reason=str(e))
                 )
 
+    def _drain_embeds(self) -> None:
+        while True:
+            try:
+                toks_list, pooling, out = self._embed_jobs.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                import numpy as np
+
+                from vllm_metax_tpu.evaluation.ppl import _prefill_hidden
+
+                vecs = []
+                for toks in toks_list:
+                    hidden = np.asarray(
+                        _prefill_hidden(self.engine.runner, list(toks))
+                    )
+                    vecs.append(
+                        hidden.mean(axis=0) if pooling == "mean"
+                        else hidden[-1]
+                    )
+                out.put(vecs)
+            except Exception as e:  # surface to the caller
+                out.put(e)
+
     def _loop(self) -> None:
         while not self._shutdown:
             self._drain_intake()
+            self._drain_embeds()
             for rid in list(self._aborted):
                 self._aborted.discard(rid)
                 self.engine.abort_request(rid)
