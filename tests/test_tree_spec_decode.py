@@ -164,3 +164,42 @@ def test_eagle_tree_greedy_parity(branching):
     ref = _run(_config(0), PROMPTS)
     out = _run(_config(branching), PROMPTS)
     assert out == ref
+
+
+def test_tree_mask_pallas_kernel_matches_xla(rng):
+    """The unified Pallas kernel's in-kernel ancestor-bitmask path (TPU
+    spec-verify fast path) == the XLA tree reference, in a MIXED batch
+    (tree-verify request + plain causal prefill request)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tests.test_pallas_attention import _make_case
+    from vllm_metax_tpu.ops.attention import ragged_paged_attention_xla
+    from vllm_metax_tpu.ops.pallas.ragged_attention import (
+        ragged_paged_attention_pallas,
+    )
+
+    # req0: ctx 5 + 5 scheduled tree rows; req1: plain prefill of 7 tokens
+    q, kv, md = _make_case(rng, seq_lens_ctx=[5, 10], qlens=[5, 7])
+    parents = [-1, -1, 0, 1]
+    bits = np.zeros(12, np.uint32)
+    bits[0] = 1
+    depth = {}
+    for j, par in enumerate(parents):
+        prow = 0 if par < 0 else par + 1
+        depth[j] = 0 if par < 0 else depth[par] + 1
+        bits[j + 1] = bits[prow] | (1 << (j + 1))
+    pos = np.asarray(md.positions).copy()
+    pos[:5] = [5, 6, 6, 7, 7]  # depth-based tree positions
+    md = dataclasses.replace(
+        md,
+        tree_bits=jnp.asarray(bits),
+        positions=jnp.asarray(pos),
+    )
+    ref = ragged_paged_attention_xla(q, kv, md, 0.125)
+    out = ragged_paged_attention_pallas(q, kv, md, 0.125, interpret=True)
+    t = int(md.query_start_loc[-1])
+    np.testing.assert_allclose(
+        np.asarray(out)[:t], np.asarray(ref)[:t], rtol=1e-3, atol=2e-3
+    )

@@ -117,9 +117,19 @@ def ragged_paged_attention(
     impl = impl or envs.METAX_TPU_ATTN_IMPL
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if metadata.tree_bits is not None:
-        # tree-verify ancestor masks run the XLA reference path (in-kernel
-        # tree masks: future work); verify steps are a small token batch
+    if metadata.tree_bits is not None and impl == "pallas":
+        # tree-verify ancestor masks: the unified kernel handles them
+        # in-kernel (bits operand); the decode kernel does not
+        from vllm_metax_tpu.ops.pallas.ragged_attention import (
+            pallas_attention_supported,
+            ragged_paged_attention_pallas,
+        )
+
+        if k_cur is None and pallas_attention_supported(q, kv_cache, metadata):
+            return ragged_paged_attention_pallas(
+                q, kv_cache, metadata, sm_scale, sliding_window,
+                logits_soft_cap,
+            )
         impl = "xla"
     if metadata.dcp_axis is not None:
         if impl == "pallas" and metadata.decode_only and k_cur is None:

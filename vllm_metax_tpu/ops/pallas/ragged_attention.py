@@ -54,20 +54,26 @@ def _attn_kernel(
     # scalar prefetch
     tile_req_ref,  # (NT,) i32 request per tile (-1 = empty)
     seq_lens_ref,  # (R,) i32
+    rs_ref,  # (R,) i32 scheduled-region start (seq_len - n_scheduled)
     bt_ref,  # (R*MAXB,) i32 flat block tables
     # array inputs
     q_ref,  # (1, HKV, TQ*G, D) VMEM
     pos_ref,  # (1, TQ*G, 1) i32 VMEM; -1 on invalid rows
-    k_hbm,  # (NB, HKV, BS, D) ANY
-    v_hbm,
-    *rest,  # [k_scale_hbm, v_scale_hbm (NB, HKV, BS) ANY,] out, scratch...
+    *rest,  # [bits_ref if tree], k_hbm, v_hbm,
+    #         [k_scale_hbm, v_scale_hbm (NB, HKV, BS) ANY,] out, scratch...
     sm_scale,
     ckv,
     maxb,
     sliding_window,
     logits_soft_cap,
     quantized,
+    tree,
 ):
+    bits_ref = None
+    rest = list(rest)
+    if tree:
+        bits_ref = rest.pop(0)
+    k_hbm, v_hbm = rest.pop(0), rest.pop(0)
     if quantized:
         (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
          acc_ref, m_ref, l_ref, state_ref, sem) = rest
@@ -100,6 +106,13 @@ def _attn_kernel(
         # last valid q position in this tile bounds the causal KV range
         max_q_pos = jnp.max(qp)
         kv_limit = jnp.minimum(seq_len, max_q_pos + 1)
+        if tree:
+            # tree rows attend ancestor SLOTS which can sit beyond their
+            # depth-based position — scan the full context for such tiles
+            bits = bits_ref[0]  # (TQ*G, 1) i32 ancestor masks (0 = causal)
+            has_tree = jnp.sum((bits != 0).astype(jnp.int32)) > 0
+            kv_limit = jnp.where(has_tree, seq_len, kv_limit)
+            rs = rs_ref[jnp.maximum(req, 0)]
         num_chunks = jnp.maximum((kv_limit + ckv - 1) // ckv, 1)
 
         def chunk_dma(c, slot, kind, dma_req=None):
@@ -173,6 +186,23 @@ def _attn_kernel(
             mask = (kv_pos <= qp3) & (kv_pos < seq_len) & (qp3 >= 0)
             if sliding_window > 0:
                 mask &= kv_pos > qp3 - sliding_window
+            if tree:
+                # ancestor-bitmask rows (ref: tree_attn.py): committed
+                # context < region_start fully visible; within the region
+                # only ancestor slots (bit j of the row's mask)
+                bits3 = bits[None]  # (1, TQ*G, 1) i32
+                rel = kv_pos - rs
+                bit = (
+                    jax.lax.shift_right_logical(
+                        jnp.broadcast_to(bits3, kv_pos.shape),
+                        jnp.clip(rel, 0, 31),
+                    )
+                    & 1
+                )
+                tmask = (
+                    (kv_pos < rs) | ((rel >= 0) & (rel < 32) & (bit == 1))
+                ) & (kv_pos < seq_len) & (qp3 >= 0)
+                mask = jnp.where(bits3 != 0, tmask, mask)
 
             # all kv heads in one batched pass (HKV as the batch dim): one
             # matmul + one softmax-update op sequence instead of HKV small
@@ -306,20 +336,39 @@ def ragged_paged_attention_pallas(
     pos_tiled = jnp.repeat(
         pos_rows.reshape(nt, tq), g, axis=1
     ).reshape(nt, tq * g, 1)
+    tree = metadata.tree_bits is not None
+    region_start = metadata.seq_lens - qlen.astype(jnp.int32)  # (R,)
 
     quantized = kv_cache.quantized
     in_specs = [
         pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
         pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [
         tile_req,
         metadata.seq_lens,
+        region_start,
         metadata.block_tables.reshape(-1),
         q_tiled,
         pos_tiled,
+    ]
+    if tree:
+        bits_rows = jnp.where(
+            row_valid,
+            metadata.tree_bits[row_tok].astype(jnp.int32),
+            0,
+        )
+        inputs.append(
+            jnp.repeat(bits_rows.reshape(nt, tq), g, axis=1).reshape(
+                nt, tq * g, 1
+            )
+        )
+        in_specs.append(pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)))
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs += [
         kv_cache.k,
         kv_cache.v,
     ]
@@ -347,7 +396,7 @@ def ragged_paged_attention_pallas(
         pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, ckv // bs)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nt,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
@@ -361,6 +410,7 @@ def ragged_paged_attention_pallas(
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
         quantized=quantized,
+        tree=tree,
     )
     out_tiled = pl.pallas_call(
         kernel,
