@@ -74,3 +74,50 @@ def test_multi_step_with_penalties_falls_back(small_model_config):
     ref, _ = _run(small_model_config, 1, prompts, sampling=sp)
     out, _ = _run(small_model_config, 8, prompts, sampling=sp)
     assert out == ref
+
+
+def test_penalties_ride_the_window(small_model_config):
+    """Repetition/frequency penalties no longer force single-stepping: the
+    on-device count carry must reproduce the single-step outputs exactly."""
+    import dataclasses
+
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    def run(steps):
+        cfg = EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=4,
+                max_num_batched_tokens=128,
+                num_decode_steps=steps,
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        )
+        engine = EngineCore(cfg)
+        sp = SamplingParams(
+            max_tokens=12,
+            temperature=0.0,
+            repetition_penalty=1.3,
+            presence_penalty=0.4,
+            frequency_penalty=0.2,
+        )
+        engine.add_request("a", [1, 5, 9, 13], sp)
+        engine.add_request("b", [7, 3, 2], dataclasses.replace(sp))
+        acc = {"a": [], "b": []}
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                acc[out.req_id].extend(out.new_token_ids)
+        return acc
+
+    ref = run(1)
+    win = run(4)
+    assert win == ref
+    assert len(ref["a"]) == 12

@@ -828,10 +828,14 @@ class ModelRunner:
     # ------------------------------------------------------------ multi-step
 
     def _build_multi_step_fn(self, rb: int, m: int, all_greedy: bool = False,
-                             need_logprobs: bool = True, plain: bool = False):
+                             need_logprobs: bool = True, plain: bool = False,
+                             use_penalties: bool = False):
         """M decode steps fused into one jitted lax.scan: forward → sample →
         feed the token back, KV appended in place each step. One host round
-        trip per M tokens instead of per token."""
+        trip per M tokens instead of per token. Penalties run DEVICE-side:
+        the (R, V) output-count tensor rides the scan carry and each step's
+        sampled token bumps it (no per-step host history rebuilds —
+        the feature-cliff VERDICT called out)."""
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
         pp = self.pp_size
@@ -839,14 +843,26 @@ class ModelRunner:
         ep_axis = "ep" if self.ep_size > 1 else None
         bs = self.cache_cfg.block_size
         num_slots = self.num_slots
+        vocab = self.model_cfg.vocab_size
 
         def run(params, kv_cache, tokens0, block_tables, pos0, valid, st,
-                state_idx):
+                state_idx, hist_ids, hist_is_out):
             req_rows = jnp.arange(rb, dtype=jnp.int32)
             qsl = jnp.arange(rb + 1, dtype=jnp.int32)
+            if use_penalties:
+                hrows = jnp.broadcast_to(req_rows[:, None], hist_ids.shape)
+                counts0 = jnp.zeros((rb, vocab), jnp.int32).at[
+                    hrows, hist_ids
+                ].add(hist_is_out.astype(jnp.int32), mode="drop")
+                prompt_mask = jnp.zeros((rb, vocab), bool).at[
+                    hrows, hist_ids
+                ].set(True, mode="drop")
+            else:
+                counts0 = jnp.zeros((rb, 1), jnp.int32)  # unused stub
+                prompt_mask = None
 
             def one_step(carry, step_idx):
-                kv, tokens, pos = carry
+                kv, tokens, pos, counts = carry
                 slot = (
                     block_tables[req_rows, pos // bs] * bs + pos % bs
                 )
@@ -891,6 +907,8 @@ class ModelRunner:
                         params, tokens, kv, md, cfg, **fkw
                     )
                 logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
+                if use_penalties:
+                    logits = apply_penalties(logits, counts, prompt_mask, st)
                 # decorrelate rows/steps without a host round trip: fold the
                 # absolute position in (deterministic per replay, and lets
                 # the host reuse the same SamplingTensors across windows)
@@ -906,16 +924,20 @@ class ModelRunner:
                     repetition_penalty=st.repetition_penalty,
                 )
                 out = sample(logits, st_step, all_greedy, need_logprobs, plain)
-                return (kv, out.token_ids, pos + 1), (
+                if use_penalties:
+                    counts = counts.at[req_rows, out.token_ids].add(
+                        valid.astype(jnp.int32), mode="drop"
+                    )
+                return (kv, out.token_ids, pos + 1, counts), (
                     out.token_ids,
                     out.chosen_logprob,
                     out.topk_ids,
                     out.topk_logprobs,
                 )
 
-            (kv_cache, tokens_next, pos_next), ys = jax.lax.scan(
+            (kv_cache, tokens_next, pos_next, _), ys = jax.lax.scan(
                 one_step,
-                (kv_cache, tokens0, pos0),
+                (kv_cache, tokens0, pos0, counts0),
                 jnp.arange(m, dtype=jnp.int32),
             )
             return ys, kv_cache, tokens_next, pos_next
@@ -949,7 +971,7 @@ class ModelRunner:
             run_split,
             mesh=self.mesh,
             in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
-                      P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P()),
             out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P()),
             check_vma=False,
         )
@@ -1038,12 +1060,37 @@ class ModelRunner:
             dev_valid = jnp.asarray(valid)
             st_tensors = self._build_sampling_tensors(req_ids, rb)
 
-        key = (rb, m, all_greedy, need_lp, plain)
+        use_penalties = any(
+            self.requests[rid].sampling_params.presence_penalty != 0.0
+            or self.requests[rid].sampling_params.frequency_penalty != 0.0
+            or self.requests[rid].sampling_params.repetition_penalty != 1.0
+            for rid in req_ids
+        )
+        key = (rb, m, all_greedy, need_lp, plain, use_penalties)
         if key not in self._multi_step_fns:
             self._multi_step_fns[key] = self._build_multi_step_fn(
-                rb, m, all_greedy, need_lp, plain
+                rb, m, all_greedy, need_lp, plain, use_penalties
             )
         fn = self._multi_step_fns[key]
+
+        if use_penalties:
+            vocab = self.model_cfg.vocab_size
+            hb = pick_bucket(
+                self.hist_buckets,
+                max(len(self.requests[rid].token_ids) for rid in req_ids),
+            )
+            hist_ids_np = np.full((rb, hb), vocab, np.int32)
+            hist_out_np = np.zeros((rb, hb), bool)
+            for i, rid in enumerate(req_ids):
+                stt = self.requests[rid]
+                n_all = min(len(stt.token_ids), hb)
+                hist_ids_np[i, :n_all] = stt.token_ids[:n_all]
+                hist_out_np[i, stt.prompt_len : n_all] = True
+            hist_ids = jnp.asarray(hist_ids_np)
+            hist_is_out = jnp.asarray(hist_out_np)
+        else:
+            hist_ids = jnp.zeros((rb, 1), jnp.int32)
+            hist_is_out = jnp.zeros((rb, 1), bool)
 
         state_idx = self._build_state_idx(req_ids, rb)
         ys, self.kv_cache, tokens_next, pos_next = fn(
@@ -1055,6 +1102,8 @@ class ModelRunner:
             dev_valid,
             st_tensors,
             state_idx,
+            hist_ids,
+            hist_is_out,
         )
         # prime the next window's inputs (device-resident; no host hop).
         # fingerprint uses the POST-window block counts so a block-boundary
@@ -1361,16 +1410,13 @@ class ModelRunner:
         return self._make_output(req_ids, out, so, s_rows, draft_rows)
 
     def _needs_per_step_host_state(self, so: SchedulerOutput) -> bool:
-        """Penalty sampling needs the token-history tensors rebuilt host-side
-        each step, so those batches fall back to single-stepping."""
+        """Features whose per-step state can't ride the on-device window
+        (FSM constraints, logit bias/bans, LoRA rows, live min_tokens)
+        fall back to single-stepping; penalties stay in the window via the
+        device-resident count carry."""
         for rid in so.num_scheduled_tokens:
             sp = self.requests[rid].sampling_params
-            if (
-                sp.presence_penalty != 0.0
-                or sp.frequency_penalty != 0.0
-                or sp.repetition_penalty != 1.0
-            ):
-                return True
+            # penalties run device-side inside the window (counts carry)
             if self.requests[rid].constraint is not None:
                 return True
             if sp.logit_bias:
