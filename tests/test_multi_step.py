@@ -121,3 +121,46 @@ def test_penalties_ride_the_window(small_model_config):
     win = run(4)
     assert win == ref
     assert len(ref["a"]) == 12
+
+
+def test_bans_bias_min_tokens_ride_the_window(small_model_config):
+    """min_tokens / bad_words / logit_bias no longer force single-stepping."""
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    def run(steps):
+        cfg = EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=4,
+                max_num_batched_tokens=128,
+                num_decode_steps=steps,
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        )
+        engine = EngineCore(cfg)
+        sp = SamplingParams(
+            max_tokens=10,
+            temperature=0.0,
+            min_tokens=6,
+            bad_words_token_ids=[17, 42],
+            logit_bias={99: 4.0, 7: -6.0},
+        )
+        engine.add_request("a", [1, 5, 9, 13], sp, eos_token_id=3)
+        acc = []
+        while engine.has_unfinished_requests():
+            for out in engine.step():
+                acc.extend(out.new_token_ids)
+        return acc
+
+    ref = run(1)
+    win = run(4)
+    assert win == ref
+    assert 17 not in win and 42 not in win

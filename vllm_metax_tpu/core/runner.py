@@ -829,7 +829,8 @@ class ModelRunner:
 
     def _build_multi_step_fn(self, rb: int, m: int, all_greedy: bool = False,
                              need_logprobs: bool = True, plain: bool = False,
-                             use_penalties: bool = False):
+                             use_penalties: bool = False,
+                             use_bans: bool = False, use_lora: bool = False):
         """M decode steps fused into one jitted lax.scan: forward → sample →
         feed the token back, KV appended in place each step. One host round
         trip per M tokens instead of per token. Penalties run DEVICE-side:
@@ -846,7 +847,7 @@ class ModelRunner:
         vocab = self.model_cfg.vocab_size
 
         def run(params, kv_cache, tokens0, block_tables, pos0, valid, st,
-                state_idx, hist_ids, hist_is_out):
+                state_idx, hist_ids, hist_is_out, extras):
             req_rows = jnp.arange(rb, dtype=jnp.int32)
             qsl = jnp.arange(rb + 1, dtype=jnp.int32)
             if use_penalties:
@@ -877,6 +878,7 @@ class ModelRunner:
                     num_seqs=jnp.asarray(rb, jnp.int32),
                     decode_only=True,
                     state_idx=state_idx,
+                    lora_idx=extras["lora"] if use_lora else None,
                 )
                 if self.dcp_size > 1:
                     from vllm_metax_tpu.parallel.dcp import localize_metadata
@@ -909,6 +911,22 @@ class ModelRunner:
                 logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
                 if use_penalties:
                     logits = apply_penalties(logits, counts, prompt_mask, st)
+                if use_bans:
+                    # static per-request bans/biases ride the window: bad
+                    # words always banned; eos/stop banned while the output
+                    # count sits under min_tokens (device-side counter)
+                    rr2 = req_rows[:, None]
+                    logits = logits.at[rr2, extras["always_ban"]].set(
+                        -1e30, mode="drop"
+                    )
+                    gen = pos + 1 - extras["prompt_len"]
+                    under = gen < extras["min_tok"]
+                    logits = logits.at[rr2, extras["min_ban"]].add(
+                        jnp.where(under[:, None], -1e30, 0.0), mode="drop"
+                    )
+                    logits = logits.at[rr2, extras["bias_ids"]].add(
+                        extras["bias_vals"], mode="drop"
+                    )
                 # decorrelate rows/steps without a host round trip: fold the
                 # absolute position in (deterministic per replay, and lets
                 # the host reuse the same SamplingTensors across windows)
@@ -971,7 +989,7 @@ class ModelRunner:
             run_split,
             mesh=self.mesh,
             in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
-                      P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P()),
             check_vma=False,
         )
@@ -1066,12 +1084,73 @@ class ModelRunner:
             or self.requests[rid].sampling_params.repetition_penalty != 1.0
             for rid in req_ids
         )
-        key = (rb, m, all_greedy, need_lp, plain, use_penalties)
+        use_bans = any(
+            self.requests[rid].sampling_params.bad_words_token_ids
+            or self.requests[rid].sampling_params.logit_bias
+            or self.requests[rid].sampling_params.min_tokens
+            for rid in req_ids
+        )
+        use_lora = any(self.requests[rid].lora_slot for rid in req_ids)
+        key = (rb, m, all_greedy, need_lp, plain, use_penalties, use_bans,
+               use_lora)
         if key not in self._multi_step_fns:
             self._multi_step_fns[key] = self._build_multi_step_fn(
-                rb, m, all_greedy, need_lp, plain, use_penalties
+                rb, m, all_greedy, need_lp, plain, use_penalties, use_bans,
+                use_lora,
             )
         fn = self._multi_step_fns[key]
+
+        extras = {}
+        if use_lora:
+            lora_np = np.zeros(rb, np.int32)
+            for i, rid in enumerate(req_ids):
+                lora_np[i] = self.requests[rid].lora_slot
+            extras["lora"] = jnp.asarray(lora_np)
+        if use_bans:
+            vocab = self.model_cfg.vocab_size
+            nb_max = 1
+            for rid in req_ids:
+                sp = self.requests[rid].sampling_params
+                nb_max = max(
+                    nb_max,
+                    len(sp.bad_words_token_ids or ()),
+                    len(sp.stop_token_ids or ()) + 1,
+                    len(sp.logit_bias or ()),
+                )
+            bb = max(8, int(2 ** np.ceil(np.log2(nb_max))))
+            a_ban = np.full((rb, bb), vocab, np.int32)
+            m_ban = np.full((rb, bb), vocab, np.int32)
+            min_tok = np.zeros(rb, np.int32)
+            plen = np.zeros(rb, np.int32)
+            b_ids = np.full((rb, bb), vocab, np.int32)
+            b_vals = np.zeros((rb, bb), np.float32)
+            for i, rid in enumerate(req_ids):
+                stt = self.requests[rid]
+                sp = stt.sampling_params
+                if sp.bad_words_token_ids:
+                    ids = list(sp.bad_words_token_ids)[:bb]
+                    a_ban[i, : len(ids)] = ids
+                if sp.min_tokens and stt.constraint is None:
+                    stop = [] if stt.eos_token_id is None else [
+                        int(stt.eos_token_id)
+                    ]
+                    stop += [int(x) for x in (sp.stop_token_ids or [])]
+                    stop = stop[:bb]
+                    m_ban[i, : len(stop)] = stop
+                    min_tok[i] = sp.min_tokens
+                    plen[i] = stt.prompt_len
+                if sp.logit_bias:
+                    items = list(sp.logit_bias.items())[:bb]
+                    b_ids[i, : len(items)] = [int(t) for t, _ in items]
+                    b_vals[i, : len(items)] = [float(v) for _, v in items]
+            extras.update(
+                always_ban=jnp.asarray(a_ban),
+                min_ban=jnp.asarray(m_ban),
+                min_tok=jnp.asarray(min_tok),
+                prompt_len=jnp.asarray(plen),
+                bias_ids=jnp.asarray(b_ids),
+                bias_vals=jnp.asarray(b_vals),
+            )
 
         if use_penalties:
             vocab = self.model_cfg.vocab_size
@@ -1104,6 +1183,7 @@ class ModelRunner:
             state_idx,
             hist_ids,
             hist_is_out,
+            extras,
         )
         # prime the next window's inputs (device-resident; no host hop).
         # fingerprint uses the POST-window block counts so a block-boundary
@@ -1415,21 +1495,11 @@ class ModelRunner:
         fall back to single-stepping; penalties stay in the window via the
         device-resident count carry."""
         for rid in so.num_scheduled_tokens:
-            sp = self.requests[rid].sampling_params
-            # penalties run device-side inside the window (counts carry)
+            # penalties, min_tokens bans, bad_words, logit_bias and LoRA all
+            # ride the on-device window now; only FSM-constrained requests
+            # need per-step host state (the allow-mask depends on the
+            # freshly sampled token)
             if self.requests[rid].constraint is not None:
-                return True
-            if sp.logit_bias:
-                return True
-            if sp.bad_words_token_ids:
-                return True
-            if self.requests[rid].lora_slot:
-                # LoRA rows need md.lora_idx, which the on-device multi-step
-                # window does not thread yet
-                return True
-            if sp.min_tokens and len(
-                self.requests[rid].token_ids
-            ) - self.requests[rid].prompt_len < sp.min_tokens:
                 return True
         return False
 
