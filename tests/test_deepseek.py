@@ -306,3 +306,47 @@ def test_v32_engine_sparse_decode():
         for out in engine.step():
             toks.extend(out.new_token_ids)
     assert len(toks) == 6
+
+
+def test_v32_query_chunking_matches_unchunked(tmp_path_factory):
+    """The query-chunked sparse path (bounded workspace) must equal the
+    single-shot path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from vllm_metax_tpu.models import deepseek
+    from vllm_metax_tpu.ops.attention import AttentionMetadata
+    from vllm_metax_tpu.ops.kv_cache import new_kv_cache
+
+    cfg = _v32_model_config(index_topk=8)
+    params = deepseek.init_params(cfg, seed=0)
+    spec = deepseek.kv_cache_spec(cfg)
+    t = 24
+    bs, nb_layer = 64, 2
+    ids = jnp.asarray(np.arange(1, t + 1), jnp.int32)
+    md = AttentionMetadata(
+        slot_mapping=jnp.arange(t, dtype=jnp.int32),
+        block_tables=jnp.asarray([[0, 1]], jnp.int32),
+        seq_lens=jnp.asarray([t], jnp.int32),
+        query_start_loc=jnp.asarray([0, t], jnp.int32),
+        req_idx=jnp.zeros((t,), jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32),
+        num_seqs=jnp.asarray(1, jnp.int32),
+    )
+
+    def run(chunk_q):
+        import unittest.mock as mock
+
+        kv = new_kv_cache(
+            cfg.num_hidden_layers * nb_layer, bs, 1, spec["head_dim"],
+            jnp.float32, model_dtype=jnp.float32, store_v=False,
+            v_dim=spec["v_dim"],
+        )
+        orig = deepseek._v32_sparse_attend
+        with mock.patch.object(
+            deepseek, "_v32_sparse_attend",
+            lambda *a, **k: orig(*a, **{**k, "chunk_q": chunk_q}),
+        ):
+            hidden, _ = deepseek.forward(params, ids, kv, md, cfg)
+        return np.asarray(hidden)
+
+    np.testing.assert_allclose(run(64), run(8), rtol=1e-5, atol=1e-5)

@@ -496,3 +496,9 @@ class EngineConfig:
                 )
             mc.mtp_enabled = True
             mc.draft_model = spec.draft_model
+        if spec is not None and spec.speculative_branching > 31:
+            # tree-verify ancestor masks are 32-bit (root + 31 nodes)
+            raise ValueError(
+                "speculative_branching must be <= 31 (tree-verify rows are "
+                "uint32 ancestor bitmasks)"
+            )

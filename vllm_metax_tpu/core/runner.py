@@ -1286,6 +1286,11 @@ class ModelRunner:
             input_ids[offset : offset + n] = toks
             positions[offset : offset + n] = np.arange(start, start + n)
             parents = so.spec_token_parents.get(rid)
+            if parents and len(drafts) > 31:
+                raise ValueError(
+                    "draft trees are limited to 31 nodes (uint32 ancestor "
+                    "bitmasks cover root + 31 rows)"
+                )
             if parents and n == 1 + len(drafts):
                 # TREE verify: scheduled row 0 is the committed root, row
                 # j+1 is draft node j. Positions are depth-based (siblings

@@ -349,6 +349,8 @@ def make_handler(state: ServerState):
                         "'input' must be a string, list of strings, or "
                         "list of token-id lists"
                     )
+            if not token_lists or any(not t for t in token_lists):
+                raise RequestValidationError("'input' must not be empty")
             eng = state.engine.pick()
             if not hasattr(eng, "embed"):
                 return self._error(

@@ -129,7 +129,8 @@ def forward(
             kv_cache = write_to_kv_cache(kv_cache, k, v, md_l.slot_mapping)
             attn = ragged_paged_attention(q, kv_cache, md_l, sm_scale)
         attn_out = maybe_psum(
-            apply_linear(lp["o"], attn.reshape(t, hq * d))
+            apply_linear(lp["o"], attn.reshape(t, hq * d),
+                         gather_axis=axis_name)
         )
 
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
@@ -155,7 +156,8 @@ def forward(
         else:
             hidden = maybe_psum(
                 apply_linear(
-                    lp["down"], act_fn(apply_linear(lp["gate_up"], normed))
+                    lp["down"], act_fn(apply_linear(lp["gate_up"], normed)),
+                    gather_axis=axis_name,
                 )
             )
 

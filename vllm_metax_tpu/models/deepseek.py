@@ -278,8 +278,53 @@ def mla_sparse_attention_xla(
     return out.astype(q.dtype)
 
 
+def _v32_sparse_attend(
+    q_full: jnp.ndarray,  # (T, H, 576)
+    qi: jnp.ndarray,  # (T, NH, DI) indexer queries
+    w_idx: jnp.ndarray,  # (T, NH)
+    kv_l: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    chunk_q: int = 64,
+) -> jnp.ndarray:
+    """Indexer top-k + sparse MLA, chunked over QUERY tokens so the peak
+    intermediate is (CHUNK, topk, 576) / (CHUNK, padded_ctx) — never
+    (T, ...); the same workspace discipline as mla_attention_xla_chunked
+    (ref: mla/common.py:507 workspace sizing)."""
+    import dataclasses
+
+    t = q_full.shape[0]
+    if t <= chunk_q:
+        topk_pos = indexer_topk(qi, w_idx, kv_l, md, cfg.index_topk)
+        return mla_sparse_attention_xla(
+            q_full, kv_l, md, _sm_scale(cfg), cfg.kv_lora_rank, topk_pos
+        )
+    pad = (-t) % chunk_q
+    nc = (t + pad) // chunk_q
+
+    def pad_to(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    qf = pad_to(q_full).reshape(nc, chunk_q, *q_full.shape[1:])
+    qic = pad_to(qi).reshape(nc, chunk_q, *qi.shape[1:])
+    wc = pad_to(w_idx).reshape(nc, chunk_q, *w_idx.shape[1:])
+    posc = pad_to(md.positions).reshape(nc, chunk_q)
+    reqc = pad_to(md.req_idx).reshape(nc, chunk_q)
+
+    def one_chunk(args):
+        qf_c, qi_c, w_c, pos_c, req_c = args
+        md_c = dataclasses.replace(md, positions=pos_c, req_idx=req_c)
+        topk_pos = indexer_topk(qi_c, w_c, kv_l, md_c, cfg.index_topk)
+        return mla_sparse_attention_xla(
+            qf_c, kv_l, md_c, _sm_scale(cfg), cfg.kv_lora_rank, topk_pos
+        )
+
+    out = jax.lax.map(one_chunk, (qf, qic, wc, posc, reqc))
+    return out.reshape(nc * chunk_q, *out.shape[2:])[:t]
+
+
 def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
-               maybe_psum, defer: bool = False):
+               maybe_psum, defer: bool = False, axis_name=None):
     eps = cfg.rms_norm_eps
     nope, rope_d = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     lora = cfg.kv_lora_rank
@@ -336,10 +381,7 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
         kv_l = write_to_kv_cache(
             kv_l, latent, ki[:, None, :], md.slot_mapping
         )
-        topk_pos = indexer_topk(qi, w_idx, kv_l, md, cfg.index_topk)
-        attn_lat = mla_sparse_attention_xla(
-            q_full, kv_l, md, _sm_scale(cfg), lora, topk_pos
-        )
+        attn_lat = _v32_sparse_attend(q_full, qi, w_idx, kv_l, md, cfg)
     elif defer:
         # pure-decode: the latent write is deferred to ONE batched all-layer
         # commit after the layer scan (see models/llama.py run_layers);
@@ -357,7 +399,8 @@ def _mla_block(lp, normed, kv_l, md, cfg: ModelConfig, hq_local, rope_cache,
         lp["w_uv"].astype(jnp.float32),
     ).astype(normed.dtype)  # (T, H, v_head)
     out = maybe_psum(
-        apply_linear(lp["o"], attn.reshape(t, hq_local * cfg.v_head_dim))
+        apply_linear(lp["o"], attn.reshape(t, hq_local * cfg.v_head_dim),
+                     gather_axis=axis_name)
     )
     if defer:
         return out, kv_l, latent
@@ -411,7 +454,9 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
         y = jax.lax.psum(y, axes)
     if "gate_up_shared" in lp:
         shared = apply_linear(
-            lp["down_shared"], act_fn(apply_linear(lp["gate_up_shared"], normed))
+            lp["down_shared"],
+            act_fn(apply_linear(lp["gate_up_shared"], normed)),
+            gather_axis=axis_name,
         )
         if axis_name:
             shared = jax.lax.psum(shared, axis_name)
@@ -465,18 +510,19 @@ def forward(
         if defer:
             attn_out, kv, latent = _mla_block(
                 lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum,
-                defer=True,
+                defer=True, axis_name=axis_name,
             )
         else:
             attn_out, kv = _mla_block(
-                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
+                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum,
+                axis_name=axis_name,
             )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         mlp = maybe_psum(
             apply_linear(layers["down"],
                          act_fn(apply_linear(layers["gate_up"], normed,
                                              layer_idx=l)),
-                         layer_idx=l)
+                         layer_idx=l, gather_axis=axis_name)
         )
         if defer:
             return (mlp, residual), latent
@@ -506,11 +552,12 @@ def forward(
         if defer:
             attn_out, kv, latent = _mla_block(
                 lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum,
-                defer=True,
+                defer=True, axis_name=axis_name,
             )
         else:
             attn_out, kv = _mla_block(
-                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum
+                lp, normed, kv, md_l, cfg, hq, rope_cache, maybe_psum,
+                axis_name=axis_name,
             )
         normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
         moe = _moe_block(
@@ -621,7 +668,8 @@ def mtp_forward(
         hidden, jnp.zeros_like(hidden), lp["ln1"], eps
     )
     attn_out, kv_cache = _mla_block(
-        lp, normed, kv_cache, md_l, cfg, hq, params["rope_cache"], maybe_psum
+        lp, normed, kv_cache, md_l, cfg, hq, params["rope_cache"], maybe_psum,
+        axis_name=axis_name,
     )
     normed, residual = fused_add_rms_norm(attn_out, residual, lp["ln2"], eps)
     if "experts_gate_up" in lp:

@@ -130,7 +130,8 @@ def forward(
         else:
             attn = attend(q, kv, md_l, cfg.sliding_window, kc, vc)
         attn_out = maybe_psum(
-            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
+            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         gather_axis=axis_name)
         )
         if sandwich:
             attn_out = rms_norm(attn_out, layers["post_attn_ln"][l], eps)
@@ -140,7 +141,8 @@ def forward(
         normed = rms_norm(x, layers["ln2"][l], eps)
         gate_up = apply_linear(layers["gate_up"], normed, layer_idx=l)
         mlp_out = maybe_psum(
-            apply_linear(layers["down"], act_fn(gate_up), layer_idx=l)
+            apply_linear(layers["down"], act_fn(gate_up), layer_idx=l,
+                         gather_axis=axis_name)
         )
         if sandwich:
             mlp_out = rms_norm(mlp_out, layers["post_ffw_ln"][l], eps)

@@ -103,7 +103,8 @@ def forward(
             kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
             attn = ragged_paged_attention(q, kv, md_l, sm_scale)
         attn_out = maybe_psum(
-            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
+            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         gather_axis=axis_name)
         ) + layers["o_b"][l]
         x = x + attn_out
 
@@ -114,7 +115,8 @@ def forward(
             h.astype(jnp.float32), approximate=cfg.hidden_act != "gelu"
         ).astype(h.dtype)
         mlp_out = maybe_psum(
-            apply_linear(layers["proj"], h, layer_idx=l)
+            apply_linear(layers["proj"], h, layer_idx=l,
+                         gather_axis=axis_name)
         ) + layers["proj_b"][l]
         x = x + mlp_out
         if defer:

@@ -110,7 +110,8 @@ def forward(
             kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
             attn = ragged_paged_attention(q, kv, md_l, sm_scale)
         attn_out = maybe_psum(
-            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l)
+            apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         gather_axis=axis_name)
         ) + layers["o_b"][l]
 
         mlp_in = x if parallel else x + attn_out
@@ -122,7 +123,8 @@ def forward(
             h.dtype
         )
         mlp_out = maybe_psum(
-            apply_linear(layers["proj"], h, layer_idx=l)
+            apply_linear(layers["proj"], h, layer_idx=l,
+                         gather_axis=axis_name)
         ) + layers["proj_b"][l]
 
         x = x + attn_out + mlp_out if parallel else mlp_in + mlp_out

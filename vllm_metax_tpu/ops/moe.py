@@ -151,6 +151,17 @@ def fused_experts(
                 x, gate_up_bank, down_bank, topk_weights, topk_ids,
                 act_fn, num_experts, ep_axis,
             )
+    elif ep_axis is not None:
+        from vllm_metax_tpu import envs
+
+        if envs.METAX_TPU_EP_DISPATCH == "a2a":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "METAX_TPU_EP_DISPATCH=a2a requested but unsupported here "
+                "(quantized tiled banks or T %% ep != 0) — using "
+                "replicated dispatch"
+            )
 
     flat_expert = topk_ids.reshape(-1)  # (T*K,)
     flat_token = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)

@@ -238,10 +238,19 @@ def _decode_kernel(
                 # pool quantization exactly so later steps read identical
                 # values (ops/kv_cache.py _quantize_kv).
                 if quantized:
+                    # SAME constants/formula as the pool write
+                    # (ops/kv_cache.py _quantize_kv) — the deferred in-kernel
+                    # read must equal what later steps read back
+                    from vllm_metax_tpu.ops.kv_cache import (
+                        _FP8_E5M2_MAX,
+                        _FP8_MAX,
+                        _INT8_MAX,
+                    )
+
                     qmax = (
-                        127.0 if k_buf.dtype == jnp.int8
-                        else 57344.0 if k_buf.dtype == jnp.float8_e5m2
-                        else 448.0
+                        _INT8_MAX if k_buf.dtype == jnp.int8
+                        else _FP8_E5M2_MAX if k_buf.dtype == jnp.float8_e5m2
+                        else _FP8_MAX
                     )
 
                 def _quant_row(x):  # (HKV, 1, D) → (quant vals, f32 scales)
@@ -250,7 +259,7 @@ def _decode_kernel(
                     scale = jnp.maximum(amax / qmax, 1e-10)
                     qv = xf / scale[:, :, None]
                     if k_buf.dtype == jnp.int8:
-                        qv = jnp.clip(jnp.round(qv), -127.0, 127.0)
+                        qv = jnp.clip(jnp.round(qv), -_INT8_MAX, _INT8_MAX)
                     return qv.astype(k_buf.dtype), scale
 
                 def blend_row(buf, off, row):
