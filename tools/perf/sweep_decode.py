@@ -28,6 +28,9 @@ CONFIGS = [
         "METAX_TPU_KV_COMMIT": "block",
         "METAX_TPU_FUSED_ACT_QUANT": "1",
     }),
+    ("gemm_tn512", {"METAX_TPU_GEMM_TN": "512"}),
+    ("gemm_tn128", {"METAX_TPU_GEMM_TN": "128"}),
+    ("gemm_kc256", {"METAX_TPU_GEMM_KC": "256"}),
 ]
 
 

@@ -28,9 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# experiment knobs (None = default); set via tune scripts only
-_TN_OVERRIDE = None
-_KC_OVERRIDE = None
+# experiment knobs (None = default); env-settable for hardware sweeps
+import os
+
+_TN_OVERRIDE = int(os.getenv("METAX_TPU_GEMM_TN", "0")) or None
+_KC_OVERRIDE = int(os.getenv("METAX_TPU_GEMM_KC", "0")) or None
 _BF16_DEQUANT = False
 
 # Pre-tiled packed-weight layout: a (K/2, N) nibble-packed weight becomes
