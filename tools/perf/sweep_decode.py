@@ -28,9 +28,10 @@ CONFIGS = [
         "METAX_TPU_KV_COMMIT": "block",
         "METAX_TPU_FUSED_ACT_QUANT": "1",
     }),
-    ("gemm_tn512", {"METAX_TPU_GEMM_TN": "512"}),
-    ("gemm_tn128", {"METAX_TPU_GEMM_TN": "128"}),
+    ("gemm_tile512", {"METAX_TPU_GEMM_TILE_N": "512"}),
+    ("gemm_tile128", {"METAX_TPU_GEMM_TILE_N": "128"}),
     ("gemm_kc256", {"METAX_TPU_GEMM_KC": "256"}),
+    ("gemm_kc512", {"METAX_TPU_GEMM_KC": "512"}),
 ]
 
 

@@ -38,8 +38,9 @@ _BF16_DEQUANT = False
 # Pre-tiled packed-weight layout: a (K/2, N) nibble-packed weight becomes
 # (N/TILE_N, K/2, TILE_N) so each kernel block is one fully CONTIGUOUS run of
 # HBM — the flat layout's (k_half, TN) blocks read 256-byte strided bursts
-# and cap the kernel at ~40% of HBM bandwidth (measured).
-TILE_N = 256
+# and cap the kernel at ~40% of HBM bandwidth (measured). Env-settable for
+# hardware sweeps (layout-time: takes effect at engine init).
+TILE_N = int(os.getenv("METAX_TPU_GEMM_TILE_N", "256"))
 
 
 def tile_packed_weight(w_p4: jnp.ndarray, tp: int = 1) -> jnp.ndarray:
