@@ -1,0 +1,360 @@
+"""Qwen2-VL parity vs HuggingFace transformers (vision tower, mrope
+positions, full multimodal prefill + decode). Mirrors the reference's
+HfRunner comparisons for its forked Qwen-VL models
+(vllm_metax/models/qwen2_vl.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tests.utils as tu
+from vllm_metax_tpu.config import ModelConfig
+from vllm_metax_tpu.models.registry import get_model
+
+IMG_TOK, VID_TOK, VSTART = 7, 8, 9
+GRID = (1, 4, 4)  # t, h, w → 16 patches → 4 merged tokens
+
+
+def _make_hf_model(tmp_path):
+    import torch
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    cfg = Qwen2VLConfig(
+        text_config=dict(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            vocab_size=512,
+            max_position_embeddings=256,
+            rope_theta=10000.0,
+            rope_scaling=dict(type="mrope", mrope_section=[2, 3, 3]),
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=2,
+            embed_dim=32,
+            num_heads=2,
+            hidden_size=64,
+            in_channels=3,
+            patch_size=4,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            mlp_ratio=2,
+            hidden_act="quick_gelu",
+        ),
+        image_token_id=IMG_TOK,
+        video_token_id=VID_TOK,
+        vision_start_token_id=VSTART,
+    )
+    torch.manual_seed(0)
+    model = Qwen2VLForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "tiny_qwen2vl")
+    model.save_pretrained(path, safe_serialization=True)
+    return model, path
+
+
+def _pixels(rng, grid):
+    t, h, w = grid
+    return rng.standard_normal((t * h * w, 3 * 2 * 4 * 4)).astype(np.float32)
+
+
+def _prompt_ids(rng, vocab, n_img_tokens):
+    head = rng.integers(10, vocab, size=5)
+    tail = rng.integers(10, vocab, size=6)
+    return np.concatenate(
+        [head, [VSTART], [IMG_TOK] * n_img_tokens, tail]
+    ).astype(np.int64)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    hf, path = _make_hf_model(tmp_path_factory.mktemp("q2vl"))
+    cfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(cfg.architecture)
+    params = model.load_weights(cfg, None, path)
+    return hf, path, cfg, model, params
+
+
+def test_config_parse(setup):
+    _, _, cfg, model, _ = setup
+    assert cfg.architecture == "Qwen2VLForConditionalGeneration"
+    assert cfg.hidden_size == 64 and cfg.attention_bias
+    assert model.mrope_section(cfg) == (2, 3, 3)
+    assert model.image_token_id(cfg) == IMG_TOK
+
+
+def test_vision_tower_parity(setup):
+    import torch
+
+    hf, _, cfg, model, params = setup
+    rng = np.random.default_rng(0)
+    px = _pixels(rng, GRID)
+    with torch.no_grad():
+        ref = hf.model.visual(
+            torch.tensor(px), grid_thw=torch.tensor([list(GRID)])
+        ).numpy()
+    ours = np.asarray(model.encode_images(params, px, [GRID], cfg))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vision_tower_two_images(setup):
+    """Two images in one padded batch must not attend across segments."""
+    import torch
+
+    hf, _, cfg, model, params = setup
+    rng = np.random.default_rng(1)
+    g2 = (1, 2, 2)
+    px1, px2 = _pixels(rng, GRID), _pixels(rng, g2)
+    with torch.no_grad():
+        ref = hf.model.visual(
+            torch.tensor(np.concatenate([px1, px2])),
+            grid_thw=torch.tensor([list(GRID), list(g2)]),
+        ).numpy()
+    ours = np.asarray(
+        model.encode_images(params, np.concatenate([px1, px2]), [GRID, g2], cfg)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mrope_positions_match_hf(setup):
+    import torch
+
+    hf, _, cfg, model, _ = setup
+    rng = np.random.default_rng(2)
+    ids = _prompt_ids(rng, 512, 4)
+    ref_pos, ref_delta = hf.model.get_rope_index(
+        torch.tensor(ids)[None], image_grid_thw=torch.tensor([list(GRID)])
+    )
+    pos, delta = model.mrope_positions_np(ids, [GRID], cfg)
+    np.testing.assert_array_equal(pos, ref_pos[:, 0].numpy())
+    assert delta == int(ref_delta[0, 0])
+
+
+def _build_md(model, cfg, ids, embeds, block_size, max_blocks):
+    import dataclasses
+
+    md = tu.make_single_seq_metadata(0, len(ids), block_size, max_blocks)
+    mask = ids == IMG_TOK
+    mm = np.zeros((len(ids), cfg.hidden_size), np.float32)
+    mm[mask] = np.asarray(embeds)
+    pos3, delta = model.mrope_positions_np(ids, [GRID], cfg)
+    return dataclasses.replace(
+        md,
+        mm_embeds=jnp.asarray(mm),
+        mm_mask=jnp.asarray(mask),
+        mrope_positions=jnp.asarray(pos3),
+    ), delta
+
+
+def test_multimodal_prefill_and_decode_parity(setup):
+    import torch
+
+    hf, _, cfg, model, params = setup
+    rng = np.random.default_rng(3)
+    px = _pixels(rng, GRID)
+    ids = _prompt_ids(rng, 512, 4)
+
+    with torch.no_grad():
+        out = hf(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID)]),
+        )
+    hf_logits = out.logits[0].numpy()
+
+    block_size, max_blocks = 16, 4
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads,
+        cfg.head_dim,
+    )
+    embeds = model.encode_images(params, px, [GRID], cfg)
+    md, delta = _build_md(model, cfg, ids, embeds, block_size, max_blocks)
+    hidden, kv = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+    logits = model.compute_logits(params, hidden, cfg)
+    np.testing.assert_allclose(
+        np.asarray(logits), hf_logits, rtol=3e-4, atol=3e-4
+    )
+
+    # greedy decode 4 tokens vs HF generate
+    with torch.no_grad():
+        gen = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID)]),
+            max_new_tokens=4,
+            do_sample=False,
+        )[0, len(ids):].numpy()
+
+    import dataclasses
+
+    cur = int(np.asarray(logits)[-1].argmax())
+    ours = []
+    pos = len(ids)
+    for _ in range(4):
+        ours.append(cur)
+        md_d = tu.make_single_seq_metadata(pos, 1, block_size, max_blocks)
+        md_d = dataclasses.replace(
+            md_d,
+            mrope_positions=jnp.full((3, 1), pos + delta, jnp.int32),
+        )
+        hidden, kv = model.forward(
+            params, jnp.asarray([cur], jnp.int32), kv, md_d, cfg
+        )
+        cur = int(np.asarray(model.compute_logits(params, hidden, cfg))[-1].argmax())
+        pos += 1
+    np.testing.assert_array_equal(np.asarray(ours), gen)
+
+
+def test_chunked_multimodal_prefill(setup):
+    """Prefill split mid-image must equal one-shot (chunk boundary inside
+    the image-token run)."""
+    _, _, cfg, model, params = setup
+    rng = np.random.default_rng(4)
+    px = _pixels(rng, GRID)
+    ids = _prompt_ids(rng, 512, 4)
+    block_size, max_blocks = 16, 4
+
+    embeds = model.encode_images(params, px, [GRID], cfg)
+    md, _ = _build_md(model, cfg, ids, embeds, block_size, max_blocks)
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads,
+        cfg.head_dim,
+    )
+    full_hidden, _ = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+
+    import dataclasses
+
+    split = 8  # inside the image-token run (5 text + start + 4 img)
+    kv = tu.make_kv_cache_stack(
+        cfg.num_hidden_layers, max_blocks, block_size, cfg.num_kv_heads,
+        cfg.head_dim,
+    )
+    for a, b in ((0, split), (split, len(ids))):
+        md_c = tu.make_single_seq_metadata(a, b - a, block_size, max_blocks)
+        md_c = dataclasses.replace(
+            md_c,
+            mm_embeds=md.mm_embeds[a:b],
+            mm_mask=md.mm_mask[a:b],
+            mrope_positions=md.mrope_positions[:, a:b],
+        )
+        hidden, kv = model.forward(params, jnp.asarray(ids[a:b]), kv, md_c, cfg)
+    np.testing.assert_allclose(
+        np.asarray(hidden),
+        np.asarray(full_hidden[split:]),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine e2e
+
+
+def test_llm_generate_multimodal(setup):
+    """Full engine path: LLM.generate with dict prompts (placeholder
+    expansion, admission-time vision encode, mrope through single- and
+    multi-step decode) vs HF generate. Mixed batch: one image request, one
+    text-only request."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup
+    rng = np.random.default_rng(5)
+    px = _pixels(rng, GRID)
+    # single placeholder; the engine expands it to 4 merged tokens
+    raw = np.concatenate(
+        [rng.integers(10, 512, size=5), [VSTART], [IMG_TOK],
+         rng.integers(10, 512, size=6)]
+    ).astype(np.int64)
+    expanded = np.concatenate(
+        [raw[:6], [IMG_TOK] * 4, raw[7:]]
+    ).astype(np.int64)
+    text_prompt = rng.integers(10, 512, size=9).tolist()
+
+    with torch.no_grad():
+        ref_img = hf.generate(
+            input_ids=torch.tensor(expanded)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID)]),
+            max_new_tokens=8,
+            do_sample=False,
+        )[0, len(expanded):].tolist()
+        ref_txt = hf.generate(
+            input_ids=torch.tensor(text_prompt)[None],
+            max_new_tokens=8,
+            do_sample=False,
+        )[0, len(text_prompt):].tolist()
+
+    llm = LLM(
+        model=path,
+        dtype="float32",
+        num_kv_blocks=64,
+        max_num_seqs=8,
+        max_num_batched_tokens=64,
+    )
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+    outs = llm.generate(
+        [
+            {
+                "prompt_token_ids": raw.tolist(),
+                "multi_modal_data": {
+                    "image": {
+                        "pixel_values": px,
+                        "image_grid_thw": [list(GRID)],
+                    }
+                },
+            },
+            {"prompt_token_ids": text_prompt},
+        ],
+        sp,
+    )
+    assert outs[0].outputs[0].token_ids == ref_img
+    assert outs[1].outputs[0].token_ids == ref_txt
+
+
+def test_llm_generate_multimodal_multi_step(setup):
+    """mrope deltas must ride the on-device multi-step decode window."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup
+    rng = np.random.default_rng(6)
+    px = _pixels(rng, GRID)
+    ids = _prompt_ids(rng, 512, 4)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID)]),
+            max_new_tokens=16,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path,
+        dtype="float32",
+        num_kv_blocks=64,
+        max_num_seqs=8,
+        max_num_batched_tokens=64,
+        num_decode_steps=4,
+    )
+    sp = SamplingParams(max_tokens=16, temperature=0.0)
+    outs = llm.generate(
+        [
+            {
+                "prompt_token_ids": ids.tolist(),
+                "multi_modal_data": {
+                    "image": {
+                        "pixel_values": px,
+                        "image_grid_thw": [list(GRID)],
+                    }
+                },
+            }
+        ],
+        sp,
+    )
+    assert outs[0].outputs[0].token_ids == ref

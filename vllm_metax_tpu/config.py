@@ -119,7 +119,26 @@ class ModelConfig:
     @staticmethod
     def from_hf_config(cfg: dict, model: str = "", **overrides) -> "ModelConfig":
         """Build from a HF config.json dict (covers Llama/Qwen2/Mistral/Mixtral)."""
-        archs = cfg.get("architectures") or ["LlamaForCausalLM"]
+        archs = cfg.get("architectures")
+        if not archs:
+            # VL configs may record architectures only on the text subconfig;
+            # derive from the composite model_type
+            archs = {
+                "qwen2_vl": ["Qwen2VLForConditionalGeneration"],
+                "qwen2_5_vl": ["Qwen2_5_VLForConditionalGeneration"],
+                "qwen3_vl": ["Qwen3VLForConditionalGeneration"],
+            }.get(cfg.get("model_type", ""))
+        archs = archs or ["LlamaForCausalLM"]
+        if archs[0] in (
+            "Qwen2VLForConditionalGeneration",
+            "Qwen2_5_VLForConditionalGeneration",
+            "Qwen3VLForConditionalGeneration",
+        ) and isinstance(cfg.get("text_config"), dict):
+            # transformers >=4.52 nests the text fields; flatten them for
+            # the generic parse below (outer keys like vision_config /
+            # image_token_id win and ride along in hf_config)
+            cfg = {**cfg["text_config"], **cfg}
+            cfg.pop("text_config")
         if "n_embd" in cfg:  # GPT-2-style key names
             cfg = {
                 **cfg,
@@ -152,11 +171,16 @@ class ModelConfig:
             attention_bias=cfg.get("attention_bias", False)
             or cfg.get("qkv_bias", False),
             mlp_bias=cfg.get("mlp_bias", False),
-            dtype=cfg.get("torch_dtype", "bfloat16"),
+            dtype=cfg.get("torch_dtype") or cfg.get("dtype", "bfloat16"),
             hf_config=cfg,
         )
         # Qwen2 uses attention bias but no config flag before transformers 4.37
-        if archs[0] in ("Qwen2ForCausalLM", "Qwen2MoeForCausalLM"):
+        if archs[0] in (
+            "Qwen2ForCausalLM",
+            "Qwen2MoeForCausalLM",
+            "Qwen2VLForConditionalGeneration",
+            "Qwen2_5_VLForConditionalGeneration",
+        ):
             kw["attention_bias"] = True
         if archs[0] in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM"):
             kw["qk_norm"] = True
@@ -453,6 +477,33 @@ class EngineConfig:
                 raise ValueError(
                     "speculative decoding is not supported for hybrid "
                     "linear-attention models (recurrent state cannot rewind)"
+                )
+            pc2 = self.parallel_config
+            if (
+                pc2.tensor_parallel_size > 1
+                or pc2.expert_parallel_size > 1
+                or pc2.pipeline_parallel_size > 1
+                or pc2.decode_context_parallel_size > 1
+            ):
+                # fail fast (before minutes of weight loading) — the model
+                # runs replicated in v1; hybrid sharding is future work
+                raise ValueError(
+                    "Qwen3-Next (hybrid linear attention) does not support "
+                    "tensor/expert/pipeline/decode-context parallelism yet"
+                )
+        if (mc.rope_scaling or {}).get("mrope_section"):
+            # multimodal mrope (Qwen-VL family): spec drafts would need
+            # mrope-aware verify rows; PP needs the embed/run_layers/finalize
+            # module split the VL wrapper doesn't export yet
+            if self.speculative_config is not None and self.speculative_config.enabled:
+                raise ValueError(
+                    "speculative decoding is not supported for mrope "
+                    "(Qwen-VL) models yet"
+                )
+            if self.parallel_config.pipeline_parallel_size > 1:
+                raise ValueError(
+                    "pipeline parallelism is not supported for mrope "
+                    "(Qwen-VL) models yet"
                 )
         if mc.index_topk and cc.kv_quantized:
             # V3.2: the bf16 indexer-K side pool shares the v slot; per-row

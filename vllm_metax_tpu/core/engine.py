@@ -46,6 +46,7 @@ class EngineCore:
         sampling_params: SamplingParams,
         eos_token_id: Optional[int] = None,
         lora_name: Optional[str] = None,
+        multi_modal_data: Optional[dict] = None,
     ) -> None:
         if len(prompt_token_ids) >= self.config.model_config.max_model_len:
             raise ValueError(
@@ -60,6 +61,7 @@ class EngineCore:
                 eos_token_id=eos_token_id,
                 arrival_time=time.time(),
                 lora_name=lora_name,
+                multi_modal_data=multi_modal_data,
             )
         )
         self.traces[req_id] = RequestTrace(

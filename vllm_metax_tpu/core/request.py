@@ -45,6 +45,10 @@ class Request:
     eos_token_id: Optional[int] = None
     arrival_time: float = 0.0
     lora_name: Optional[str] = None  # LoRA adapter handle (vllm_metax_tpu/lora.py)
+    # multimodal inputs (Qwen-VL family): {"pixel_values": np (P, K),
+    # "image_grid_thw": [(t, h, w), ...]} — preprocessed patches, in
+    # order of appearance in the prompt
+    multi_modal_data: Optional[dict] = None
 
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)

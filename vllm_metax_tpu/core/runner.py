@@ -52,6 +52,11 @@ class CachedReqState:
     constraint: Optional[object] = None  # structured-output FSM
     eos_token_id: Optional[int] = None
     lora_slot: int = 0  # adapter bank slot (0 = no adapter)
+    # multimodal (mrope models): {"embeds": np (Nimg, H) fp32 vision
+    # embeddings, "is_img": np bool (prompt_len,), "img_ord": np int32
+    # image-token ordinal per prompt position, "pos3": np (3, prompt_len)
+    # mrope rows, "delta": int decode rope offset}
+    mm: Optional[dict] = None
 
 
 @dataclass
@@ -183,6 +188,11 @@ class ModelRunner:
         self._kv_move_fn = None
         self._spec_branching = (
             getattr(spec, "speculative_branching", 1) if self.mtp else 1
+        )
+        # mrope models (Qwen-VL family): the rotary angle position differs
+        # from the sequence position — all steps carry md.mrope_positions
+        self._is_mrope = bool(
+            (self.model_cfg.rope_scaling or {}).get("mrope_section")
         )
         # hybrid linear-attention state slots: _alloc_kv_cache (which runs
         # earlier in __init__) populates these for hybrid models
@@ -779,6 +789,44 @@ class ModelRunner:
 
     # ------------------------------------------------------------ state sync
 
+    def _prepare_mm(self, nr) -> Optional[dict]:
+        """Admission-time multimodal work: run the vision tower ONCE per
+        request and precompute the host-side mrope tables (the reference
+        runs its ViT inside the model forward each prefill chunk; on TPU the
+        one-shot encode keeps the decode program free of vision branches)."""
+        cfg = self.model_cfg
+        mmd = getattr(nr, "multi_modal_data", None)
+        ids = np.asarray(nr.prompt_token_ids, np.int64)
+        if mmd is None:
+            return None
+        if not self._is_mrope or not hasattr(self.model, "encode_images"):
+            raise ValueError(
+                f"{cfg.architecture} does not accept multi_modal_data"
+            )
+        grids = [tuple(int(x) for x in g) for g in mmd["image_grid_thw"]]
+        embeds = np.asarray(
+            self.model.encode_images(
+                self.params, np.asarray(mmd["pixel_values"]), grids, cfg
+            ),
+            np.float32,
+        )
+        img_tok = self.model.image_token_id(cfg)
+        vid_tok = self.model.video_token_id(cfg)
+        is_img = (ids == img_tok) | (ids == vid_tok)
+        if int(is_img.sum()) != embeds.shape[0]:
+            raise ValueError(
+                f"prompt has {int(is_img.sum())} image-placeholder tokens "
+                f"but the images encode to {embeds.shape[0]} embeddings"
+            )
+        pos3, delta = self.model.mrope_positions_np(ids, grids, cfg)
+        return {
+            "embeds": embeds,
+            "is_img": is_img,
+            "img_ord": np.cumsum(is_img).astype(np.int32) - 1,
+            "pos3": pos3,
+            "delta": int(delta),
+        }
+
     def _update_states(self, so: SchedulerOutput) -> None:
         for req_id in so.finished_req_ids:
             self.requests.pop(req_id, None)
@@ -815,6 +863,7 @@ class ModelRunner:
                 ),
                 eos_token_id=getattr(nr, "eos_token_id", None),
                 lora_slot=lora_slot,
+                mm=self._prepare_mm(nr),
             )
         for cr in so.scheduled_cached_reqs:
             st = self.requests[cr.req_id]
@@ -830,7 +879,8 @@ class ModelRunner:
     def _build_multi_step_fn(self, rb: int, m: int, all_greedy: bool = False,
                              need_logprobs: bool = True, plain: bool = False,
                              use_penalties: bool = False,
-                             use_bans: bool = False, use_lora: bool = False):
+                             use_bans: bool = False, use_lora: bool = False,
+                             counts_warm: bool = False):
         """M decode steps fused into one jitted lax.scan: forward → sample →
         feed the token back, KV appended in place each step. One host round
         trip per M tokens instead of per token. Penalties run DEVICE-side:
@@ -847,17 +897,23 @@ class ModelRunner:
         vocab = self.model_cfg.vocab_size
 
         def run(params, kv_cache, tokens0, block_tables, pos0, valid, st,
-                state_idx, hist_ids, hist_is_out, extras):
+                state_idx, hist_ids, hist_is_out, extras, counts_in):
             req_rows = jnp.arange(rb, dtype=jnp.int32)
             qsl = jnp.arange(rb + 1, dtype=jnp.int32)
             if use_penalties:
                 hrows = jnp.broadcast_to(req_rows[:, None], hist_ids.shape)
-                counts0 = jnp.zeros((rb, vocab), jnp.int32).at[
-                    hrows, hist_ids
-                ].add(hist_is_out.astype(jnp.int32), mode="drop")
                 prompt_mask = jnp.zeros((rb, vocab), bool).at[
                     hrows, hist_ids
                 ].set(True, mode="drop")
+                if counts_warm:
+                    # warm window: the previous window's final counts ARE
+                    # this window's initial counts (same request set) — no
+                    # host history rebuild/upload
+                    counts0 = counts_in
+                else:
+                    counts0 = jnp.zeros((rb, vocab), jnp.int32).at[
+                        hrows, hist_ids
+                    ].add(hist_is_out.astype(jnp.int32), mode="drop")
             else:
                 counts0 = jnp.zeros((rb, 1), jnp.int32)  # unused stub
                 prompt_mask = None
@@ -879,6 +935,15 @@ class ModelRunner:
                     decode_only=True,
                     state_idx=state_idx,
                     lora_idx=extras["lora"] if use_lora else None,
+                    # mrope decode: rotary position = seq pos + per-request
+                    # delta, identical across the 3 t/h/w rows
+                    mrope_positions=(
+                        jnp.broadcast_to(
+                            (pos + extras["mrope_delta"])[None, :], (3, rb)
+                        )
+                        if self._is_mrope
+                        else None
+                    ),
                 )
                 if self.dcp_size > 1:
                     from vllm_metax_tpu.parallel.dcp import localize_metadata
@@ -953,26 +1018,28 @@ class ModelRunner:
                     out.topk_logprobs,
                 )
 
-            (kv_cache, tokens_next, pos_next, _), ys = jax.lax.scan(
+            (kv_cache, tokens_next, pos_next, counts_next), ys = jax.lax.scan(
                 one_step,
                 (kv_cache, tokens0, pos0, counts0),
                 jnp.arange(m, dtype=jnp.int32),
             )
-            return ys, kv_cache, tokens_next, pos_next
+            return ys, kv_cache, tokens_next, pos_next, counts_next
 
         def run_split(params, kv_vals, kv_scales, *rest):
-            ys, kv, tn, pn = run(params, self._join_kv(kv_vals, kv_scales),
-                                 *rest)
+            ys, kv, tn, pn, cn = run(params, self._join_kv(kv_vals, kv_scales),
+                                     *rest)
             vals, scales = self._split_kv(kv)
-            return ys, vals, scales, tn, pn
+            return ys, vals, scales, tn, pn, cn
 
         if not self._is_sharded:
             inner = jax.jit(run_split, donate_argnums=(1,))
 
             def outer(params, kv_cache, *rest):
                 vals, scales = self._split_kv(kv_cache)
-                ys, vals, scales, tn, pn = inner(params, vals, scales, *rest)
-                return ys, self._join_kv(vals, scales), tn, pn
+                ys, vals, scales, tn, pn, cn = inner(
+                    params, vals, scales, *rest
+                )
+                return ys, self._join_kv(vals, scales), tn, pn, cn
 
             return outer
 
@@ -989,16 +1056,16 @@ class ModelRunner:
             run_split,
             mesh=self.mesh,
             in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
-                      P(), P(), P(), P(), P(), P(), P()),
-            out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P(), P()),
             check_vma=False,
         )
         inner = jax.jit(sharded, donate_argnums=(1,))
 
         def outer(params, kv_cache, *rest):
             vals, scales = self._split_kv(kv_cache)
-            ys, vals, scales, tn, pn = inner(params, vals, scales, *rest)
-            return ys, self._join_kv(vals, scales), tn, pn
+            ys, vals, scales, tn, pn, cn = inner(params, vals, scales, *rest)
+            return ys, self._join_kv(vals, scales), tn, pn, cn
 
         return outer
 
@@ -1091,16 +1158,30 @@ class ModelRunner:
             for rid in req_ids
         )
         use_lora = any(self.requests[rid].lora_slot for rid in req_ids)
+        # warm/warm-delta windows reuse the previous window's final penalty
+        # counts device-side — no host history rebuild or upload
+        counts_warm = bool(
+            use_penalties
+            and (warm or warm_delta)
+            and cache is not None
+            and cache.get("counts") is not None
+        )
         key = (rb, m, all_greedy, need_lp, plain, use_penalties, use_bans,
-               use_lora)
+               use_lora, counts_warm)
         if key not in self._multi_step_fns:
             self._multi_step_fns[key] = self._build_multi_step_fn(
                 rb, m, all_greedy, need_lp, plain, use_penalties, use_bans,
-                use_lora,
+                use_lora, counts_warm,
             )
         fn = self._multi_step_fns[key]
 
         extras = {}
+        if self._is_mrope:
+            deltas = np.zeros(rb, np.int32)
+            for i, rid in enumerate(req_ids):
+                mm = self.requests[rid].mm
+                deltas[i] = 0 if mm is None else mm["delta"]
+            extras["mrope_delta"] = jnp.asarray(deltas)
         if use_lora:
             lora_np = np.zeros(rb, np.int32)
             for i, rid in enumerate(req_ids):
@@ -1130,7 +1211,9 @@ class ModelRunner:
                 if sp.bad_words_token_ids:
                     ids = list(sp.bad_words_token_ids)[:bb]
                     a_ban[i, : len(ids)] = ids
-                if sp.min_tokens and stt.constraint is None:
+                # NB: constrained requests never reach the window path
+                # (_needs_per_step_host_state gates them to single-step)
+                if sp.min_tokens:
                     stop = [] if stt.eos_token_id is None else [
                         int(stt.eos_token_id)
                     ]
@@ -1152,7 +1235,10 @@ class ModelRunner:
                 bias_vals=jnp.asarray(b_vals),
             )
 
-        if use_penalties:
+        counts_in = (
+            cache["counts"] if counts_warm else jnp.zeros((rb, 1), jnp.int32)
+        )
+        if use_penalties and not counts_warm:
             vocab = self.model_cfg.vocab_size
             hb = pick_bucket(
                 self.hist_buckets,
@@ -1172,7 +1258,7 @@ class ModelRunner:
             hist_is_out = jnp.zeros((rb, 1), bool)
 
         state_idx = self._build_state_idx(req_ids, rb)
-        ys, self.kv_cache, tokens_next, pos_next = fn(
+        ys, self.kv_cache, tokens_next, pos_next, counts_next = fn(
             self.params,
             self.kv_cache,
             dev_tokens,
@@ -1184,6 +1270,7 @@ class ModelRunner:
             hist_ids,
             hist_is_out,
             extras,
+            counts_in,
         )
         # prime the next window's inputs (device-resident; no host hop).
         # fingerprint uses the POST-window block counts so a block-boundary
@@ -1201,6 +1288,7 @@ class ModelRunner:
             "valid": dev_valid,
             "st": st_tensors,
             "mode": (all_greedy, need_lp, plain),
+            "counts": counts_next if use_penalties else None,
         }
         # fetch only what's needed: each device→host read costs a full
         # round trip on remote-attached TPUs
@@ -1334,6 +1422,47 @@ class ModelRunner:
             hist_lens.append(len(st.token_ids))
         qsl[num_reqs + 1 :] = qsl[num_reqs]
 
+        mrope_np = None
+        mm_embeds_np = None
+        mm_mask_np = None
+        if self._is_mrope:
+            # rotary position ≠ sequence position on mrope models: prompt
+            # tokens use the precomputed 3-row table, generated tokens run
+            # at seq_pos + delta (text rows identical); text-only requests
+            # have delta 0 and an identity table
+            mrope_np = np.zeros((3, tb), np.int32)
+            offset2 = 0
+            for i, rid in enumerate(req_ids):
+                st = self.requests[rid]
+                n = so.num_scheduled_tokens[rid]
+                start = st.num_computed_tokens
+                pos = np.arange(start, start + n)
+                mm = st.mm
+                if mm is None:
+                    rows = np.broadcast_to(pos, (3, n))
+                else:
+                    rows = np.where(
+                        pos[None, :] < st.prompt_len,
+                        mm["pos3"][:, np.minimum(pos, st.prompt_len - 1)],
+                        pos[None, :] + mm["delta"],
+                    )
+                    in_prompt = pos < st.prompt_len
+                    if in_prompt.any():
+                        sl = slice(offset2, offset2 + n)
+                        msk = np.zeros(n, bool)
+                        msk[in_prompt] = mm["is_img"][pos[in_prompt]]
+                        if msk.any():
+                            if mm_embeds_np is None:
+                                h = self.model_cfg.hidden_size
+                                mm_embeds_np = np.zeros((tb, h), np.float32)
+                                mm_mask_np = np.zeros(tb, bool)
+                            mm_mask_np[sl] = msk
+                            mm_embeds_np[offset2 + np.flatnonzero(msk)] = (
+                                mm["embeds"][mm["img_ord"][pos[msk]]]
+                            )
+                mrope_np[:, offset2 : offset2 + n] = rows
+                offset2 += n
+
         st_tensors = self._build_sampling_tensors(req_ids, rb, s_rows)
         # pure-decode step: row i of the token batch IS request i (qsl is an
         # arange over live reqs) — enables the request-batched decode kernel
@@ -1363,6 +1492,16 @@ class ModelRunner:
                 None if tree_bits_np is None else jnp.asarray(tree_bits_np)
             ),
             state_idx=self._build_state_idx(req_ids, rb),
+            mrope_positions=(
+                None if mrope_np is None else jnp.asarray(mrope_np)
+            ),
+            mm_embeds=(
+                None if mm_embeds_np is None
+                else jnp.asarray(mm_embeds_np, self.model_cfg.dtype)
+            ),
+            mm_mask=(
+                None if mm_mask_np is None else jnp.asarray(mm_mask_np)
+            ),
         )
 
         # structured outputs: PACKED BITSET masks per constrained row (the

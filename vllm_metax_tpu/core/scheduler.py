@@ -31,6 +31,7 @@ class NewReqData:
     sampling_params: object
     eos_token_id: object = None
     lora_name: object = None
+    multi_modal_data: object = None
 
 
 @dataclass
@@ -266,7 +267,13 @@ class Scheduler:
             req = self.waiting[0]
             resumed = req.status == RequestStatus.PREEMPTED
 
-            if resumed or not self.kv_manager.enable_caching:
+            if (
+                resumed
+                or not self.kv_manager.enable_caching
+                or req.multi_modal_data is not None
+                # block hashes cover token ids only — sharing them across
+                # requests with different images would alias distinct KV
+            ):
                 computed_blocks, num_computed = None, req.num_computed_tokens
             else:
                 computed_blocks, num_computed = self.kv_manager.get_computed_blocks(
@@ -311,6 +318,7 @@ class Scheduler:
                         sampling_params=req.sampling_params,
                         eos_token_id=req.eos_token_id,
                         lora_name=req.lora_name,
+                        multi_modal_data=req.multi_modal_data,
                     )
                 )
             out.num_scheduled_tokens[req.req_id] = num_new

@@ -142,6 +142,55 @@ class LLM:
         )
 
     @staticmethod
+    def _normalize_mm(mmd) -> Optional[dict]:
+        """Accept {"image": {...}} nesting or the flat pixel dict."""
+        if mmd is None:
+            return None
+        if "image" in mmd and "pixel_values" not in mmd:
+            mmd = mmd["image"]
+        if "pixel_values" not in mmd or "image_grid_thw" not in mmd:
+            raise ValueError(
+                "multi_modal_data must carry preprocessed 'pixel_values' and "
+                "'image_grid_thw' (run the HF AutoProcessor image pipeline)"
+            )
+        return {
+            "pixel_values": mmd["pixel_values"],
+            "image_grid_thw": [tuple(int(x) for x in g)
+                               for g in mmd["image_grid_thw"]],
+        }
+
+    def _expand_mm_placeholders(self, ids: list[int], mmd: dict) -> list[int]:
+        """Expand each single image/video placeholder token to the number of
+        merged vision tokens its grid produces (the HF processor's
+        expansion, done here so raw chat-template prompts work)."""
+        mc = self.engine.config.model_config
+        hf = mc.hf_config
+        img = int(hf.get("image_token_id", 151655))
+        vid = int(hf.get("video_token_id", 151656))
+        merge = int(
+            (hf.get("vision_config") or {}).get("spatial_merge_size", 2)
+        )
+        counts = [
+            t * h * w // (merge * merge)
+            for (t, h, w) in mmd["image_grid_thw"]
+        ]
+        occ = [i for i, t in enumerate(ids) if t in (img, vid)]
+        if len(occ) == sum(counts):
+            return ids  # already expanded (pre-processed prompt)
+        if len(occ) != len(counts):
+            raise ValueError(
+                f"prompt has {len(occ)} vision placeholders but "
+                f"{len(counts)} images were provided"
+            )
+        out, prev = [], 0
+        for pos, cnt in zip(occ, counts):
+            out.extend(ids[prev:pos])
+            out.extend([ids[pos]] * cnt)
+            prev = pos + 1
+        out.extend(ids[prev:])
+        return out
+
+    @staticmethod
     def _load_tokenizer(path: str):
         if not path:
             return None
@@ -161,14 +210,36 @@ class LLM:
 
     def generate(
         self,
-        prompts: Union[str, Sequence[str], None] = None,
+        prompts: Union[str, dict, Sequence, None] = None,
         sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
         *,
         prompt_token_ids: Optional[Sequence[Sequence[int]]] = None,
         lora_request=None,  # LoRARequest or list thereof (vllm parity)
     ) -> list[RequestOutput]:
-        if prompts is not None and isinstance(prompts, str):
+        if prompts is not None and isinstance(prompts, (str, dict)):
             prompts = [prompts]
+        # vLLM-style dict prompts: {"prompt" | "prompt_token_ids",
+        # "multi_modal_data": {"image": {"pixel_values", "image_grid_thw"}}}
+        mm_datas = None
+        if prompts is not None and any(isinstance(p, dict) for p in prompts):
+            dicts = [
+                p if isinstance(p, dict) else {"prompt": p} for p in prompts
+            ]
+            mm_datas = [self._normalize_mm(d.get("multi_modal_data"))
+                        for d in dicts]
+            if prompt_token_ids is None:
+                prompt_token_ids = []
+                for d, mmd in zip(dicts, mm_datas):
+                    if "prompt_token_ids" in d:
+                        ids = list(d["prompt_token_ids"])
+                    elif self.tokenizer is not None:
+                        ids = self.tokenizer.encode(d["prompt"])
+                    else:
+                        raise ValueError("no tokenizer; pass prompt_token_ids")
+                    if mmd is not None:
+                        ids = self._expand_mm_placeholders(ids, mmd)
+                    prompt_token_ids.append(ids)
+            prompts = [d.get("prompt") for d in dicts]
         if prompt_token_ids is None:
             if self.tokenizer is None:
                 raise ValueError("no tokenizer; pass prompt_token_ids")
@@ -176,6 +247,8 @@ class LLM:
                 self.tokenizer.encode(p) for p in prompts  # type: ignore[union-attr]
             ]
         n = len(prompt_token_ids)
+        if mm_datas is None:
+            mm_datas = [None] * n
         if sampling_params is None:
             sampling_params = SamplingParams()
         if isinstance(sampling_params, SamplingParams):
@@ -193,8 +266,8 @@ class LLM:
                 lora_names.append(lr.lora_name)
 
         req_ids = []
-        for toks, sp, lname in zip(prompt_token_ids, sampling_params,
-                                    lora_names):
+        for toks, sp, lname, mmd in zip(prompt_token_ids, sampling_params,
+                                        lora_names, mm_datas):
             if sp.bad_words and self.tokenizer is not None and not sp.bad_words_token_ids:
                 sp.bad_words_token_ids = tokenize_bad_words(
                     sp.bad_words, self.tokenizer
@@ -232,6 +305,7 @@ class LLM:
                     sp if sp.n == 1 else sp.child(k),
                     self.eos_token_id,
                     lora_name=lname,
+                    multi_modal_data=mmd,
                 )
             req_ids.append(children)
 

@@ -81,6 +81,7 @@ def run_layers(
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,
     num_layers: Optional[int] = None,  # local layer count (PP stages)
+    rope_rows: Optional[jnp.ndarray] = None,  # (T, rot) per-token rope rows
 ):
     """The decoder layer stack as one lax.scan over the (local) stacked layer
     bank. Returns (hidden, residual, new kv_cache) — residual is carried
@@ -91,7 +92,14 @@ def run_layers(
     eps = cfg.rms_norm_eps
     sm_scale = d**-0.5
     act_fn = ACT2FN[cfg.hidden_act]
-    rope_cache = params["rope_cache"]
+    # mrope models (qwen2_vl.py) pass precomputed per-token rope rows; the
+    # arange gather is an identity take that XLA folds away
+    if rope_rows is not None:
+        rope_cache = rope_rows
+        rope_pos = jnp.arange(hidden.shape[0], dtype=jnp.int32)
+    else:
+        rope_cache = params["rope_cache"]
+        rope_pos = None
     n_layers = num_layers or cfg.num_hidden_layers
 
     def maybe_psum(x):
@@ -143,7 +151,10 @@ def run_layers(
         if "q_norm" in layers:
             q = rms_norm(q, layers["q_norm"][l], eps)
             k = rms_norm(k, layers["k_norm"][l], eps)
-        q, k = apply_rope(q, k, md.positions, rope_cache)
+        q, k = apply_rope(
+            q, k, rope_pos if rope_pos is not None else md.positions,
+            rope_cache,
+        )
         if defer:
             attn = ragged_paged_attention(
                 q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window,
@@ -317,11 +328,13 @@ def _layer_quantizer(quant_cfg):
     return quantize
 
 
-def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
-    """Load HF safetensors (Llama/Qwen2/Qwen3/Mistral layouts)."""
+def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
+    """Load HF safetensors (Llama/Qwen2/Qwen3/Mistral layouts). `reader`
+    lets wrappers (models/qwen2_vl.py) inject a key-remapping view."""
     from vllm_metax_tpu.weights.loader import CheckpointReader
 
-    reader = CheckpointReader(path)
+    if reader is None:
+        reader = CheckpointReader(path)
     dt = cfg.dtype
     if (
         quant_cfg is not None

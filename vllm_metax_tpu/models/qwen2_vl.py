@@ -1,0 +1,470 @@
+"""Qwen2-VL: vision transformer + Qwen2 text model with multimodal rope.
+
+Reference parity target: vllm_metax/models/qwen2_vl.py (the reference forks
+the upstream vLLM model and forces the MACA flash_attn varlen kernel for the
+ViT, qwen2_vl.py:360-365) and the HF implementation for the math.
+
+TPU-native design decisions:
+- The ViT runs as its OWN jitted program once per request at admission —
+  dense block-diagonal attention over the patch sequence (one big MXU
+  matmul per layer; segment-id masking replaces the varlen kernel the
+  reference needs on GPU). Patch counts are bucketed so recompiles are
+  bounded.
+- Image embeddings enter the decoder through
+  AttentionMetadata.mm_embeds/mm_mask: a jnp.where blend against the token
+  embedding — no inputs_embeds forking of the jitted decode program.
+- mrope (3-section t/h/w rotary) is reduced to per-token ROPE ROWS at the
+  metadata layer: gather the 1-D cos/sin cache at the three position rows
+  and combine channel sections with a static one-hot (ops/rope.py
+  mrope_rows). The decoder layer stack (models/llama.py run_layers) is
+  reused unchanged apart from a rope-rows override, so every quantized /
+  TP / multi-step path works for VL models too.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_metax_tpu.config import ModelConfig
+from vllm_metax_tpu.models import llama
+from vllm_metax_tpu.ops.attention import AttentionMetadata
+from vllm_metax_tpu.ops.kv_cache import KVCache
+from vllm_metax_tpu.ops.rope import apply_rope, mrope_rows
+
+# HF defaults for the special tokens (overridden from config.json when set)
+IMAGE_TOKEN_ID = 151655
+VIDEO_TOKEN_ID = 151656
+VISION_START_TOKEN_ID = 151652
+
+
+# ---------------------------------------------------------------------------
+# config helpers
+
+
+def vision_cfg(cfg: ModelConfig) -> dict:
+    vc = dict(cfg.hf_config.get("vision_config") or {})
+    vc.setdefault("depth", 32)
+    vc.setdefault("embed_dim", 1280)
+    vc.setdefault("num_heads", 16)
+    vc.setdefault("hidden_size", cfg.hidden_size)
+    vc.setdefault("in_channels", 3)
+    vc.setdefault("patch_size", 14)
+    vc.setdefault("temporal_patch_size", 2)
+    vc.setdefault("spatial_merge_size", 2)
+    vc.setdefault("mlp_ratio", 4)
+    vc.setdefault("hidden_act", "quick_gelu")
+    return vc
+
+
+def mrope_section(cfg: ModelConfig) -> tuple[int, ...]:
+    sec = (cfg.rope_scaling or {}).get("mrope_section")
+    if not sec:
+        # degenerate: all channels temporal == plain 1-D rope
+        sec = [cfg.head_dim // 2, 0, 0]
+    return tuple(int(s) for s in sec)
+
+
+def image_token_id(cfg: ModelConfig) -> int:
+    return int(cfg.hf_config.get("image_token_id", IMAGE_TOKEN_ID))
+
+
+def video_token_id(cfg: ModelConfig) -> int:
+    return int(cfg.hf_config.get("video_token_id", VIDEO_TOKEN_ID))
+
+
+def num_image_tokens(grid_thw, merge: int) -> int:
+    t, h, w = (int(x) for x in grid_thw)
+    return t * h * w // (merge * merge)
+
+
+# ---------------------------------------------------------------------------
+# host-side position math (numpy; runs once per request at admission)
+
+
+def vision_patch_metadata(grids: list, vcfg: dict, pad_to: int):
+    """Per-patch 2-D rope rows + segment ids for a batch of images, in the
+    merge-permuted patch order the HF image processor emits (HF
+    Qwen2VisionTransformer.rot_pos_emb). Returns (rope_rows (P, hd),
+    seg_ids (P,) with -1 padding) as numpy."""
+    m = int(vcfg["spatial_merge_size"])
+    hd = int(vcfg["embed_dim"]) // int(vcfg["num_heads"])
+    # VisionRotaryEmbedding(dim=hd//2): inv_freq over hd//4 channels
+    quarter = hd // 4
+    inv_freq = 1.0 / (
+        10000.0 ** (np.arange(0, quarter, dtype=np.float64) / quarter)
+    )
+    rows, segs = [], []
+    for i, (t, h, w) in enumerate(grids):
+        t, h, w = int(t), int(h), int(w)
+        hpos = np.broadcast_to(np.arange(h)[:, None], (h, w))
+        hpos = (
+            hpos.reshape(h // m, m, w // m, m).transpose(0, 2, 1, 3).reshape(-1)
+        )
+        wpos = np.broadcast_to(np.arange(w)[None, :], (h, w))
+        wpos = (
+            wpos.reshape(h // m, m, w // m, m).transpose(0, 2, 1, 3).reshape(-1)
+        )
+        hpos = np.tile(hpos, t)
+        wpos = np.tile(wpos, t)
+        freqs = np.concatenate(
+            [hpos[:, None] * inv_freq[None, :], wpos[:, None] * inv_freq[None, :]],
+            axis=-1,
+        )  # (t*h*w, hd/2)
+        rows.append(
+            np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1)
+        )  # (t*h*w, hd)
+        segs.append(np.full(t * h * w, i, np.int32))
+    rope = np.concatenate(rows, axis=0).astype(np.float32)
+    seg = np.concatenate(segs, axis=0)
+    p = rope.shape[0]
+    if pad_to < p:
+        raise ValueError(f"pad_to={pad_to} < patches={p}")
+    rope = np.pad(rope, ((0, pad_to - p), (0, 0)))
+    seg = np.pad(seg, (0, pad_to - p), constant_values=-1)
+    return rope, seg
+
+
+def mrope_positions_np(
+    ids: np.ndarray, grids: list, cfg: ModelConfig
+) -> tuple[np.ndarray, int]:
+    """3-row (t/h/w) rope positions for one prompt + the decode delta
+    (HF Qwen2VLModel.get_rope_index). `grids` are the image/video grid_thw
+    triples in order of appearance. Text segments advance all three rows
+    together from prev_max+1; each vision run uses its 3-D grid indices."""
+    merge = int(vision_cfg(cfg)["spatial_merge_size"])
+    img, vid = image_token_id(cfg), video_token_id(cfg)
+    n = len(ids)
+    is_vis = (ids == img) | (ids == vid)
+    pos = np.zeros((3, n), np.int64)
+    # segment boundaries: runs of vision tokens
+    out_parts = []
+    i = 0
+    gi = 0
+    nxt = 0  # next position start
+    while i < n:
+        if not is_vis[i]:
+            j = i
+            while j < n and not is_vis[j]:
+                j += 1
+            ln = j - i
+            out_parts.append((slice(i, j), np.broadcast_to(
+                nxt + np.arange(ln), (3, ln))))
+            nxt += ln
+            i = j
+        else:
+            t, h, w = (int(x) for x in grids[gi])
+            gh, gw = h // merge, w // merge
+            ln = t * gh * gw
+            t_idx = np.repeat(np.arange(t), gh * gw)
+            h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
+            w_idx = np.tile(np.arange(gw), t * gh)
+            block = np.stack([t_idx, h_idx, w_idx]) + nxt
+            out_parts.append((slice(i, i + ln), block))
+            nxt = int(block.max()) + 1
+            gi += 1
+            i += ln
+    for sl, block in out_parts:
+        pos[:, sl] = block
+    delta = int(pos.max()) + 1 - n if n else 0
+    return pos.astype(np.int32), delta
+
+
+# ---------------------------------------------------------------------------
+# vision tower
+
+
+def _layer_norm(x, w, b, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_VIS_ACT = {
+    "quick_gelu": _quick_gelu,
+    "gelu": partial(jax.nn.gelu, approximate=False),
+    "silu": jax.nn.silu,
+}
+
+
+@partial(jax.jit, static_argnames=("num_heads", "act"))
+def _vision_forward(
+    vp: dict,
+    pixels: jnp.ndarray,  # (P, C*tps*ps*ps)
+    rope: jnp.ndarray,  # (P, hd) cos|sin rows
+    seg: jnp.ndarray,  # (P,) image segment ids, -1 pad
+    num_heads: int,
+    act: str,
+):
+    """ViT over the padded patch batch → merged embeddings (P/merge², H).
+    Attention is dense with a block-diagonal segment mask — at typical
+    image sizes (≤4k patches) one dense (P,P) score matrix per layer is
+    MXU-friendly and beats a varlen gather on TPU."""
+    x = pixels @ vp["patch_w"]  # (P, E)
+    p, e = x.shape
+    hd = e // num_heads
+    scale = hd**-0.5
+    mask = (seg[:, None] == seg[None, :])[None]  # (1, P, P)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    act_fn = _VIS_ACT[act]
+
+    def block(x, bp):
+        h = _layer_norm(x, bp["ln1_w"], bp["ln1_b"])
+        qkv = h @ bp["qkv_w"] + bp["qkv_b"]  # (P, 3E)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(p, num_heads, hd)
+        k = k.reshape(p, num_heads, hd)
+        v = v.reshape(p, num_heads, hd)
+        q, k = apply_rope(q, k, pos, rope)
+        scores = jnp.einsum(
+            "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("hqk,khd->qhd", probs, v).reshape(p, e)
+        x = x + (o @ bp["proj_w"] + bp["proj_b"])
+        h = _layer_norm(x, bp["ln2_w"], bp["ln2_b"])
+        h = act_fn(h @ bp["fc1_w"] + bp["fc1_b"]) @ bp["fc2_w"] + bp["fc2_b"]
+        return x + h, None
+
+    x, _ = jax.lax.scan(block, x, vp["blocks"])
+    # merger: LayerNorm then groups of merge² consecutive patches → MLP
+    x = _layer_norm(x, vp["ln_q_w"], vp["ln_q_b"])
+    x = x.reshape(-1, vp["m0_w"].shape[0])  # (P/m², m²·E)
+    x = jax.nn.gelu(x @ vp["m0_w"] + vp["m0_b"], approximate=False)
+    return x @ vp["m2_w"] + vp["m2_b"]  # (P/m², H)
+
+
+def encode_images(
+    params: dict,
+    pixels: np.ndarray,  # (P, C*tps*ps*ps) from the HF image processor
+    grids: list,  # list of (t, h, w)
+    cfg: ModelConfig,
+    pad_to: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run the vision tower; returns (sum(grid)/m², H) merged embeddings."""
+    vcfg = vision_cfg(cfg)
+    m2 = int(vcfg["spatial_merge_size"]) ** 2
+    p = pixels.shape[0]
+    if pad_to is None:
+        # bucket to limit recompiles; merge groups must stay aligned
+        pad_to = max(m2 * 32, 2 ** math.ceil(math.log2(max(p, 1))))
+    rope, seg = vision_patch_metadata(grids, vcfg, pad_to)
+    px = np.zeros((pad_to, pixels.shape[1]), pixels.dtype)
+    px[:p] = pixels
+    dt = cfg.dtype
+    out = _vision_forward(
+        params["visual"],
+        jnp.asarray(px, dt),
+        jnp.asarray(rope),
+        jnp.asarray(seg),
+        num_heads=int(vcfg["num_heads"]),
+        act=str(vcfg["hidden_act"]),
+    )
+    return out[: p // m2]
+
+
+# ---------------------------------------------------------------------------
+# decoder (reuses models/llama.py with a rope-rows override)
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
+):
+    hidden = llama.embed(params, input_ids, cfg)
+    if md.mm_embeds is not None:
+        hidden = jnp.where(
+            md.mm_mask[:, None], md.mm_embeds.astype(hidden.dtype), hidden
+        )
+    rope_rows = None
+    if md.mrope_positions is not None:
+        rope_rows = mrope_rows(
+            params["rope_cache"], md.mrope_positions, mrope_section(cfg)
+        )
+    residual = jnp.zeros_like(hidden)
+    hidden, residual, new_kv = llama.run_layers(
+        params,
+        hidden,
+        residual,
+        kv_cache,
+        md,
+        cfg,
+        num_q_heads=num_q_heads,
+        num_kv_heads=num_kv_heads,
+        axis_name=axis_name,
+        rope_rows=rope_rows,
+    )
+    return llama.finalize(hidden, residual, cfg), new_kv
+
+
+compute_logits = llama.compute_logits
+kv_cache_spec = llama.kv_cache_spec
+
+
+# ---------------------------------------------------------------------------
+# params
+
+
+def _init_vision_params(vcfg: dict, cfg: ModelConfig, key) -> dict:
+    e = int(vcfg["embed_dim"])
+    depth = int(vcfg["depth"])
+    hid = int(vcfg["hidden_size"])
+    mlp = int(e * float(vcfg["mlp_ratio"]))
+    m2 = int(vcfg["spatial_merge_size"]) ** 2
+    kdim = (
+        int(vcfg["in_channels"])
+        * int(vcfg["temporal_patch_size"])
+        * int(vcfg["patch_size"]) ** 2
+    )
+    dt = cfg.dtype
+    ks = jax.random.split(key, 8)
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dt)
+
+    def blockp(k):
+        kk = jax.random.split(k, 4)
+        return {
+            "ln1_w": jnp.ones((depth, e), jnp.float32),
+            "ln1_b": jnp.zeros((depth, e), jnp.float32),
+            "ln2_w": jnp.ones((depth, e), jnp.float32),
+            "ln2_b": jnp.zeros((depth, e), jnp.float32),
+            "qkv_w": dense(kk[0], (depth, e, 3 * e)),
+            "qkv_b": jnp.zeros((depth, 3 * e), dt),
+            "proj_w": dense(kk[1], (depth, e, e)),
+            "proj_b": jnp.zeros((depth, e), dt),
+            "fc1_w": dense(kk[2], (depth, e, mlp)),
+            "fc1_b": jnp.zeros((depth, mlp), dt),
+            "fc2_w": dense(kk[3], (depth, mlp, e)),
+            "fc2_b": jnp.zeros((depth, e), dt),
+        }
+
+    return {
+        "patch_w": dense(ks[0], (kdim, e)),
+        "blocks": blockp(ks[1]),
+        "ln_q_w": jnp.ones((e,), jnp.float32),
+        "ln_q_b": jnp.zeros((e,), jnp.float32),
+        "m0_w": dense(ks[2], (m2 * e, m2 * e)),
+        "m0_b": jnp.zeros((m2 * e,), dt),
+        "m2_w": dense(ks[3], (m2 * e, hid)),
+        "m2_b": jnp.zeros((hid,), dt),
+    }
+
+
+def init_params(cfg: ModelConfig, quant_cfg=None, seed: int = 0) -> dict:
+    params = llama.init_params(cfg, quant_cfg, seed)
+    params["visual"] = _init_vision_params(
+        vision_cfg(cfg), cfg, jax.random.PRNGKey(seed + 7)
+    )
+    return params
+
+
+class _RemapReader:
+    """CheckpointReader view translating the llama loader's `model.*` /
+    `lm_head.*` keys onto Qwen2-VL checkpoints, which store the text model
+    under `model.language_model.*` (transformers ≥4.52) or `model.*` with
+    the ViT as a `visual.*` sibling (original releases)."""
+
+    def __init__(self, reader):
+        self._r = reader
+        self._lm = reader.has("model.language_model.embed_tokens.weight")
+
+    def _map(self, name: str) -> str:
+        if self._lm and name.startswith("model."):
+            return "model.language_model." + name[len("model."):]
+        return name
+
+    def has(self, name: str) -> bool:
+        return self._r.has(self._map(name))
+
+    def get(self, name: str):
+        return self._r.get(self._map(name))
+
+
+def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
+    from vllm_metax_tpu.weights.loader import CheckpointReader
+
+    reader = CheckpointReader(path)
+    params = llama.load_weights(cfg, quant_cfg, path, reader=_RemapReader(reader))
+    vis_pre = (
+        "model.visual" if reader.has("model.visual.patch_embed.proj.weight")
+        else "visual"
+    )
+    vcfg = vision_cfg(cfg)
+    dt = cfg.dtype
+
+    def get(name, dtype=dt):
+        return jnp.asarray(reader.get(f"{vis_pre}.{name}"), dtype=dtype)
+
+    depth = int(vcfg["depth"])
+    e = int(vcfg["embed_dim"])
+
+    def stack(fmt, dtype=dt, transpose=False):
+        xs = []
+        for i in range(depth):
+            a = jnp.asarray(reader.get(f"{vis_pre}.{fmt.format(i)}"), dtype)
+            xs.append(a.T if transpose else a)
+        return jnp.stack(xs)
+
+    params["visual"] = {
+        "patch_w": get("patch_embed.proj.weight").reshape(e, -1).T,
+        "blocks": {
+            "ln1_w": stack("blocks.{}.norm1.weight", jnp.float32),
+            "ln1_b": stack("blocks.{}.norm1.bias", jnp.float32),
+            "ln2_w": stack("blocks.{}.norm2.weight", jnp.float32),
+            "ln2_b": stack("blocks.{}.norm2.bias", jnp.float32),
+            "qkv_w": stack("blocks.{}.attn.qkv.weight", transpose=True),
+            "qkv_b": stack("blocks.{}.attn.qkv.bias"),
+            "proj_w": stack("blocks.{}.attn.proj.weight", transpose=True),
+            "proj_b": stack("blocks.{}.attn.proj.bias"),
+            "fc1_w": stack("blocks.{}.mlp.fc1.weight", transpose=True),
+            "fc1_b": stack("blocks.{}.mlp.fc1.bias"),
+            "fc2_w": stack("blocks.{}.mlp.fc2.weight", transpose=True),
+            "fc2_b": stack("blocks.{}.mlp.fc2.bias"),
+        },
+        "ln_q_w": get("merger.ln_q.weight", jnp.float32),
+        "ln_q_b": get("merger.ln_q.bias", jnp.float32),
+        "m0_w": get("merger.mlp.0.weight").T,
+        "m0_b": get("merger.mlp.0.bias"),
+        "m2_w": get("merger.mlp.2.weight").T,
+        "m2_b": get("merger.mlp.2.bias"),
+    }
+    return params
+
+
+def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
+    from jax.sharding import PartitionSpec as P
+
+    specs = llama.param_specs(cfg, quant_cfg)
+    # vision tower is replicated (runs once per request; tiny vs the LM)
+    shape_tree = jax.eval_shape(
+        lambda: _init_vision_params(vision_cfg(cfg), cfg, jax.random.PRNGKey(0))
+    )
+    specs["visual"] = jax.tree_util.tree_map(lambda _: P(), shape_tree)
+    return specs
+
+
+def prepare_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
+    visual = params.pop("visual")
+    out = llama.prepare_for_tp(params, cfg, tp)
+    out["visual"] = visual
+    params["visual"] = visual
+    return out

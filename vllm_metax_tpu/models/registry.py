@@ -49,6 +49,9 @@ _REGISTRY: dict[str, str] = {
     # attention (ref: the reference's FLA kernel patch,
     # vllm_metax/patch/model_executor/kernel/fla.py)
     "Qwen3NextForCausalLM": "vllm_metax_tpu.models.qwen3_next",
+    # Qwen-VL multimodal family (ref: vllm_metax/models/qwen2_vl.py,
+    # qwen2_5_vl.py): ViT + mrope text model
+    "Qwen2VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
 }
 
 

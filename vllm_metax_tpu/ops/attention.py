@@ -63,6 +63,14 @@ class AttentionMetadata:
     # hybrid linear-attention models: per-request recurrent-state slot into
     # the KVCache lin_state/conv_state pools (padding rows carry RSLOT)
     state_idx: Optional[jnp.ndarray] = None
+    # multimodal (Qwen2-VL family): precomputed image/video embeddings to
+    # blend over the token embeddings at placeholder positions, and 3-row
+    # t/h/w mrope positions (ops/rope.py mrope_rows). positions (above)
+    # stays the SEQUENCE index — attention causality is unchanged; only the
+    # rotary angle comes from mrope_positions.
+    mm_embeds: Optional[jnp.ndarray] = None  # (T, H)
+    mm_mask: Optional[jnp.ndarray] = None  # (T,) bool
+    mrope_positions: Optional[jnp.ndarray] = None  # (3, T) int32
 
 
 def layer_view(

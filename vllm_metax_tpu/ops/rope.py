@@ -162,3 +162,26 @@ def apply_rope(
         return out
 
     return rotate(q), (rotate(k) if k is not None else None)
+
+
+def mrope_rows(
+    cache: jnp.ndarray,  # (max_pos, rot_dim) 1-D rope cache
+    mrope_positions: jnp.ndarray,  # (3, T) t/h/w position rows
+    mrope_section: tuple[int, ...],  # static channel split over rot_dim/2
+) -> jnp.ndarray:
+    """Per-token rope rows for multimodal 3-section rope (Qwen2-VL mrope,
+    HF apply_multimodal_rotary_pos_emb): channel chunk i of the cos/sin
+    halves takes its rotation angle from position row i. Reduced to a
+    3-row gather + static one-hot combine so downstream apply_rope is the
+    ordinary 1-D path (gather rows with arange). For decode (all three
+    rows equal) this degenerates to the plain cache row."""
+    half = cache.shape[-1] // 2
+    sec = np.zeros(half, np.int32)
+    off = 0
+    for i, s in enumerate(mrope_section):
+        sec[off:off + s] = i
+        off += s
+    sec = np.concatenate([sec, sec])  # same pattern for cos and sin halves
+    onehot = (sec[None, :] == np.arange(3)[:, None])  # (3, rot_dim) bool
+    rows = cache[mrope_positions]  # (3, T, rot_dim)
+    return jnp.where(jnp.asarray(onehot)[:, None, :], rows, 0.0).sum(axis=0)

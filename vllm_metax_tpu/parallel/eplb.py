@@ -51,21 +51,3 @@ def rank_loads(loads: np.ndarray, placement: np.ndarray, ep: int) -> np.ndarray:
     for expert, slot in enumerate(placement):
         out[slot // cap] += loads[expert]
     return out
-
-
-def permute_expert_banks(layer_params: dict, placement: np.ndarray) -> dict:
-    """Reorder every expert-bank leaf of one layer group to the placement
-    (physical slot p holds logical expert placement^-1[p]). Bank leaves have
-    the expert dim at axis 1 of (L, E, ...)."""
-    import jax.numpy as jnp
-
-    inv = np.argsort(placement).astype(np.int32)  # physical → logical
-    out = dict(layer_params)
-    for key in ("experts_gate_up", "experts_down"):
-        bank = layer_params.get(key)
-        if bank is None:
-            continue
-        out[key] = {
-            k: jnp.take(a, jnp.asarray(inv), axis=1) for k, a in bank.items()
-        }
-    return out
