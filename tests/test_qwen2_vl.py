@@ -358,3 +358,122 @@ def test_llm_generate_multimodal_multi_step(setup):
         sp,
     )
     assert outs[0].outputs[0].token_ids == ref
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL (RMSNorm + SwiGLU vision blocks, window attention)
+
+
+GRID25 = (1, 8, 8)  # 64 patches → 4 windows of 2×2 merge units (ws=16)
+
+
+@pytest.fixture(scope="module")
+def setup25(tmp_path_factory):
+    import torch
+    from transformers import (
+        Qwen2_5_VLConfig,
+        Qwen2_5_VLForConditionalGeneration,
+    )
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            vocab_size=512,
+            max_position_embeddings=256,
+            rope_theta=10000.0,
+            rope_scaling=dict(type="mrope", mrope_section=[2, 3, 3]),
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=2,
+            hidden_size=32,
+            num_heads=2,
+            out_hidden_size=64,
+            intermediate_size=48,
+            in_channels=3,
+            patch_size=4,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            window_size=16,
+            fullatt_block_indexes=[1],
+            hidden_act="silu",
+        ),
+        image_token_id=IMG_TOK,
+        video_token_id=VID_TOK,
+        vision_start_token_id=VSTART,
+    )
+    torch.manual_seed(1)
+    hf = Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    path = str(tmp_path_factory.mktemp("q25vl") / "tiny")
+    hf.save_pretrained(path, safe_serialization=True)
+    mcfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(mcfg.architecture)
+    params = model.load_weights(mcfg, None, path)
+    return hf, path, mcfg, model, params
+
+
+def test_v25_vision_tower_parity(setup25):
+    """Window attention (layer 0 windowed, layer 1 full) + RMSNorm +
+    SwiGLU vision blocks vs HF."""
+    import torch
+
+    hf, _, cfg, model, params = setup25
+    rng = np.random.default_rng(7)
+    px = _pixels(rng, GRID25)
+    with torch.no_grad():
+        ref = hf.model.visual(
+            torch.tensor(px), grid_thw=torch.tensor([list(GRID25)])
+        ).numpy()
+    ours = np.asarray(model.encode_images(params, px, [GRID25], cfg))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_v25_e2e_generate(setup25):
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup25
+    rng = np.random.default_rng(8)
+    px = _pixels(rng, GRID25)
+    n_img = 16  # 64 patches / merge²
+    ids = np.concatenate(
+        [rng.integers(10, 512, 4), [VSTART], [IMG_TOK] * n_img,
+         rng.integers(10, 512, 5)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID25)]),
+            max_new_tokens=8,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path,
+        dtype="float32",
+        num_kv_blocks=64,
+        max_num_seqs=8,
+        max_num_batched_tokens=64,
+        num_decode_steps=4,
+    )
+    outs = llm.generate(
+        [
+            {
+                "prompt_token_ids": ids.tolist(),
+                "multi_modal_data": {
+                    "image": {
+                        "pixel_values": px,
+                        "image_grid_thw": [list(GRID25)],
+                    }
+                },
+            }
+        ],
+        SamplingParams(max_tokens=8, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == ref

@@ -47,18 +47,42 @@ VISION_START_TOKEN_ID = 151652
 # config helpers
 
 
+def _is_v25(cfg: ModelConfig) -> bool:
+    return cfg.architecture == "Qwen2_5_VLForConditionalGeneration"
+
+
 def vision_cfg(cfg: ModelConfig) -> dict:
     vc = dict(cfg.hf_config.get("vision_config") or {})
     vc.setdefault("depth", 32)
-    vc.setdefault("embed_dim", 1280)
     vc.setdefault("num_heads", 16)
-    vc.setdefault("hidden_size", cfg.hidden_size)
     vc.setdefault("in_channels", 3)
     vc.setdefault("patch_size", 14)
     vc.setdefault("temporal_patch_size", 2)
     vc.setdefault("spatial_merge_size", 2)
     vc.setdefault("mlp_ratio", 4)
-    vc.setdefault("hidden_act", "quick_gelu")
+    if _is_v25(cfg):
+        # Qwen2.5-VL renames embed_dim→hidden_size, adds SwiGLU + RMSNorm
+        # and window attention (HF Qwen2_5_VLVisionConfig)
+        vc.setdefault("hidden_size", 1280)
+        vc["embed_dim"] = vc["hidden_size"]
+        vc.setdefault("out_hidden_size", cfg.hidden_size)
+        vc["out_hidden"] = vc["out_hidden_size"]
+        vc.setdefault(
+            "intermediate_size", int(vc["embed_dim"] * float(vc["mlp_ratio"]))
+        )
+        vc.setdefault("hidden_act", "silu")
+        vc.setdefault("window_size", 112)
+        vc.setdefault("fullatt_block_indexes", [7, 15, 23, 31])
+        vc["norm"] = "rms"
+        vc["mlp"] = "swiglu"
+    else:
+        vc.setdefault("embed_dim", 1280)
+        vc.setdefault("hidden_size", cfg.hidden_size)
+        vc["out_hidden"] = vc["hidden_size"]
+        vc["intermediate_size"] = int(vc["embed_dim"] * float(vc["mlp_ratio"]))
+        vc.setdefault("hidden_act", "quick_gelu")
+        vc["norm"] = "layer"
+        vc["mlp"] = "fc"
     return vc
 
 
@@ -130,6 +154,43 @@ def vision_patch_metadata(grids: list, vcfg: dict, pad_to: int):
     return rope, seg
 
 
+def vision_window_perm(grids: list, vcfg: dict):
+    """Qwen2.5-VL window attention: per-image permutation gathering patches
+    into (window_h × window_w) tiles at merge-unit granularity, plus the
+    per-patch WINDOW segment ids in permuted order and the inverse
+    permutation for the merged outputs (HF get_window_index)."""
+    m = int(vcfg["spatial_merge_size"])
+    ws = int(vcfg["window_size"]) // m // int(vcfg["patch_size"])
+    perm_units = []  # merge-unit indices, globally offset
+    win_sizes = []  # patches per window
+    base = 0
+    for t, h, w in grids:
+        t, h, w = int(t), int(h), int(w)
+        gh, gw = h // m, w // m
+        idx = np.arange(t * gh * gw).reshape(t, gh, gw)
+        ph, pw = (-gh) % ws, (-gw) % ws
+        idxp = np.pad(idx, ((0, 0), (0, ph), (0, pw)), constant_values=-1)
+        nh, nw = (gh + ph) // ws, (gw + pw) // ws
+        idxp = (
+            idxp.reshape(t, nh, ws, nw, ws)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(t, nh * nw, ws * ws)
+        )
+        for tt in range(t):
+            for wdw in range(nh * nw):
+                units = idxp[tt, wdw]
+                units = units[units >= 0]
+                perm_units.append(units + base)
+                win_sizes.append(len(units) * m * m)
+        base += t * gh * gw
+    perm_units = np.concatenate(perm_units)
+    # expand merge units → patches (units move as blocks of m² patches)
+    perm = (perm_units[:, None] * (m * m) + np.arange(m * m)[None, :]).reshape(-1)
+    seg_win = np.repeat(np.arange(len(win_sizes), dtype=np.int32), win_sizes)
+    inv_merged = np.argsort(perm_units, kind="stable").astype(np.int32)
+    return perm.astype(np.int32), seg_win, inv_merged
+
+
 def mrope_positions_np(
     ids: np.ndarray, grids: list, cfg: ModelConfig
 ) -> tuple[np.ndarray, int]:
@@ -197,29 +258,50 @@ _VIS_ACT = {
 }
 
 
-@partial(jax.jit, static_argnames=("num_heads", "act"))
+def _rms_norm(x, w, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    return (
+        xf * jax.lax.rsqrt((xf**2).mean(-1, keepdims=True) + eps) * w
+    ).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "act", "norm", "mlp"))
 def _vision_forward(
     vp: dict,
     pixels: jnp.ndarray,  # (P, C*tps*ps*ps)
     rope: jnp.ndarray,  # (P, hd) cos|sin rows
-    seg: jnp.ndarray,  # (P,) image segment ids, -1 pad
+    seg: jnp.ndarray,  # (P,) full-attention segment ids (image), -1 pad
+    seg_win: jnp.ndarray,  # (P,) window segment ids (== seg when unwindowed)
+    full_flags: jnp.ndarray,  # (depth,) bool: layer uses full attention
     num_heads: int,
     act: str,
+    norm: str,  # "layer" (Qwen2-VL) | "rms" (Qwen2.5-VL)
+    mlp: str,  # "fc" | "swiglu"
 ):
     """ViT over the padded patch batch → merged embeddings (P/merge², H).
     Attention is dense with a block-diagonal segment mask — at typical
     image sizes (≤4k patches) one dense (P,P) score matrix per layer is
-    MXU-friendly and beats a varlen gather on TPU."""
+    MXU-friendly and beats a varlen gather on TPU. Qwen2.5-VL window
+    attention is the same kernel with per-window segment ids (the host
+    pre-permutes patches into window tiles), selected per layer."""
     x = pixels @ vp["patch_w"]  # (P, E)
     p, e = x.shape
     hd = e // num_heads
     scale = hd**-0.5
-    mask = (seg[:, None] == seg[None, :])[None]  # (1, P, P)
+    mask_full = (seg[:, None] == seg[None, :])[None]  # (1, P, P)
+    mask_win = (seg_win[:, None] == seg_win[None, :])[None]
     pos = jnp.arange(p, dtype=jnp.int32)
     act_fn = _VIS_ACT[act]
 
-    def block(x, bp):
-        h = _layer_norm(x, bp["ln1_w"], bp["ln1_b"])
+    def norm_fn(x, w, b):
+        if norm == "rms":
+            return _rms_norm(x, w)
+        return _layer_norm(x, w, b)
+
+    def block(x, scan_in):
+        bp, is_full = scan_in
+        mask = jnp.where(is_full, mask_full, mask_win)
+        h = norm_fn(x, bp["ln1_w"], bp["ln1_b"])
         qkv = h @ bp["qkv_w"] + bp["qkv_b"]  # (P, 3E)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(p, num_heads, hd)
@@ -233,13 +315,18 @@ def _vision_forward(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         o = jnp.einsum("hqk,khd->qhd", probs, v).reshape(p, e)
         x = x + (o @ bp["proj_w"] + bp["proj_b"])
-        h = _layer_norm(x, bp["ln2_w"], bp["ln2_b"])
-        h = act_fn(h @ bp["fc1_w"] + bp["fc1_b"]) @ bp["fc2_w"] + bp["fc2_b"]
+        h = norm_fn(x, bp["ln2_w"], bp["ln2_b"])
+        if mlp == "swiglu":
+            gate = act_fn(h @ bp["gate_w"] + bp["gate_b"])
+            up = h @ bp["up_w"] + bp["up_b"]
+            h = (gate * up) @ bp["down_w"] + bp["down_b"]
+        else:
+            h = act_fn(h @ bp["fc1_w"] + bp["fc1_b"]) @ bp["fc2_w"] + bp["fc2_b"]
         return x + h, None
 
-    x, _ = jax.lax.scan(block, x, vp["blocks"])
-    # merger: LayerNorm then groups of merge² consecutive patches → MLP
-    x = _layer_norm(x, vp["ln_q_w"], vp["ln_q_b"])
+    x, _ = jax.lax.scan(block, x, (vp["blocks"], full_flags))
+    # merger: norm then groups of merge² consecutive patches → MLP
+    x = norm_fn(x, vp["ln_q_w"], vp["ln_q_b"])
     x = x.reshape(-1, vp["m0_w"].shape[0])  # (P/m², m²·E)
     x = jax.nn.gelu(x @ vp["m0_w"] + vp["m0_b"], approximate=False)
     return x @ vp["m2_w"] + vp["m2_b"]  # (P/m², H)
@@ -260,6 +347,25 @@ def encode_images(
         # bucket to limit recompiles; merge groups must stay aligned
         pad_to = max(m2 * 32, 2 ** math.ceil(math.log2(max(p, 1))))
     rope, seg = vision_patch_metadata(grids, vcfg, pad_to)
+    windowed = vcfg.get("window_size") and vcfg["mlp"] == "swiglu"
+    inv_merged = None
+    if windowed:
+        # pre-permute patches into window tiles host-side (the pointwise
+        # patch embed commutes with the gather); merged outputs are
+        # inverse-permuted below
+        perm, seg_win_np, inv_merged = vision_window_perm(grids, vcfg)
+        pixels = pixels[perm]
+        rope[:p] = rope[perm]
+        seg[:p] = seg[perm]  # identity in practice (windows stay in-image)
+        seg_win = np.pad(
+            seg_win_np, (0, pad_to - p), constant_values=-1
+        ).astype(np.int32)
+        depth = int(vcfg["depth"])
+        full_flags = np.zeros(depth, bool)
+        full_flags[list(vcfg["fullatt_block_indexes"])] = True
+    else:
+        seg_win = seg
+        full_flags = np.ones(int(vcfg["depth"]), bool)
     px = np.zeros((pad_to, pixels.shape[1]), pixels.dtype)
     px[:p] = pixels
     dt = cfg.dtype
@@ -268,10 +374,17 @@ def encode_images(
         jnp.asarray(px, dt),
         jnp.asarray(rope),
         jnp.asarray(seg),
+        jnp.asarray(seg_win),
+        jnp.asarray(full_flags),
         num_heads=int(vcfg["num_heads"]),
         act=str(vcfg["hidden_act"]),
+        norm=str(vcfg["norm"]),
+        mlp=str(vcfg["mlp"]),
     )
-    return out[: p // m2]
+    out = out[: p // m2]
+    if inv_merged is not None:
+        out = out[jnp.asarray(inv_merged)]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -326,8 +439,8 @@ kv_cache_spec = llama.kv_cache_spec
 def _init_vision_params(vcfg: dict, cfg: ModelConfig, key) -> dict:
     e = int(vcfg["embed_dim"])
     depth = int(vcfg["depth"])
-    hid = int(vcfg["hidden_size"])
-    mlp = int(e * float(vcfg["mlp_ratio"]))
+    hid = int(vcfg["out_hidden"])
+    mlp = int(vcfg["intermediate_size"])
     m2 = int(vcfg["spatial_merge_size"]) ** 2
     kdim = (
         int(vcfg["in_channels"])
@@ -341,8 +454,8 @@ def _init_vision_params(vcfg: dict, cfg: ModelConfig, key) -> dict:
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dt)
 
     def blockp(k):
-        kk = jax.random.split(k, 4)
-        return {
+        kk = jax.random.split(k, 5)
+        out = {
             "ln1_w": jnp.ones((depth, e), jnp.float32),
             "ln1_b": jnp.zeros((depth, e), jnp.float32),
             "ln2_w": jnp.ones((depth, e), jnp.float32),
@@ -351,11 +464,24 @@ def _init_vision_params(vcfg: dict, cfg: ModelConfig, key) -> dict:
             "qkv_b": jnp.zeros((depth, 3 * e), dt),
             "proj_w": dense(kk[1], (depth, e, e)),
             "proj_b": jnp.zeros((depth, e), dt),
-            "fc1_w": dense(kk[2], (depth, e, mlp)),
-            "fc1_b": jnp.zeros((depth, mlp), dt),
-            "fc2_w": dense(kk[3], (depth, mlp, e)),
-            "fc2_b": jnp.zeros((depth, e), dt),
         }
+        if vcfg["mlp"] == "swiglu":
+            out.update(
+                gate_w=dense(kk[2], (depth, e, mlp)),
+                gate_b=jnp.zeros((depth, mlp), dt),
+                up_w=dense(kk[3], (depth, e, mlp)),
+                up_b=jnp.zeros((depth, mlp), dt),
+                down_w=dense(kk[4], (depth, mlp, e)),
+                down_b=jnp.zeros((depth, e), dt),
+            )
+        else:
+            out.update(
+                fc1_w=dense(kk[2], (depth, e, mlp)),
+                fc1_b=jnp.zeros((depth, mlp), dt),
+                fc2_w=dense(kk[3], (depth, mlp, e)),
+                fc2_b=jnp.zeros((depth, e), dt),
+            )
+        return out
 
     return {
         "patch_w": dense(ks[0], (kdim, e)),
@@ -424,24 +550,47 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
             xs.append(a.T if transpose else a)
         return jnp.stack(xs)
 
+    rms = vcfg["norm"] == "rms"
+    blocks = {
+        "ln1_w": stack("blocks.{}.norm1.weight", jnp.float32),
+        "ln2_w": stack("blocks.{}.norm2.weight", jnp.float32),
+        "qkv_w": stack("blocks.{}.attn.qkv.weight", transpose=True),
+        "qkv_b": stack("blocks.{}.attn.qkv.bias"),
+        "proj_w": stack("blocks.{}.attn.proj.weight", transpose=True),
+        "proj_b": stack("blocks.{}.attn.proj.bias"),
+    }
+    if rms:
+        # RMSNorm has no bias; zeros keep the block pytree uniform
+        blocks["ln1_b"] = jnp.zeros_like(blocks["ln1_w"])
+        blocks["ln2_b"] = jnp.zeros_like(blocks["ln2_w"])
+    else:
+        blocks["ln1_b"] = stack("blocks.{}.norm1.bias", jnp.float32)
+        blocks["ln2_b"] = stack("blocks.{}.norm2.bias", jnp.float32)
+    if vcfg["mlp"] == "swiglu":
+        blocks.update(
+            gate_w=stack("blocks.{}.mlp.gate_proj.weight", transpose=True),
+            gate_b=stack("blocks.{}.mlp.gate_proj.bias"),
+            up_w=stack("blocks.{}.mlp.up_proj.weight", transpose=True),
+            up_b=stack("blocks.{}.mlp.up_proj.bias"),
+            down_w=stack("blocks.{}.mlp.down_proj.weight", transpose=True),
+            down_b=stack("blocks.{}.mlp.down_proj.bias"),
+        )
+    else:
+        blocks.update(
+            fc1_w=stack("blocks.{}.mlp.fc1.weight", transpose=True),
+            fc1_b=stack("blocks.{}.mlp.fc1.bias"),
+            fc2_w=stack("blocks.{}.mlp.fc2.weight", transpose=True),
+            fc2_b=stack("blocks.{}.mlp.fc2.bias"),
+        )
+    ln_q_w = get("merger.ln_q.weight", jnp.float32)
     params["visual"] = {
         "patch_w": get("patch_embed.proj.weight").reshape(e, -1).T,
-        "blocks": {
-            "ln1_w": stack("blocks.{}.norm1.weight", jnp.float32),
-            "ln1_b": stack("blocks.{}.norm1.bias", jnp.float32),
-            "ln2_w": stack("blocks.{}.norm2.weight", jnp.float32),
-            "ln2_b": stack("blocks.{}.norm2.bias", jnp.float32),
-            "qkv_w": stack("blocks.{}.attn.qkv.weight", transpose=True),
-            "qkv_b": stack("blocks.{}.attn.qkv.bias"),
-            "proj_w": stack("blocks.{}.attn.proj.weight", transpose=True),
-            "proj_b": stack("blocks.{}.attn.proj.bias"),
-            "fc1_w": stack("blocks.{}.mlp.fc1.weight", transpose=True),
-            "fc1_b": stack("blocks.{}.mlp.fc1.bias"),
-            "fc2_w": stack("blocks.{}.mlp.fc2.weight", transpose=True),
-            "fc2_b": stack("blocks.{}.mlp.fc2.bias"),
-        },
-        "ln_q_w": get("merger.ln_q.weight", jnp.float32),
-        "ln_q_b": get("merger.ln_q.bias", jnp.float32),
+        "blocks": blocks,
+        "ln_q_w": ln_q_w,
+        "ln_q_b": (
+            jnp.zeros_like(ln_q_w) if rms
+            else get("merger.ln_q.bias", jnp.float32)
+        ),
         "m0_w": get("merger.mlp.0.weight").T,
         "m0_b": get("merger.mlp.0.bias"),
         "m2_w": get("merger.mlp.2.weight").T,

@@ -52,6 +52,7 @@ _REGISTRY: dict[str, str] = {
     # Qwen-VL multimodal family (ref: vllm_metax/models/qwen2_vl.py,
     # qwen2_5_vl.py): ViT + mrope text model
     "Qwen2VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
+    "Qwen2_5_VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
 }
 
 
