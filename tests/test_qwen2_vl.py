@@ -477,3 +477,132 @@ def test_v25_e2e_generate(setup25):
         SamplingParams(max_tokens=8, temperature=0.0),
     )
     assert outs[0].outputs[0].token_ids == ref
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-VL (learned pos embed, deepstack, interleaved mrope, Qwen3 text)
+
+
+GRID3 = (1, 8, 4)  # 32 patches → 8 merged tokens
+
+
+@pytest.fixture(scope="module")
+def setup3(tmp_path_factory):
+    import torch
+    from transformers import Qwen3VLConfig, Qwen3VLForConditionalGeneration
+
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            vocab_size=512,
+            max_position_embeddings=256,
+            rope_theta=10000.0,
+            rope_scaling=dict(
+                rope_type="default",
+                mrope_section=[2, 3, 3],
+                mrope_interleaved=True,
+            ),
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=3,
+            hidden_size=32,
+            num_heads=2,
+            out_hidden_size=64,
+            intermediate_size=48,
+            in_channels=3,
+            patch_size=4,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1],
+            hidden_act="gelu_pytorch_tanh",
+        ),
+        image_token_id=IMG_TOK,
+        video_token_id=VID_TOK,
+        vision_start_token_id=VSTART,
+    )
+    torch.manual_seed(2)
+    hf = Qwen3VLForConditionalGeneration(cfg).eval()
+    path = str(tmp_path_factory.mktemp("q3vl") / "tiny")
+    hf.save_pretrained(path, safe_serialization=True)
+    mcfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(mcfg.architecture)
+    params = model.load_weights(mcfg, None, path)
+    return hf, path, mcfg, model, params
+
+
+def test_v3_vision_tower_parity(setup3):
+    """Interpolated learned pos embed + deepstack mergers vs HF."""
+    import torch
+
+    hf, _, cfg, model, params = setup3
+    rng = np.random.default_rng(9)
+    px = _pixels(rng, GRID3)
+    with torch.no_grad():
+        ref, ref_ds = hf.model.visual(
+            torch.tensor(px), grid_thw=torch.tensor([list(GRID3)])
+        )
+    ours, ds = model.encode_images(
+        params, px, [GRID3], cfg, want_deepstack=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy(), rtol=3e-4, atol=3e-4
+    )
+    assert ds.shape[0] == len(ref_ds)
+    for i, r in enumerate(ref_ds):
+        np.testing.assert_allclose(
+            np.asarray(ds[i]), r.numpy(), rtol=3e-4, atol=3e-4
+        )
+
+
+def test_v3_e2e_generate(setup3):
+    """Deepstack injection + interleaved mrope through the engine, incl.
+    multi-step decode; qk_norm Qwen3 text stack."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup3
+    rng = np.random.default_rng(10)
+    px = _pixels(rng, GRID3)
+    ids = np.concatenate(
+        [rng.integers(10, 512, 4), [VSTART], [IMG_TOK] * 8,
+         rng.integers(10, 512, 5)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID3)]),
+            max_new_tokens=12,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path,
+        dtype="float32",
+        num_kv_blocks=64,
+        max_num_seqs=8,
+        max_num_batched_tokens=32,  # forces chunked prefill mid-image
+        num_decode_steps=4,
+    )
+    outs = llm.generate(
+        [
+            {
+                "prompt_token_ids": ids.tolist(),
+                "multi_modal_data": {
+                    "image": {
+                        "pixel_values": px,
+                        "image_grid_thw": [list(GRID3)],
+                    }
+                },
+            }
+        ],
+        SamplingParams(max_tokens=12, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == ref

@@ -182,7 +182,11 @@ class ModelConfig:
             "Qwen2_5_VLForConditionalGeneration",
         ):
             kw["attention_bias"] = True
-        if archs[0] in ("Qwen3ForCausalLM", "Qwen3MoeForCausalLM"):
+        if archs[0] in (
+            "Qwen3ForCausalLM",
+            "Qwen3MoeForCausalLM",
+            "Qwen3VLForConditionalGeneration",
+        ):
             kw["qk_norm"] = True
             kw["attention_bias"] = False
         if cfg.get("sliding_window") and cfg.get("use_sliding_window", True):

@@ -804,11 +804,13 @@ class ModelRunner:
                 f"{cfg.architecture} does not accept multi_modal_data"
             )
         grids = [tuple(int(x) for x in g) for g in mmd["image_grid_thw"]]
-        embeds = np.asarray(
-            self.model.encode_images(
-                self.params, np.asarray(mmd["pixel_values"]), grids, cfg
-            ),
-            np.float32,
+        embeds, deepstack = self.model.encode_images(
+            self.params, np.asarray(mmd["pixel_values"]), grids, cfg,
+            want_deepstack=True,
+        )
+        embeds = np.asarray(embeds, np.float32)
+        deepstack = (
+            None if deepstack is None else np.asarray(deepstack, np.float32)
         )
         img_tok = self.model.image_token_id(cfg)
         vid_tok = self.model.video_token_id(cfg)
@@ -821,6 +823,7 @@ class ModelRunner:
         pos3, delta = self.model.mrope_positions_np(ids, grids, cfg)
         return {
             "embeds": embeds,
+            "deepstack": deepstack,  # (K, Nimg, H) Qwen3-VL early-layer adds
             "is_img": is_img,
             "img_ord": np.cumsum(is_img).astype(np.int32) - 1,
             "pos3": pos3,
@@ -1425,6 +1428,7 @@ class ModelRunner:
         mrope_np = None
         mm_embeds_np = None
         mm_mask_np = None
+        mm_ds_np = None
         if self._is_mrope:
             # rotary position ≠ sequence position on mrope models: prompt
             # tokens use the precomputed 3-row table, generated tokens run
@@ -1457,9 +1461,18 @@ class ModelRunner:
                                 mm_embeds_np = np.zeros((tb, h), np.float32)
                                 mm_mask_np = np.zeros(tb, bool)
                             mm_mask_np[sl] = msk
-                            mm_embeds_np[offset2 + np.flatnonzero(msk)] = (
-                                mm["embeds"][mm["img_ord"][pos[msk]]]
-                            )
+                            rows_at = offset2 + np.flatnonzero(msk)
+                            ords = mm["img_ord"][pos[msk]]
+                            mm_embeds_np[rows_at] = mm["embeds"][ords]
+                            if mm.get("deepstack") is not None:
+                                if mm_ds_np is None:
+                                    kd = mm["deepstack"].shape[0]
+                                    mm_ds_np = np.zeros(
+                                        (kd, tb, h), np.float32
+                                    )
+                                mm_ds_np[:, rows_at] = (
+                                    mm["deepstack"][:, ords]
+                                )
                 mrope_np[:, offset2 : offset2 + n] = rows
                 offset2 += n
 
@@ -1501,6 +1514,10 @@ class ModelRunner:
             ),
             mm_mask=(
                 None if mm_mask_np is None else jnp.asarray(mm_mask_np)
+            ),
+            mm_deepstack=(
+                None if mm_ds_np is None
+                else jnp.asarray(mm_ds_np, self.model_cfg.dtype)
             ),
         )
 

@@ -82,6 +82,8 @@ def run_layers(
     ep_axis_name: Optional[str] = None,
     num_layers: Optional[int] = None,  # local layer count (PP stages)
     rope_rows: Optional[jnp.ndarray] = None,  # (T, rot) per-token rope rows
+    deepstack: Optional[jnp.ndarray] = None,  # (K, T, E) early-layer visual
+    ds_mask: Optional[jnp.ndarray] = None,  # (T,) image-token mask
 ):
     """The decoder layer stack as one lax.scan over the (local) stacked layer
     bank. Returns (hidden, residual, new kv_cache) — residual is carried
@@ -180,6 +182,17 @@ def run_layers(
                          lora_idx=md.lora_idx, gather_axis=axis_name)
         )
 
+        if deepstack is not None:
+            # Qwen3-VL deepstack: add layer-l visual features at image
+            # positions for the first K layers (HF _deepstack_process)
+            kd = deepstack.shape[0]
+            ds_l = jax.lax.dynamic_index_in_dim(
+                deepstack, jnp.minimum(l, kd - 1), keepdims=False
+            )
+            on = jnp.logical_and(l < kd, ds_mask)
+            mlp_out = mlp_out + jnp.where(
+                on[:, None], ds_l, 0.0
+            ).astype(mlp_out.dtype)
         if defer:
             return (mlp_out, residual), (k, v)
         return (mlp_out, residual, kv), None

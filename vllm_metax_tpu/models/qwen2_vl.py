@@ -51,6 +51,17 @@ def _is_v25(cfg: ModelConfig) -> bool:
     return cfg.architecture == "Qwen2_5_VLForConditionalGeneration"
 
 
+def _is_v3(cfg: ModelConfig) -> bool:
+    return cfg.architecture == "Qwen3VLForConditionalGeneration"
+
+
+def mrope_interleaved(cfg: ModelConfig) -> bool:
+    """Qwen3-VL interleaves the t/h/w rope channels instead of chunking."""
+    return bool(
+        (cfg.rope_scaling or {}).get("mrope_interleaved", False) or _is_v3(cfg)
+    )
+
+
 def vision_cfg(cfg: ModelConfig) -> dict:
     vc = dict(cfg.hf_config.get("vision_config") or {})
     vc.setdefault("depth", 32)
@@ -60,7 +71,22 @@ def vision_cfg(cfg: ModelConfig) -> dict:
     vc.setdefault("temporal_patch_size", 2)
     vc.setdefault("spatial_merge_size", 2)
     vc.setdefault("mlp_ratio", 4)
-    if _is_v25(cfg):
+    if _is_v3(cfg):
+        # Qwen3-VL: LayerNorm + plain-MLP blocks (linear_fc naming), learned
+        # interpolated pos embed, deepstack taps; no window attention
+        vc.setdefault("hidden_size", 1152)
+        vc["embed_dim"] = vc["hidden_size"]
+        vc.setdefault("out_hidden_size", cfg.hidden_size)
+        vc["out_hidden"] = vc["out_hidden_size"]
+        vc.setdefault(
+            "intermediate_size", int(vc["embed_dim"] * float(vc["mlp_ratio"]))
+        )
+        vc.setdefault("hidden_act", "gelu_pytorch_tanh")
+        vc.setdefault("num_position_embeddings", 2304)
+        vc.setdefault("deepstack_visual_indexes", [8, 16, 24])
+        vc["norm"] = "layer"
+        vc["mlp"] = "fc"
+    elif _is_v25(cfg):
         # Qwen2.5-VL renames embed_dim→hidden_size, adds SwiGLU + RMSNorm
         # and window attention (HF Qwen2_5_VLVisionConfig)
         vc.setdefault("hidden_size", 1280)
@@ -191,6 +217,50 @@ def vision_window_perm(grids: list, vcfg: dict):
     return perm.astype(np.int32), seg_win, inv_merged
 
 
+def _pos_embed_rows_np(grids: list, vcfg: dict):
+    """Bilinear interpolation indices/weights for Qwen3-VL's learned grid
+    pos embed (HF fast_pos_embed_interpolate), already in merge-block patch
+    order. Returns (idx (4, P), w (4, P))."""
+    n_side = int(round(float(vcfg["num_position_embeddings"]) ** 0.5))
+    m = int(vcfg["spatial_merge_size"])
+    idx_all, w_all = [], []
+    for t, h, w in grids:
+        t, h, w = int(t), int(h), int(w)
+        h_idx = np.linspace(0, n_side - 1, h)
+        w_idx = np.linspace(0, n_side - 1, w)
+        hf_, wf_ = h_idx.astype(np.int64), w_idx.astype(np.int64)
+        hc = np.minimum(hf_ + 1, n_side - 1)
+        wc = np.minimum(wf_ + 1, n_side - 1)
+        dh, dw = h_idx - hf_, w_idx - wf_
+        idx4 = np.stack([
+            (hf_[:, None] * n_side + wf_[None, :]).reshape(-1),
+            (hf_[:, None] * n_side + wc[None, :]).reshape(-1),
+            (hc[:, None] * n_side + wf_[None, :]).reshape(-1),
+            (hc[:, None] * n_side + wc[None, :]).reshape(-1),
+        ])  # (4, h*w) row-major
+        w4 = np.stack([
+            ((1 - dh)[:, None] * (1 - dw)[None, :]).reshape(-1),
+            ((1 - dh)[:, None] * dw[None, :]).reshape(-1),
+            (dh[:, None] * (1 - dw)[None, :]).reshape(-1),
+            (dh[:, None] * dw[None, :]).reshape(-1),
+        ])
+        # row-major → merge-block patch order, then repeat over t frames
+        perm = (
+            np.arange(h * w)
+            .reshape(h // m, m, w // m, m)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+        idx4 = np.tile(idx4[:, perm], (1, t))
+        w4 = np.tile(w4[:, perm], (1, t))
+        idx_all.append(idx4)
+        w_all.append(w4)
+    return (
+        np.concatenate(idx_all, axis=1),
+        np.concatenate(w_all, axis=1).astype(np.float32),
+    )
+
+
 def mrope_positions_np(
     ids: np.ndarray, grids: list, cfg: ModelConfig
 ) -> tuple[np.ndarray, int]:
@@ -254,6 +324,7 @@ def _quick_gelu(x):
 _VIS_ACT = {
     "quick_gelu": _quick_gelu,
     "gelu": partial(jax.nn.gelu, approximate=False),
+    "gelu_pytorch_tanh": partial(jax.nn.gelu, approximate=True),
     "silu": jax.nn.silu,
 }
 
@@ -332,14 +403,82 @@ def _vision_forward(
     return x @ vp["m2_w"] + vp["m2_b"]  # (P/m², H)
 
 
+@partial(jax.jit, static_argnames=("num_heads", "act", "taps"))
+def _vision_forward_q3(
+    vp: dict,
+    pixels: jnp.ndarray,  # (P, K)
+    pos_add: jnp.ndarray,  # (P, E) interpolated learned pos embed
+    rope: jnp.ndarray,  # (P, hd)
+    seg: jnp.ndarray,  # (P,) image ids, -1 pad
+    num_heads: int,
+    act: str,
+    taps: tuple,  # deepstack tap layer indexes
+):
+    """Qwen3-VL ViT: LayerNorm blocks + plain MLP; collects deepstack
+    features after the tap layers, each through its own postshuffle-norm
+    merger. Returns (merged (P/m², H), deepstack (K, P/m², H))."""
+    x = pixels @ vp["patch_w"] + vp["patch_b"] + pos_add
+    p, e = x.shape
+    hd = e // num_heads
+    scale = hd**-0.5
+    mask = (seg[:, None] == seg[None, :])[None]
+    pos = jnp.arange(p, dtype=jnp.int32)
+    act_fn = _VIS_ACT[act]
+
+    def block(x, bp):
+        h = _layer_norm(x, bp["ln1_w"], bp["ln1_b"])
+        qkv = h @ bp["qkv_w"] + bp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(p, num_heads, hd)
+        k = k.reshape(p, num_heads, hd)
+        v = v.reshape(p, num_heads, hd)
+        q, k = apply_rope(q, k, pos, rope)
+        scores = jnp.einsum(
+            "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("hqk,khd->qhd", probs, v).reshape(p, e)
+        x = x + (o @ bp["proj_w"] + bp["proj_b"])
+        h = _layer_norm(x, bp["ln2_w"], bp["ln2_b"])
+        h = act_fn(h @ bp["fc1_w"] + bp["fc1_b"]) @ bp["fc2_w"] + bp["fc2_b"]
+        return x + h, x + h
+
+    _, xs = jax.lax.scan(block, x, vp["blocks"])  # xs: (depth, P, E)
+
+    def merger(mp, h, postshuffle):
+        if postshuffle:
+            h = h.reshape(-1, mp["m0_w"].shape[0])
+            h = _layer_norm(h, mp["norm_w"], mp["norm_b"])
+        else:
+            h = _layer_norm(h, mp["norm_w"], mp["norm_b"])
+            h = h.reshape(-1, mp["m0_w"].shape[0])
+        h = jax.nn.gelu(h @ mp["m0_w"] + mp["m0_b"], approximate=False)
+        return h @ mp["m2_w"] + mp["m2_b"]
+
+    out = merger(vp["merger"], xs[-1], False)
+    ds = jnp.stack([
+        merger(
+            jax.tree_util.tree_map(lambda a: a[i], vp["ds_mergers"]),
+            xs[tap],
+            True,
+        )
+        for i, tap in enumerate(taps)
+    ])
+    return out, ds
+
+
 def encode_images(
     params: dict,
     pixels: np.ndarray,  # (P, C*tps*ps*ps) from the HF image processor
     grids: list,  # list of (t, h, w)
     cfg: ModelConfig,
     pad_to: Optional[int] = None,
-) -> jnp.ndarray:
-    """Run the vision tower; returns (sum(grid)/m², H) merged embeddings."""
+    want_deepstack: bool = False,
+):
+    """Run the vision tower; returns (sum(grid)/m², H) merged embeddings —
+    with want_deepstack, a (embeds, deepstack (K, sum/m², H) | None)
+    tuple."""
     vcfg = vision_cfg(cfg)
     m2 = int(vcfg["spatial_merge_size"]) ** 2
     p = pixels.shape[0]
@@ -347,6 +486,30 @@ def encode_images(
         # bucket to limit recompiles; merge groups must stay aligned
         pad_to = max(m2 * 32, 2 ** math.ceil(math.log2(max(p, 1))))
     rope, seg = vision_patch_metadata(grids, vcfg, pad_to)
+    dt = cfg.dtype
+    if _is_v3(cfg):
+        idx4, w4 = _pos_embed_rows_np(grids, vcfg)
+        table = params["visual"]["pos_embed"]
+        pos_add = jnp.einsum(
+            "fp,fpe->pe", jnp.asarray(w4, jnp.float32),
+            table[jnp.asarray(idx4)].astype(jnp.float32),
+        ).astype(dt)
+        pos_add = jnp.pad(pos_add, ((0, pad_to - p), (0, 0)))
+        px = np.zeros((pad_to, pixels.shape[1]), pixels.dtype)
+        px[:p] = pixels
+        out, ds = _vision_forward_q3(
+            params["visual"],
+            jnp.asarray(px, dt),
+            pos_add,
+            jnp.asarray(rope),
+            jnp.asarray(seg),
+            num_heads=int(vcfg["num_heads"]),
+            act=str(vcfg["hidden_act"]),
+            taps=tuple(int(i) for i in vcfg["deepstack_visual_indexes"]),
+        )
+        out = out[: p // m2]
+        ds = ds[:, : p // m2]
+        return (out, ds) if want_deepstack else out
     windowed = vcfg.get("window_size") and vcfg["mlp"] == "swiglu"
     inv_merged = None
     if windowed:
@@ -368,7 +531,6 @@ def encode_images(
         full_flags = np.ones(int(vcfg["depth"]), bool)
     px = np.zeros((pad_to, pixels.shape[1]), pixels.dtype)
     px[:p] = pixels
-    dt = cfg.dtype
     out = _vision_forward(
         params["visual"],
         jnp.asarray(px, dt),
@@ -384,7 +546,7 @@ def encode_images(
     out = out[: p // m2]
     if inv_merged is not None:
         out = out[jnp.asarray(inv_merged)]
-    return out
+    return (out, None) if want_deepstack else out
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +572,8 @@ def forward(
     rope_rows = None
     if md.mrope_positions is not None:
         rope_rows = mrope_rows(
-            params["rope_cache"], md.mrope_positions, mrope_section(cfg)
+            params["rope_cache"], md.mrope_positions, mrope_section(cfg),
+            interleaved=mrope_interleaved(cfg),
         )
     residual = jnp.zeros_like(hidden)
     hidden, residual, new_kv = llama.run_layers(
@@ -424,6 +587,8 @@ def forward(
         num_kv_heads=num_kv_heads,
         axis_name=axis_name,
         rope_rows=rope_rows,
+        deepstack=md.mm_deepstack,
+        ds_mask=md.mm_mask,
     )
     return llama.finalize(hidden, residual, cfg), new_kv
 
@@ -483,6 +648,35 @@ def _init_vision_params(vcfg: dict, cfg: ModelConfig, key) -> dict:
             )
         return out
 
+    if vcfg.get("deepstack_visual_indexes") is not None:
+        # Qwen3-VL layout: learned pos embed + per-tap deepstack mergers
+        def mergerp(k, postshuffle):
+            kk = jax.random.split(k, 2)
+            nd = m2 * e if postshuffle else e
+            return {
+                "norm_w": jnp.ones((nd,), jnp.float32),
+                "norm_b": jnp.zeros((nd,), jnp.float32),
+                "m0_w": dense(kk[0], (m2 * e, m2 * e)),
+                "m0_b": jnp.zeros((m2 * e,), dt),
+                "m2_w": dense(kk[1], (m2 * e, hid)),
+                "m2_b": jnp.zeros((hid,), dt),
+            }
+
+        taps = list(vcfg["deepstack_visual_indexes"])
+        dks = jax.random.split(ks[4], len(taps))
+        return {
+            "patch_w": dense(ks[0], (kdim, e)),
+            "patch_b": jnp.zeros((e,), dt),
+            "pos_embed": dense(
+                ks[5], (int(vcfg["num_position_embeddings"]), e)
+            ),
+            "blocks": blockp(ks[1]),
+            "merger": mergerp(ks[2], False),
+            "ds_mergers": jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[mergerp(dks[i], True) for i in range(len(taps))],
+            ),
+        }
     return {
         "patch_w": dense(ks[0], (kdim, e)),
         "blocks": blockp(ks[1]),
@@ -550,6 +744,46 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
             xs.append(a.T if transpose else a)
         return jnp.stack(xs)
 
+    if _is_v3(cfg):
+        blocks = {
+            "ln1_w": stack("blocks.{}.norm1.weight", jnp.float32),
+            "ln1_b": stack("blocks.{}.norm1.bias", jnp.float32),
+            "ln2_w": stack("blocks.{}.norm2.weight", jnp.float32),
+            "ln2_b": stack("blocks.{}.norm2.bias", jnp.float32),
+            "qkv_w": stack("blocks.{}.attn.qkv.weight", transpose=True),
+            "qkv_b": stack("blocks.{}.attn.qkv.bias"),
+            "proj_w": stack("blocks.{}.attn.proj.weight", transpose=True),
+            "proj_b": stack("blocks.{}.attn.proj.bias"),
+            "fc1_w": stack("blocks.{}.mlp.linear_fc1.weight", transpose=True),
+            "fc1_b": stack("blocks.{}.mlp.linear_fc1.bias"),
+            "fc2_w": stack("blocks.{}.mlp.linear_fc2.weight", transpose=True),
+            "fc2_b": stack("blocks.{}.mlp.linear_fc2.bias"),
+        }
+
+        def mergerl(pre):
+            return {
+                "norm_w": get(f"{pre}.norm.weight", jnp.float32),
+                "norm_b": get(f"{pre}.norm.bias", jnp.float32),
+                "m0_w": get(f"{pre}.linear_fc1.weight").T,
+                "m0_b": get(f"{pre}.linear_fc1.bias"),
+                "m2_w": get(f"{pre}.linear_fc2.weight").T,
+                "m2_b": get(f"{pre}.linear_fc2.bias"),
+            }
+
+        taps = vision_cfg(cfg)["deepstack_visual_indexes"]
+        params["visual"] = {
+            "patch_w": get("patch_embed.proj.weight").reshape(e, -1).T,
+            "patch_b": get("patch_embed.proj.bias"),
+            "pos_embed": get("pos_embed.weight"),
+            "blocks": blocks,
+            "merger": mergerl("merger"),
+            "ds_mergers": jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[mergerl(f"deepstack_merger_list.{i}")
+                  for i in range(len(taps))],
+            ),
+        }
+        return params
     rms = vcfg["norm"] == "rms"
     blocks = {
         "ln1_w": stack("blocks.{}.norm1.weight", jnp.float32),

@@ -53,6 +53,7 @@ _REGISTRY: dict[str, str] = {
     # qwen2_5_vl.py): ViT + mrope text model
     "Qwen2VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
     "Qwen2_5_VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
+    "Qwen3VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
 }
 
 

@@ -71,6 +71,9 @@ class AttentionMetadata:
     mm_embeds: Optional[jnp.ndarray] = None  # (T, H)
     mm_mask: Optional[jnp.ndarray] = None  # (T,) bool
     mrope_positions: Optional[jnp.ndarray] = None  # (3, T) int32
+    # Qwen3-VL deepstack: per-early-layer visual features added to the
+    # hidden states at image positions (K, T, H)
+    mm_deepstack: Optional[jnp.ndarray] = None
 
 
 def layer_view(

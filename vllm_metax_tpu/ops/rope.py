@@ -168,6 +168,7 @@ def mrope_rows(
     cache: jnp.ndarray,  # (max_pos, rot_dim) 1-D rope cache
     mrope_positions: jnp.ndarray,  # (3, T) t/h/w position rows
     mrope_section: tuple[int, ...],  # static channel split over rot_dim/2
+    interleaved: bool = False,  # Qwen3-VL: [THWTHW...TT] channel layout
 ) -> jnp.ndarray:
     """Per-token rope rows for multimodal 3-section rope (Qwen2-VL mrope,
     HF apply_multimodal_rotary_pos_emb): channel chunk i of the cos/sin
@@ -177,10 +178,17 @@ def mrope_rows(
     rows equal) this degenerates to the plain cache row."""
     half = cache.shape[-1] // 2
     sec = np.zeros(half, np.int32)
-    off = 0
-    for i, s in enumerate(mrope_section):
-        sec[off:off + s] = i
-        off += s
+    if interleaved:
+        # HF Qwen3VLTextRotaryEmbedding.apply_interleaved_mrope: H rides
+        # channels 1,4,7,… (up to 3·sec[1]), W rides 2,5,8,… (up to
+        # 3·sec[2]), T everywhere else
+        sec[1 : 3 * mrope_section[1] : 3] = 1
+        sec[2 : 3 * mrope_section[2] : 3] = 2
+    else:
+        off = 0
+        for i, s in enumerate(mrope_section):
+            sec[off:off + s] = i
+            off += s
     sec = np.concatenate([sec, sec])  # same pattern for cos and sin halves
     onehot = (sec[None, :] == np.arange(3)[:, None])  # (3, rot_dim) bool
     rows = cache[mrope_positions]  # (3, T, rot_dim)
