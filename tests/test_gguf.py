@@ -1,0 +1,387 @@
+"""GGUF checkpoint support: block dequant math (validated against scalar
+reference implementations of the ggml layouts), file round-trip, config
+mapping, and e2e greedy generate from a .gguf llama checkpoint (the
+reference's gguf quantization support, csrc/quantization/gguf/)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vllm_metax_tpu.weights import gguf as G
+
+
+# ---------------------------------------------------------------------------
+# minimal GGUF writer (test-only)
+
+
+def _w_str(s):
+    b = s.encode()
+    return struct.pack("<Q", len(b)) + b
+
+
+def _w_kv(key, val):
+    out = _w_str(key)
+    if isinstance(val, bool):
+        out += struct.pack("<IB", 7, val)
+    elif isinstance(val, int):
+        out += struct.pack("<Iq", 11, val)
+    elif isinstance(val, float):
+        out += struct.pack("<If", 6, val)
+    elif isinstance(val, str):
+        out += struct.pack("<I", 8) + _w_str(val)
+    else:
+        raise TypeError(val)
+    return out
+
+
+def write_gguf(path, metadata: dict, tensors: dict):
+    """tensors: name → (ggml_type, np_shape, block_bytes)."""
+    infos = b""
+    data = b""
+    align = 32
+    for name, (ttype, shape, raw) in tensors.items():
+        off = len(data)
+        dims = tuple(reversed(shape))  # ggml ne order
+        infos += (
+            _w_str(name)
+            + struct.pack("<I", len(dims))
+            + struct.pack(f"<{len(dims)}Q", *dims)
+            + struct.pack("<IQ", ttype, off)
+        )
+        data += raw
+        pad = (-len(data)) % align
+        data += b"\0" * pad
+    header = struct.pack("<IIQQ", G.GGUF_MAGIC, 3, len(tensors), len(metadata))
+    kv = b"".join(_w_kv(k, v) for k, v in metadata.items())
+    pre = header + kv + infos
+    pad = (-len(pre)) % align
+    with open(path, "wb") as f:
+        f.write(pre + b"\0" * pad + data)
+
+
+# test-side quantizers (round-to-nearest; any valid (scale, q) encoding is
+# a correct round-trip target for the reader)
+
+
+def quant_q8_0(x):
+    x = x.reshape(-1, 32)
+    d = np.abs(x).max(axis=1) / 127.0
+    d[d == 0] = 1.0
+    q = np.clip(np.round(x / d[:, None]), -128, 127).astype(np.int8)
+    out = b""
+    for i in range(x.shape[0]):
+        out += np.float16(d[i]).tobytes() + q[i].tobytes()
+    return out, (x.reshape(-1) // 1, d, q)
+
+
+def dequant_ref_q8_0(raw, n):
+    out = np.empty(n, np.float32)
+    for i in range(n // 32):
+        blk = raw[i * 34 : (i + 1) * 34]
+        d = np.frombuffer(blk[:2], np.float16)[0]
+        q = np.frombuffer(blk[2:], np.int8)
+        out[i * 32 : (i + 1) * 32] = np.float32(d) * q
+    return out
+
+
+def quant_q4_0(x):
+    x = x.reshape(-1, 32)
+    amax_idx = np.abs(x).argmax(axis=1)
+    maxv = x[np.arange(x.shape[0]), amax_idx]
+    d = maxv / -8.0
+    d[d == 0] = 1.0
+    q = np.clip(np.round(x / d[:, None]) + 8, 0, 15).astype(np.uint8)
+    out = b""
+    for i in range(x.shape[0]):
+        packed = (q[i, :16] | (q[i, 16:] << 4)).astype(np.uint8)
+        out += np.float16(d[i]).tobytes() + packed.tobytes()
+    return out
+
+
+def dequant_ref_q4_0(raw, n):
+    out = np.empty(n, np.float32)
+    for i in range(n // 32):
+        blk = raw[i * 18 : (i + 1) * 18]
+        d = np.float32(np.frombuffer(blk[:2], np.float16)[0])
+        qs = np.frombuffer(blk[2:], np.uint8)
+        for j in range(16):
+            out[i * 32 + j] = d * ((qs[j] & 0xF) - 8.0)
+            out[i * 32 + 16 + j] = d * ((qs[j] >> 4) - 8.0)
+    return out
+
+
+def test_q8_0_and_q4_0_dequant():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(256).astype(np.float32)
+    raw, _ = quant_q8_0(x)
+    np.testing.assert_allclose(
+        G._dequant(G.Q8_0, raw, 256), dequant_ref_q8_0(raw, 256), rtol=0
+    )
+    raw4 = quant_q4_0(x)
+    np.testing.assert_allclose(
+        G._dequant(G.Q4_0, raw4, 256), dequant_ref_q4_0(raw4, 256), rtol=0
+    )
+
+
+def test_q5_0_dequant_scalar_ref():
+    """Synthetic Q5_0 blocks vs a scalar reference of the ggml layout."""
+    rng = np.random.default_rng(1)
+    nb = 4
+    raw = b""
+    for _ in range(nb):
+        d = np.float16(rng.uniform(0.01, 0.1))
+        q = rng.integers(0, 32, 32).astype(np.uint8)
+        qh = 0
+        for j in range(32):
+            qh |= int(q[j] >> 4) << j
+        qs = ((q[:16] & 0xF) | ((q[16:] & 0xF) << 4)).astype(np.uint8)
+        raw += d.tobytes() + struct.pack("<I", qh) + qs.tobytes()
+        # scalar expectation for this block
+    got = G._dequant(G.Q5_0, raw, nb * 32)
+    # recompute scalar
+    exp = np.empty(nb * 32, np.float32)
+    for i in range(nb):
+        blk = raw[i * 22 : (i + 1) * 22]
+        d = np.float32(np.frombuffer(blk[:2], np.float16)[0])
+        qh = struct.unpack("<I", blk[2:6])[0]
+        qs = np.frombuffer(blk[6:], np.uint8)
+        for j in range(32):
+            lo = qs[j % 16] & 0xF if j < 16 else qs[j - 16] >> 4
+            q = lo | (((qh >> j) & 1) << 4)
+            exp[i * 32 + j] = d * (q - 16.0)
+    np.testing.assert_allclose(got, exp)
+
+
+def test_q4_k_q6_k_dequant_scalar_ref():
+    """Synthetic K-quant superblocks vs scalar references of the ggml
+    layouts (ggml-quants.c dequantize_row_q4_K / q6_K)."""
+    rng = np.random.default_rng(2)
+    # --- Q4_K
+    nb = 2
+    raw = b""
+    for _ in range(nb):
+        d, dmin = np.float16(0.05), np.float16(0.02)
+        sc = rng.integers(0, 64, 8).astype(np.uint8)
+        mn = rng.integers(0, 64, 8).astype(np.uint8)
+        scales = np.zeros(12, np.uint8)
+        for j in range(4):
+            scales[j] = sc[j] | ((sc[j + 4] >> 4) << 6)
+            scales[j + 4] = mn[j] | ((mn[j + 4] >> 4) << 6)
+            scales[j + 8] = (sc[j + 4] & 0xF) | ((mn[j + 4] & 0xF) << 4)
+        qs = rng.integers(0, 256, 128).astype(np.uint8)
+        raw += d.tobytes() + dmin.tobytes() + scales.tobytes() + qs.tobytes()
+    got = G._dequant(G.Q4_K, raw, nb * 256)
+    exp = np.empty(nb * 256, np.float32)
+    for i in range(nb):
+        blk = raw[i * 144 : (i + 1) * 144]
+        d = np.float32(np.frombuffer(blk[0:2], np.float16)[0])
+        dmin = np.float32(np.frombuffer(blk[2:4], np.float16)[0])
+        scales = np.frombuffer(blk[4:16], np.uint8)
+        qs = np.frombuffer(blk[16:144], np.uint8)
+        sc = np.empty(8)
+        mn = np.empty(8)
+        for j in range(8):
+            if j < 4:
+                sc[j] = scales[j] & 63
+                mn[j] = scales[j + 4] & 63
+            else:
+                sc[j] = (scales[j + 4] & 0xF) | ((scales[j - 4] >> 6) << 4)
+                mn[j] = (scales[j + 4] >> 4) | ((scales[j] >> 6) << 4)
+        for j in range(4):
+            chunk = qs[32 * j : 32 * (j + 1)]
+            for l in range(32):
+                c = int(chunk[l])
+                exp[i * 256 + 64 * j + l] = (
+                    d * sc[2 * j] * (c & 0xF) - dmin * mn[2 * j]
+                )
+                exp[i * 256 + 64 * j + 32 + l] = (
+                    d * sc[2 * j + 1] * (c >> 4) - dmin * mn[2 * j + 1]
+                )
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+    # --- Q6_K
+    raw = b""
+    for _ in range(nb):
+        ql = rng.integers(0, 256, 128).astype(np.uint8)
+        qh = rng.integers(0, 256, 64).astype(np.uint8)
+        scs = rng.integers(-32, 32, 16).astype(np.int8)
+        d = np.float16(0.03)
+        raw += ql.tobytes() + qh.tobytes() + scs.tobytes() + d.tobytes()
+    got = G._dequant(G.Q6_K, raw, nb * 256)
+    exp = np.empty(nb * 256, np.float32)
+    for i in range(nb):
+        blk = raw[i * 210 : (i + 1) * 210]
+        ql = np.frombuffer(blk[0:128], np.uint8)
+        qh = np.frombuffer(blk[128:192], np.uint8)
+        scs = np.frombuffer(blk[192:208], np.int8)
+        d = np.float32(np.frombuffer(blk[208:210], np.float16)[0])
+        y = np.empty(256, np.float32)
+        for half in range(2):
+            lq = ql[64 * half : 64 * half + 64]
+            hq = qh[32 * half : 32 * half + 32]
+            sc = scs[8 * half : 8 * half + 8]
+            for l in range(32):
+                is_ = l // 16
+                lql, lqh, h = int(lq[l]), int(lq[l + 32]), int(hq[l])
+                q1 = ((lql & 0xF) | (((h >> 0) & 3) << 4)) - 32
+                q2 = ((lqh & 0xF) | (((h >> 2) & 3) << 4)) - 32
+                q3 = ((lql >> 4) | (((h >> 4) & 3) << 4)) - 32
+                q4 = ((lqh >> 4) | (((h >> 6) & 3) << 4)) - 32
+                y[128 * half + l] = d * sc[is_] * q1
+                y[128 * half + l + 32] = d * sc[is_ + 2] * q2
+                y[128 * half + l + 64] = d * sc[is_ + 4] * q3
+                y[128 * half + l + 96] = d * sc[is_ + 6] * q4
+        exp[i * 256 : (i + 1) * 256] = y
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
+def test_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((8, 64)).astype(np.float32)
+    b = rng.standard_normal((4, 32)).astype(np.float32)
+    path = str(tmp_path / "t.gguf")
+    write_gguf(
+        path,
+        {"general.architecture": "llama", "llama.block_count": 1},
+        {
+            "a.weight": (G.F32, a.shape, a.tobytes()),
+            "b.weight": (G.Q8_0, b.shape, quant_q8_0(b)[0]),
+        },
+    )
+    g = G.GGUFFile(path)
+    assert g.metadata["general.architecture"] == "llama"
+    np.testing.assert_array_equal(g.get("a.weight"), a)
+    got = g.get("b.weight")
+    assert got.shape == b.shape
+    np.testing.assert_allclose(got, b, atol=0.05)
+
+
+@pytest.fixture(scope="module")
+def gguf_llama(tmp_path_factory):
+    """Tiny llama: HF fp32 model + a GGUF file carrying the SAME weights
+    (linears Q8_0-quantized; the HF model is rebuilt from the dequantized
+    tensors so greedy outputs must match exactly)."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    def blk(i, stem):
+        return f"blk.{i}.{stem}.weight"
+
+    tensors = {}
+    hf_to_g = {
+        "model.embed_tokens.weight": "token_embd.weight",
+        "model.norm.weight": "output_norm.weight",
+        "lm_head.weight": "output.weight",
+    }
+    for i in range(2):
+        pre = f"model.layers.{i}."
+        hf_to_g.update({
+            pre + "self_attn.q_proj.weight": blk(i, "attn_q"),
+            pre + "self_attn.k_proj.weight": blk(i, "attn_k"),
+            pre + "self_attn.v_proj.weight": blk(i, "attn_v"),
+            pre + "self_attn.o_proj.weight": blk(i, "attn_output"),
+            pre + "mlp.gate_proj.weight": blk(i, "ffn_gate"),
+            pre + "mlp.up_proj.weight": blk(i, "ffn_up"),
+            pre + "mlp.down_proj.weight": blk(i, "ffn_down"),
+            pre + "input_layernorm.weight": blk(i, "attn_norm"),
+            pre + "post_attention_layernorm.weight": blk(i, "ffn_norm"),
+        })
+    new_sd = {}
+    for hname, gname in hf_to_g.items():
+        w = sd[hname]
+        if "norm" in gname or gname == "token_embd.weight":
+            tensors[gname] = (G.F32, w.shape, np.ascontiguousarray(w).tobytes())
+            new_sd[hname] = w
+        else:
+            raw, _ = quant_q8_0(w)
+            tensors[gname] = (G.Q8_0, w.shape, raw)
+            new_sd[hname] = dequant_ref_q8_0(raw, w.size).reshape(w.shape)
+    import torch as T
+
+    hf.load_state_dict({k: T.tensor(v) for k, v in new_sd.items()})
+    path = str(tmp_path_factory.mktemp("gguf") / "tiny-llama-q8.gguf")
+    write_gguf(
+        path,
+        {
+            "general.architecture": "llama",
+            "llama.embedding_length": 64,
+            "llama.block_count": 2,
+            "llama.feed_forward_length": 128,
+            "llama.attention.head_count": 4,
+            "llama.attention.head_count_kv": 2,
+            "llama.context_length": 512,
+            "llama.attention.layer_norm_rms_epsilon": 1e-5,
+            "llama.rope.freq_base": 10000.0,
+            "llama.vocab_size": 256,
+        },
+        tensors,
+    )
+    return hf, path
+
+
+def test_config_from_gguf(gguf_llama):
+    _, path = gguf_llama
+    from vllm_metax_tpu.config import ModelConfig
+
+    cfg = ModelConfig.from_pretrained(path, dtype="float32")
+    assert cfg.architecture == "LlamaForCausalLM"
+    assert cfg.hidden_size == 64 and cfg.num_hidden_layers == 2
+    assert cfg.num_kv_heads == 2 and cfg.vocab_size == 256
+    assert not cfg.tie_word_embeddings
+
+
+def test_gguf_e2e_greedy(gguf_llama):
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path = gguf_llama
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 256, size=11).tolist()
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(prompt)[None], max_new_tokens=10, do_sample=False
+        )[0, len(prompt):].tolist()
+    llm = LLM(
+        model=path,
+        dtype="float32",
+        num_kv_blocks=64,
+        max_num_seqs=4,
+        max_num_batched_tokens=64,
+    )
+    out = llm.generate(
+        prompt_token_ids=[prompt], sampling_params=SamplingParams(
+            max_tokens=10, temperature=0.0
+        )
+    )
+    assert out[0].outputs[0].token_ids == ref
+
+
+def test_unsupported_quant_type_raises(tmp_path):
+    path = str(tmp_path / "bad.gguf")
+    write_gguf(
+        path,
+        {"general.architecture": "llama"},
+        {"x.weight": (G.Q3_K, (256,), b"\0" * 110)},
+    )
+    g = G.GGUFFile(path)
+    with pytest.raises(NotImplementedError, match="Q3_K"):
+        g.get("x.weight")

@@ -282,8 +282,15 @@ class ModelConfig:
 
     @staticmethod
     def from_pretrained(path: str, **overrides) -> "ModelConfig":
-        with open(os.path.join(path, "config.json")) as f:
-            cfg = json.load(f)
+        if path.endswith(".gguf") and os.path.isfile(path):
+            # single-file GGUF checkpoint (ref: "gguf" in
+            # supported_quantization, platform.py:59-66)
+            from vllm_metax_tpu.weights.gguf import config_from_gguf
+
+            cfg = config_from_gguf(path)
+        else:
+            with open(os.path.join(path, "config.json")) as f:
+                cfg = json.load(f)
         return ModelConfig.from_hf_config(cfg, model=path, **overrides)
 
 

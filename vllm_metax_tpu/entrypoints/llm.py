@@ -55,7 +55,10 @@ def _build_engine_config(
     overrides = {"dtype": dtype} if dtype != "auto" else {}
     if max_model_len:
         overrides["max_model_len"] = max_model_len
-    if model and os.path.isdir(model):
+    if model and (
+        os.path.isdir(model)
+        or (model.endswith(".gguf") and os.path.isfile(model))
+    ):
         model_config = ModelConfig.from_pretrained(model, **overrides)
         quant_config = QuantizationConfig.from_hf_config(model_config.hf_config)
     else:

@@ -14,7 +14,18 @@ import numpy as np
 
 
 class CheckpointReader:
-    """Lazy reader over one or more .safetensors files in a directory."""
+    """Lazy reader over one or more .safetensors files in a directory.
+
+    A single-file .gguf path returns a GGUFCheckpointReader instead (same
+    has/get/names surface, tensors dequantized to dense on read —
+    weights/gguf.py); __init__ is skipped for the foreign class."""
+
+    def __new__(cls, path: str):
+        if path.endswith(".gguf") and os.path.isfile(path):
+            from vllm_metax_tpu.weights.gguf import GGUFCheckpointReader
+
+            return GGUFCheckpointReader(path)
+        return super().__new__(cls)
 
     def __init__(self, path: str):
         self.path = path
