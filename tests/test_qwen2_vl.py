@@ -606,3 +606,220 @@ def test_v3_e2e_generate(setup3):
         SamplingParams(max_tokens=12, temperature=0.0),
     )
     assert outs[0].outputs[0].token_ids == ref
+
+
+# ---------------------------------------------------------------------------
+# raw-image inputs (HF image-processor path) + OpenAI server image parts
+
+
+def _tiny_vl_tokenizer(path):
+    """Byte-level BPE tokenizer with vision special tokens; returns their
+    ids for wiring into the model config."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=320,
+        special_tokens=[
+            "<s>", "</s>", "<|vision_start|>", "<|image_pad|>",
+            "<|vision_end|>",
+        ],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(
+        ["describe the image please " * 8, "hello world test " * 8], trainer
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, bos_token="<s>", eos_token="</s>",
+        additional_special_tokens=[
+            "<|vision_start|>", "<|image_pad|>", "<|vision_end|>",
+        ],
+    )
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n"
+        "{% endfor %}assistant:"
+    )
+    fast.save_pretrained(path)
+    ids = fast.convert_tokens_to_ids(
+        ["<|vision_start|>", "<|image_pad|>", "<|vision_end|>"]
+    )
+    return fast, ids
+
+
+@pytest.fixture(scope="module")
+def vl_server(tmp_path_factory):
+    import threading
+
+    import torch
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    tmp = tmp_path_factory.mktemp("vlsrv")
+    path = str(tmp / "tiny")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tokenizer, (vs, img, ve) = _tiny_vl_tokenizer(path)
+    vocab = max(tokenizer.get_vocab().values()) + 1
+    cfg = Qwen2VLConfig(
+        text_config=dict(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            vocab_size=vocab,
+            max_position_embeddings=1024,
+            rope_theta=10000.0,
+            rope_scaling=dict(type="mrope", mrope_section=[2, 3, 3]),
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=2,
+            embed_dim=32,
+            num_heads=2,
+            hidden_size=64,
+            in_channels=3,
+            patch_size=4,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            mlp_ratio=2,
+            hidden_act="quick_gelu",
+        ),
+        image_token_id=img,
+        video_token_id=1,  # distinct unused id (eos; never follows vs here)
+        vision_start_token_id=vs,
+        vision_end_token_id=ve,
+    )
+    torch.manual_seed(3)
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    hf.save_pretrained(path, safe_serialization=True)
+
+    from vllm_metax_tpu.entrypoints.api_server import build_server
+
+    srv = build_server(
+        "127.0.0.1", 0, path, dtype="float32", max_model_len=1024,
+        max_num_seqs=4,
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield url, hf, tokenizer, path
+    srv.shutdown()
+    srv.state.engine.shutdown()
+
+
+def _proc_for(cfg_path):
+    from transformers import Qwen2VLImageProcessor
+
+    return Qwen2VLImageProcessor(
+        patch_size=4, merge_size=2, temporal_patch_size=2
+    )
+
+
+def test_llm_generate_raw_image(setup):
+    """Raw numpy HWC image through the HF image-processor fallback."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup
+    rng = np.random.default_rng(11)
+    image = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    proc = _proc_for(path)
+    enc = proc(images=[image], return_tensors="np")
+    grid = [int(x) for x in enc["image_grid_thw"][0]]
+    merge2 = 4
+    n_img = int(np.prod(grid)) // merge2
+    ids = np.concatenate(
+        [np.arange(20, 26), [VSTART], [IMG_TOK] * n_img, np.arange(30, 34)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(enc["pixel_values"], dtype=torch.float32),
+            image_grid_thw=torch.tensor([grid]),
+            max_new_tokens=6,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=128,
+    )
+    raw_ids = np.concatenate(
+        [np.arange(20, 26), [VSTART], [IMG_TOK], np.arange(30, 34)]
+    ).tolist()
+    out = llm.generate(
+        [{"prompt_token_ids": raw_ids,
+          "multi_modal_data": {"image": image}}],
+        SamplingParams(max_tokens=6, temperature=0.0),
+    )
+    assert out[0].outputs[0].token_ids == ref
+
+
+def test_server_chat_image(vl_server):
+    """OpenAI chat with a base64 image content part."""
+    import base64
+    import io
+    import json
+    import urllib.request
+
+    import torch
+    from PIL import Image
+
+    url, hf, tokenizer, path = vl_server
+    rng = np.random.default_rng(12)
+    arr = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "text", "text": "describe "},
+                {
+                    "type": "image_url",
+                    "image_url": {"url": f"data:image/png;base64,{b64}"},
+                },
+                {"type": "text", "text": " please"},
+            ],
+        }
+    ]
+    body = {"messages": messages, "max_tokens": 6, "temperature": 0.0}
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    got_text = out["choices"][0]["message"]["content"]
+
+    # reference: same pipeline by hand
+    hf_cfg = hf.config
+    ph = tokenizer.decode([
+        hf_cfg.vision_start_token_id, hf_cfg.image_token_id,
+        hf_cfg.vision_end_token_id,
+    ])
+    flat = [{"role": "user", "content": f"describe {ph} please"}]
+    ids = tokenizer.apply_chat_template(flat, add_generation_prompt=True)
+    proc = _proc_for(path)
+    img = Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+    enc = proc(images=[img], return_tensors="np")
+    grid = [int(x) for x in enc["image_grid_thw"][0]]
+    n_img = int(np.prod(grid)) // 4
+    pos = ids.index(hf_cfg.image_token_id)
+    ids = ids[:pos] + [hf_cfg.image_token_id] * n_img + ids[pos + 1:]
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(enc["pixel_values"], dtype=torch.float32),
+            image_grid_thw=torch.tensor([grid]),
+            max_new_tokens=6,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    assert got_text == tokenizer.decode(ref, skip_special_tokens=True)

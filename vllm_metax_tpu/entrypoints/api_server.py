@@ -37,6 +37,7 @@ class ServerState:
         self.engine = EnginePool(config, dp_size, backend=dp_backend)
         self.tokenizer = tokenizer
         self.served_model = served_model
+        self.model_config = config.model_config
         self.eos_token_id = tokenizer.eos_token_id if tokenizer else None
 
 
@@ -396,15 +397,44 @@ def make_handler(state: ServerState):
 
         def _chat(self, body: dict):
             messages = body.get("messages", [])
+            mmd = None
+            if any(isinstance(m.get("content"), list) for m in messages):
+                # OpenAI image content parts (Qwen-VL serving): splice the
+                # vision placeholder string at each image position, decode
+                # data: URIs, run the checkpoint's HF image processor
+                from vllm_metax_tpu.multimodal import (
+                    extract_chat_images,
+                    normalize_mm_data,
+                )
+
+                try:
+                    messages, images = extract_chat_images(
+                        messages, state.tokenizer, state.model_config
+                    )
+                    if images:
+                        mmd = normalize_mm_data(
+                            {"image": images}, state.model_config
+                        )
+                except ValueError as e:
+                    raise RequestValidationError(str(e))
             token_ids = state.tokenizer.apply_chat_template(
                 messages, add_generation_prompt=True
             )
+            if mmd is not None:
+                from vllm_metax_tpu.multimodal import expand_placeholders
+
+                try:
+                    token_ids = expand_placeholders(
+                        token_ids, mmd, state.model_config
+                    )
+                except ValueError as e:
+                    raise RequestValidationError(str(e))
             sp = _sampling_from_request(body)
             _attach_guided(sp, state.tokenizer)
             rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
-            self._generate(body, token_ids, sp, rid, chat=True)
+            self._generate(body, token_ids, sp, rid, chat=True, mmd=mmd)
 
-        def _generate(self, body, token_ids, sp, rid, chat: bool):
+        def _generate(self, body, token_ids, sp, rid, chat: bool, mmd=None):
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
             eos = None if sp.ignore_eos else state.eos_token_id
@@ -412,7 +442,8 @@ def make_handler(state: ServerState):
             nc = max(1, sp.n)
             streams = [
                 state.engine.stream(
-                    token_ids, sp if nc == 1 else sp.child(k), eos
+                    token_ids, sp if nc == 1 else sp.child(k), eos,
+                    multi_modal_data=mmd,
                 )
                 for k in range(nc)
             ]

@@ -41,6 +41,7 @@ class _Pending:
     prompt_token_ids: list[int]
     sampling_params: SamplingParams
     out_queue: "queue.Queue[StreamItem]" = field(default_factory=queue.Queue)
+    multi_modal_data: object = None
 
 
 class EnginePool:
@@ -148,9 +149,11 @@ class AsyncEngine:
         sampling_params: SamplingParams,
         eos_token_id: Optional[int] = None,
         req_id: Optional[str] = None,
+        multi_modal_data=None,
     ) -> tuple[str, "queue.Queue[StreamItem]"]:
         req_id = req_id or f"req-{next(self._counter)}"
-        pending = _Pending(req_id, list(prompt_token_ids), sampling_params)
+        pending = _Pending(req_id, list(prompt_token_ids), sampling_params,
+                           multi_modal_data=multi_modal_data)
         pending.eos_token_id = eos_token_id
         self._intake.put(pending)
         self._wake.set()
@@ -162,8 +165,11 @@ class AsyncEngine:
         sampling_params: SamplingParams,
         eos_token_id: Optional[int] = None,
         timeout: float = 600.0,
+        multi_modal_data=None,
     ) -> Iterator[StreamItem]:
-        req_id, q = self.submit(prompt_token_ids, sampling_params, eos_token_id)
+        req_id, q = self.submit(prompt_token_ids, sampling_params,
+                                eos_token_id,
+                                multi_modal_data=multi_modal_data)
         try:
             while True:
                 item = q.get(timeout=timeout)
@@ -216,6 +222,7 @@ class AsyncEngine:
                     p.prompt_token_ids,
                     p.sampling_params,
                     getattr(p, "eos_token_id", None),
+                    multi_modal_data=p.multi_modal_data,
                 )
                 self._streams[p.req_id] = p
             except ValueError as e:
@@ -338,9 +345,12 @@ def _engine_worker(config, dp_rank: int, per_rank: int, req_q, out_q):
             first = False
             kind = msg[0]
             if kind == "add":
-                _, rid, prompt, params, eos = msg
+                _, rid, prompt, params, eos, mmd = (
+                    msg if len(msg) == 6 else (*msg, None)
+                )
                 try:
-                    engine.add_request(rid, prompt, params, eos)
+                    engine.add_request(rid, prompt, params, eos,
+                                       multi_modal_data=mmd)
                 except ValueError as e:
                     out_q.put((rid, [], True, "error", str(e), None))
             elif kind == "abort":
@@ -402,7 +412,7 @@ class ProcEngine:
                 q.put(StreamItem(toks, fin, reason, stop, lps))
 
     def submit(self, prompt_token_ids, sampling_params, eos_token_id=None,
-               req_id=None):
+               req_id=None, multi_modal_data=None):
         req_id = req_id or f"req-{next(self._counter)}"
         out: "queue.Queue[StreamItem]" = queue.Queue()
         with self._lock:
@@ -410,13 +420,15 @@ class ProcEngine:
             self.inflight += 1
         self._req_q.put(
             ("add", req_id, list(prompt_token_ids), sampling_params,
-             eos_token_id)
+             eos_token_id, multi_modal_data)
         )
         return req_id, out
 
     def stream(self, prompt_token_ids, sampling_params, eos_token_id=None,
-               timeout: float = 600.0):
-        req_id, q = self.submit(prompt_token_ids, sampling_params, eos_token_id)
+               timeout: float = 600.0, multi_modal_data=None):
+        req_id, q = self.submit(prompt_token_ids, sampling_params,
+                                eos_token_id,
+                                multi_modal_data=multi_modal_data)
         try:
             while True:
                 item = q.get(timeout=timeout)

@@ -144,54 +144,17 @@ class LLM:
             tokenizer or engine_config.model_config.model
         )
 
-    @staticmethod
-    def _normalize_mm(mmd) -> Optional[dict]:
-        """Accept {"image": {...}} nesting or the flat pixel dict."""
-        if mmd is None:
-            return None
-        if "image" in mmd and "pixel_values" not in mmd:
-            mmd = mmd["image"]
-        if "pixel_values" not in mmd or "image_grid_thw" not in mmd:
-            raise ValueError(
-                "multi_modal_data must carry preprocessed 'pixel_values' and "
-                "'image_grid_thw' (run the HF AutoProcessor image pipeline)"
-            )
-        return {
-            "pixel_values": mmd["pixel_values"],
-            "image_grid_thw": [tuple(int(x) for x in g)
-                               for g in mmd["image_grid_thw"]],
-        }
+    def _normalize_mm(self, mmd) -> Optional[dict]:
+        from vllm_metax_tpu.multimodal import normalize_mm_data
+
+        return normalize_mm_data(mmd, self.engine.config.model_config)
 
     def _expand_mm_placeholders(self, ids: list[int], mmd: dict) -> list[int]:
-        """Expand each single image/video placeholder token to the number of
-        merged vision tokens its grid produces (the HF processor's
-        expansion, done here so raw chat-template prompts work)."""
-        mc = self.engine.config.model_config
-        hf = mc.hf_config
-        img = int(hf.get("image_token_id", 151655))
-        vid = int(hf.get("video_token_id", 151656))
-        merge = int(
-            (hf.get("vision_config") or {}).get("spatial_merge_size", 2)
+        from vllm_metax_tpu.multimodal import expand_placeholders
+
+        return expand_placeholders(
+            ids, mmd, self.engine.config.model_config
         )
-        counts = [
-            t * h * w // (merge * merge)
-            for (t, h, w) in mmd["image_grid_thw"]
-        ]
-        occ = [i for i, t in enumerate(ids) if t in (img, vid)]
-        if len(occ) == sum(counts):
-            return ids  # already expanded (pre-processed prompt)
-        if len(occ) != len(counts):
-            raise ValueError(
-                f"prompt has {len(occ)} vision placeholders but "
-                f"{len(counts)} images were provided"
-            )
-        out, prev = [], 0
-        for pos, cnt in zip(occ, counts):
-            out.extend(ids[prev:pos])
-            out.extend([ids[pos]] * cnt)
-            prev = pos + 1
-        out.extend(ids[prev:])
-        return out
 
     @staticmethod
     def _load_tokenizer(path: str):
