@@ -1,0 +1,177 @@
+"""Mamba-1 parity vs HF transformers (selective scan, conv state carry,
+chunked prefill, engine e2e) — the reference's selective_scan_fwd surface
+(csrc/mamba/mamba_ssm/selective_scan_fwd.cu)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tests.utils as tu
+from vllm_metax_tpu.config import ModelConfig
+from vllm_metax_tpu.models.registry import get_model
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    import torch
+    from transformers import MambaConfig, MambaForCausalLM
+
+    cfg = MambaConfig(
+        hidden_size=64,
+        state_size=8,
+        conv_kernel=4,
+        expand=2,
+        time_step_rank=8,
+        num_hidden_layers=2,
+        vocab_size=256,
+        layer_norm_epsilon=1e-5,
+        use_bias=False,
+        use_conv_bias=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = MambaForCausalLM(cfg).eval()
+    path = str(tmp_path_factory.mktemp("mamba") / "tiny")
+    hf.save_pretrained(path, safe_serialization=True)
+    mcfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(mcfg.architecture)
+    params = model.load_weights(mcfg, None, path)
+    return hf, path, mcfg, model, params
+
+
+def _state_kv(model, cfg, max_blocks=4, block_size=16, rslot=4):
+    spec = model.kv_cache_spec(cfg)
+    kv = tu.make_kv_cache_stack(
+        spec["num_layers"], max_blocks, block_size, spec["num_kv_heads"],
+        spec["head_dim"],
+    )
+    return kv._replace(
+        lin_state=jnp.zeros(
+            (spec["linear_layers"], rslot) + tuple(spec["linear_state_shape"]),
+            jnp.float32,
+        ),
+        conv_state=jnp.zeros(
+            (spec["linear_layers"], rslot) + tuple(spec["conv_state_shape"]),
+            jnp.float32,
+        ),
+    )
+
+
+def test_prefill_logits_parity(setup):
+    import dataclasses
+
+    import torch
+
+    hf, _, cfg, model, params = setup
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, size=19)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)[None]).logits[0].numpy()
+    kv = _state_kv(model, cfg)
+    md = tu.make_single_seq_metadata(0, len(ids), 16, 4)
+    md = dataclasses.replace(md, state_idx=jnp.asarray([0], jnp.int32))
+    hidden, kv = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+    logits = model.compute_logits(params, hidden, cfg)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_prefill_then_decode_parity(setup):
+    """State carry: prefill then 5 greedy decode steps vs HF generate
+    (exercises the single-step path + conv history)."""
+    import dataclasses
+
+    import torch
+
+    hf, _, cfg, model, params = setup
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 256, size=12)
+    with torch.no_grad():
+        gen = hf.generate(
+            torch.tensor(ids)[None], max_new_tokens=5, do_sample=False
+        )[0, len(ids):].tolist()
+    kv = _state_kv(model, cfg)
+    md = tu.make_single_seq_metadata(0, len(ids), 16, 4)
+    md = dataclasses.replace(md, state_idx=jnp.asarray([0], jnp.int32))
+    hidden, kv = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+    cur = int(np.asarray(model.compute_logits(params, hidden, cfg))[-1].argmax())
+    got = []
+    pos = len(ids)
+    for _ in range(5):
+        got.append(cur)
+        md = tu.make_single_seq_metadata(pos, 1, 16, 4)
+        md = dataclasses.replace(
+            md, state_idx=jnp.asarray([0], jnp.int32), decode_only=True
+        )
+        hidden, kv = model.forward(
+            params, jnp.asarray([cur], jnp.int32), kv, md, cfg
+        )
+        cur = int(
+            np.asarray(model.compute_logits(params, hidden, cfg))[-1].argmax()
+        )
+        pos += 1
+    assert got == gen
+
+
+def test_chunked_prefill_matches_full(setup):
+    """Split prefill (SSM + conv state handoff between chunks) == one-shot,
+    including a split inside the conv kernel window."""
+    import dataclasses
+
+    _, _, cfg, model, params = setup
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 256, size=17)
+    kv = _state_kv(model, cfg)
+    md = tu.make_single_seq_metadata(0, len(ids), 16, 4)
+    md = dataclasses.replace(md, state_idx=jnp.asarray([0], jnp.int32))
+    full_hidden, _ = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+
+    for split in (2, 9):  # 2 < conv_kernel: history spans the chunk seam
+        kv = _state_kv(model, cfg)
+        outs = []
+        for a, b in ((0, split), (split, len(ids))):
+            md = tu.make_single_seq_metadata(a, b - a, 16, 4)
+            md = dataclasses.replace(
+                md, state_idx=jnp.asarray([0], jnp.int32)
+            )
+            hidden, kv = model.forward(
+                params, jnp.asarray(ids[a:b]), kv, md, cfg
+            )
+            outs.append(np.asarray(hidden))
+        np.testing.assert_allclose(
+            np.concatenate(outs),
+            np.asarray(full_hidden),
+            rtol=2e-4,
+            atol=2e-4,
+        )
+
+
+def test_llm_e2e_mixed_batch(setup):
+    """Engine e2e: two concurrent requests, greedy vs HF, incl. multi-step
+    decode windows over the state pools."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(0, 256, size=9).tolist()
+    p2 = rng.integers(0, 256, size=14).tolist()
+    with torch.no_grad():
+        r1 = hf.generate(
+            torch.tensor(p1)[None], max_new_tokens=12, do_sample=False
+        )[0, len(p1):].tolist()
+        r2 = hf.generate(
+            torch.tensor(p2)[None], max_new_tokens=12, do_sample=False
+        )[0, len(p2):].tolist()
+    llm = LLM(
+        model=path,
+        dtype="float32",
+        num_kv_blocks=64,
+        max_num_seqs=4,
+        max_num_batched_tokens=64,
+        num_decode_steps=4,
+    )
+    sp = SamplingParams(max_tokens=12, temperature=0.0)
+    outs = llm.generate(prompt_token_ids=[p1, p2], sampling_params=sp)
+    assert outs[0].outputs[0].token_ids == r1
+    assert outs[1].outputs[0].token_ids == r2

@@ -139,6 +139,20 @@ class ModelConfig:
             # image_token_id win and ride along in hf_config)
             cfg = {**cfg["text_config"], **cfg}
             cfg.pop("text_config")
+        if cfg.get("model_type") == "mamba":
+            # Mamba has no attention; fill the attention-shaped fields the
+            # generic parse expects with inert values
+            cfg = {
+                **cfg,
+                "num_attention_heads": cfg.get("num_attention_heads") or 1,
+                "num_key_value_heads": 1,
+                "rms_norm_eps": cfg.get("layer_norm_epsilon", 1e-5),
+                "max_position_embeddings": cfg.get(
+                    "max_position_embeddings", 1 << 20
+                ),
+            }
+            if not cfg.get("architectures"):
+                cfg["architectures"] = ["MambaForCausalLM"]
         if "n_embd" in cfg:  # GPT-2-style key names
             cfg = {
                 **cfg,
@@ -478,7 +492,10 @@ class EngineConfig:
             # slices (ragged_attention.py); keep total KV bytes constant
             cc.num_blocks = max(1, cc.num_blocks * cc.block_size // 128)
             cc.block_size = 128
-        if "linear_attention" in (mc.hf_config or {}).get("layer_types", ()):
+        if (
+            "linear_attention" in (mc.hf_config or {}).get("layer_types", ())
+            or (mc.hf_config or {}).get("model_type") == "mamba"
+        ):
             # hybrid linear-attention (Qwen3-Next): recurrent state can be
             # neither prefix-shared nor rewound, so prefix caching and
             # speculative drafts are off (the reference gates its FLA models

@@ -1,0 +1,342 @@
+"""Mamba-1 (selective-state-space) causal LM.
+
+Reference parity: the CUDA `selective_scan_fwd` kernel the reference
+compiles for Mamba-style models (csrc/mamba/mamba_ssm/selective_scan_fwd.cu)
+and the HF `MambaForCausalLM` math (transformers/models/mamba).
+
+TPU-native design: the recurrence runs as a log-depth
+`jax.lax.associative_scan` (ops/ssm.py) over per-request padded grids —
+the same ragged-batch grid shape as Qwen3-Next's DeltaNet (pads are
+state-neutral via Δ=0) — with a fully vectorized single-step path for
+decode. Per-request SSM/conv states live in the engine's hybrid state
+pools (KVCache.lin_state/conv_state, one slot per live request), so
+continuous batching, preemption-by-recompute (position-0 reset), and
+multi-step decode windows all work unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_metax_tpu.config import ModelConfig
+from vllm_metax_tpu.layers.linear import apply_linear
+from vllm_metax_tpu.ops.attention import AttentionMetadata
+from vllm_metax_tpu.ops.gdn import causal_conv1d
+from vllm_metax_tpu.ops.kv_cache import KVCache
+from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
+from vllm_metax_tpu.ops.ssm import selective_scan, selective_scan_step
+
+_GRID_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _hp(cfg: ModelConfig) -> dict:
+    hf = cfg.hf_config
+    d_inner = int(hf.get("intermediate_size") or 2 * cfg.hidden_size)
+    dt_rank = hf.get("time_step_rank", "auto")
+    if dt_rank in (None, "auto"):
+        dt_rank = -(-cfg.hidden_size // 16)
+    return {
+        "d_inner": d_inner,
+        "n": int(hf.get("state_size", 16)),
+        "k": int(hf.get("conv_kernel", 4)),
+        "dt_rank": int(dt_rank),
+        "use_bias": bool(hf.get("use_bias", False)),
+        "use_conv_bias": bool(hf.get("use_conv_bias", True)),
+    }
+
+
+def kv_cache_spec(cfg: ModelConfig) -> dict:
+    hp = _hp(cfg)
+    return {
+        # no attention layers: a minimal dummy page pool keeps the paged
+        # engine plumbing (slot sentinels, block accounting) uniform
+        "num_layers": 1,
+        "num_kv_heads": 1,
+        "head_dim": 8,
+        "linear_layers": cfg.num_hidden_layers,
+        "linear_state_shape": (hp["d_inner"], hp["n"]),
+        "conv_state_shape": (hp["k"] - 1, hp["d_inner"]),
+    }
+
+
+def _mixer(lp, normed, lin_state_l, conv_state_l, md, cfg, hp, num_slots):
+    """One Mamba mixer over the step's token batch. lin_state_l (RSLOT,
+    D, N) and conv_state_l (RSLOT, K-1, D) are this layer's state pools;
+    returns (out (T, hidden), new lin_state_l, new conv_state_l)."""
+    t = normed.shape[0]
+    d_inner, n, dt_rank = hp["d_inner"], hp["n"], hp["dt_rank"]
+    rslot = lin_state_l.shape[0]
+    slots = md.state_idx  # (R,) padding rows carry RSLOT (OOB)
+    # bucket-padding tokens carry req_idx 0; route them to the scratch slot
+    tok_pad = md.slot_mapping >= num_slots
+    tok_slot = jnp.where(tok_pad, rslot, slots[md.req_idx])
+
+    xz = apply_linear(lp["in_proj"], normed)  # (T, 2*d_inner)
+    x, z = jnp.split(xz, 2, axis=-1)
+    conv_w = lp["conv_w"]  # (K, d_inner)
+    conv_b = lp.get("conv_b")
+    a = -jnp.exp(lp["a_log"].astype(jnp.float32))  # (D, N)
+    dsk = lp["d_skip"].astype(jnp.float32)
+
+    def ssm_inputs(u_flat):
+        """post-conv u → (Δ (…D) f32 post-softplus, B, C)."""
+        sp = apply_linear(lp["x_proj"], u_flat.astype(normed.dtype))
+        dtr, b, c = jnp.split(sp, [dt_rank, dt_rank + n], axis=-1)
+        dt = apply_linear(lp["dt_proj"], dtr).astype(jnp.float32)
+        return jax.nn.softplus(dt), b.astype(jnp.float32), c.astype(jnp.float32)
+
+    if md.decode_only:
+        r = slots.shape[0]
+        safe = jnp.minimum(slots, rslot - 1)
+        hist = conv_state_l[safe]  # (R, K-1, D)
+        u, hist_new = causal_conv1d(x[:r][:, None, :], hist, conv_w, conv_b)
+        u = u[:, 0]  # (R, D) f32
+        dt, b, c = ssm_inputs(u)
+        h0 = lin_state_l[safe]
+        y, h1 = selective_scan_step(u, dt, a, b, c, dsk, h0)
+        ok = slots < rslot
+        wslot = jnp.where(ok, slots, rslot)
+        lin_state_l = _scatter_pad(lin_state_l, wslot, h1)
+        conv_state_l = _scatter_pad(
+            conv_state_l, wslot, hist_new.astype(conv_state_l.dtype)
+        )
+        core = y
+        if t > r:
+            core = jnp.concatenate(
+                [core, jnp.zeros((t - r, d_inner), jnp.float32)], axis=0
+            )
+    else:
+        r = slots.shape[0]
+        grid_ok = (r + 1) * t * d_inner * 4 * 4 <= _GRID_MAX_BYTES
+        qsl = md.query_start_loc
+        col = jnp.arange(t, dtype=jnp.int32) - qsl[md.req_idx]
+        row = jnp.where(tok_pad, r, md.req_idx)
+        first_pos = md.positions[jnp.minimum(qsl[:-1], t - 1)]  # (R,)
+        safe = jnp.minimum(slots, rslot - 1)
+        fresh = (first_pos == 0)[:, None]
+        if grid_ok:
+            # ragged batch → (R+1, T) padded grids; pad cells get Δ=0 (a
+            # state no-op) via the validity grid. Row R is scratch.
+            grid_x = jnp.zeros((r + 1, t, d_inner), x.dtype).at[row, col].set(
+                x, mode="drop"
+            )
+            valid = jnp.zeros((r + 1, t), bool).at[row, col].set(
+                ~tok_pad, mode="drop"
+            )
+            h0c = jnp.where(
+                fresh[..., None], 0.0, conv_state_l[safe]
+            ).astype(conv_state_l.dtype)
+            s0 = jnp.where(fresh[..., None], 0.0, lin_state_l[safe])
+            h0c = jnp.concatenate(
+                [h0c, jnp.zeros((1,) + h0c.shape[1:], h0c.dtype)], axis=0
+            )
+            s0 = jnp.concatenate(
+                [s0, jnp.zeros((1,) + s0.shape[1:], s0.dtype)], axis=0
+            )
+            u, _ = causal_conv1d(grid_x, h0c, conv_w, conv_b)  # (R+1,T,D) f32
+            dt, b, c = ssm_inputs(u.reshape((r + 1) * t, d_inner))
+            dt = jnp.where(
+                valid.reshape(-1)[:, None], dt, 0.0
+            ).reshape(r + 1, t, d_inner)
+            y, s1 = selective_scan(
+                u, dt, a,
+                b.reshape(r + 1, t, n), c.reshape(r + 1, t, n), dsk, s0,
+            )
+            core = y[row, col]  # (T, D) — pads read scratch garbage
+            # conv history: last K-1 real inputs per request
+            window = jnp.concatenate([h0c, grid_x.astype(h0c.dtype)], axis=1)
+            n_r = (qsl[1:] - qsl[:-1])[:r]
+            hist_idx = n_r[:, None] + jnp.arange(
+                hp["k"] - 1, dtype=jnp.int32
+            )[None]
+            h1c = jnp.take_along_axis(window[:r], hist_idx[..., None], axis=1)
+            ok = slots < rslot
+            wslot = jnp.where(ok, slots, rslot)
+            lin_state_l = _scatter_pad(lin_state_l, wslot, s1[:r])
+            conv_state_l = _scatter_pad(
+                conv_state_l, wslot, h1c.astype(conv_state_l.dtype)
+            )
+        else:
+            # exact per-token scan fallback (very long mixed batches)
+            st0 = jnp.concatenate(
+                [lin_state_l,
+                 jnp.zeros((1,) + lin_state_l.shape[1:], lin_state_l.dtype)],
+                axis=0,
+            )
+            cv0 = jnp.concatenate(
+                [conv_state_l,
+                 jnp.zeros((1,) + conv_state_l.shape[1:], conv_state_l.dtype)],
+                axis=0,
+            )
+
+            def tok_step(carry, xs):
+                st, cv = carry
+                x_t, slot, pos = xs
+                is_fresh = pos == 0
+                s0 = jnp.where(is_fresh, 0.0, st[slot])
+                h0c = jnp.where(is_fresh, 0.0, cv[slot])
+                u, h1c = causal_conv1d(
+                    x_t[None, None, :], h0c[None], conv_w, conv_b
+                )
+                u = u[:, 0]
+                dt, b, c = ssm_inputs(u)
+                y, s1 = selective_scan_step(u, dt, a, b, c, dsk, s0[None])
+                st = st.at[slot].set(s1[0])
+                cv = cv.at[slot].set(h1c[0].astype(cv.dtype))
+                return (st, cv), y[0]
+
+            (st1, cv1), core = jax.lax.scan(
+                tok_step,
+                (st0, cv0),
+                (x, jnp.minimum(tok_slot, rslot), md.positions),
+            )
+            lin_state_l = st1[:rslot]
+            conv_state_l = cv1[:rslot]
+
+    gated = core * jax.nn.silu(z.astype(jnp.float32))
+    out = apply_linear(lp["out_proj"], gated.astype(normed.dtype))
+    return out, lin_state_l, conv_state_l
+
+
+def _scatter_pad(pool, idx, val):
+    return pool.at[idx].set(val, mode="drop")
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
+):
+    if axis_name is not None or ep_axis_name is not None:
+        raise NotImplementedError("Mamba runs replicated in v1")
+    hp = _hp(cfg)
+    eps = float(cfg.hf_config.get("layer_norm_epsilon", cfg.rms_norm_eps))
+    num_slots = kv_cache.k.shape[0] * kv_cache.block_size
+
+    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    residual = jnp.zeros_like(hidden)
+    lin_state = kv_cache.lin_state
+    conv_state = kv_cache.conv_state
+    for l, lp in enumerate(params["layer_list"]):
+        normed, residual = fused_add_rms_norm(hidden, residual, lp["ln"], eps)
+        out, ls, cs = _mixer(
+            lp, normed, lin_state[l], conv_state[l], md, cfg, hp, num_slots
+        )
+        lin_state = lin_state.at[l].set(ls)
+        conv_state = conv_state.at[l].set(cs)
+        hidden = out
+    kv_cache = kv_cache._replace(lin_state=lin_state, conv_state=conv_state)
+    hidden = (
+        hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+    ).astype(cfg.dtype)
+    hidden = rms_norm(hidden, params["final_norm"], eps)
+    return hidden, kv_cache
+
+
+def compute_logits(params, hidden, cfg: ModelConfig, axis_name=None):
+    # forward() already applied the final norm (heterogeneous eps source)
+    return jnp.dot(
+        hidden, params["lm_head"], preferred_element_type=jnp.float32
+    )
+
+
+def init_params(cfg: ModelConfig, quant_cfg=None, seed: int = 0) -> dict:
+    hp = _hp(cfg)
+    key = jax.random.PRNGKey(seed)
+    e = cfg.hidden_size
+    d, n, k, dtr = hp["d_inner"], hp["n"], hp["k"], hp["dt_rank"]
+    dt = cfg.dtype
+
+    def dense(kk, shape):
+        return (jax.random.normal(kk, shape, jnp.float32) * 0.02).astype(dt)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(jax.random.fold_in(key, i), 6)
+        lp = {
+            "ln": jnp.ones((e,), jnp.float32),
+            "in_proj": {"w": dense(ks[0], (e, 2 * d))},
+            "conv_w": dense(ks[1], (k, d)),
+            "x_proj": {"w": dense(ks[2], (d, dtr + 2 * n))},
+            "dt_proj": {
+                "w": dense(ks[3], (dtr, d)),
+                "b": jnp.zeros((d,), dt),
+            },
+            "a_log": jnp.log(
+                jnp.broadcast_to(jnp.arange(1, n + 1, dtype=jnp.float32), (d, n))
+            ),
+            "d_skip": jnp.ones((d,), jnp.float32),
+            "out_proj": {"w": dense(ks[4], (d, e))},
+        }
+        if hp["use_conv_bias"]:
+            lp["conv_b"] = jnp.zeros((d,), dt)
+        layers.append(lp)
+    return {
+        "embed": dense(jax.random.fold_in(key, 999), (cfg.vocab_size, e)),
+        "layer_list": layers,
+        "final_norm": jnp.ones((e,), jnp.float32),
+        "lm_head": dense(jax.random.fold_in(key, 998), (e, cfg.vocab_size)),
+    }
+
+
+def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
+    from vllm_metax_tpu.weights.loader import CheckpointReader
+
+    hp = _hp(cfg)
+    reader = CheckpointReader(path)
+    dt = cfg.dtype
+
+    def get(name, dtype=None):
+        return jnp.asarray(reader.get(name), dtype=dtype or dt)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"backbone.layers.{i}"
+        lp = {
+            "ln": get(f"{pre}.norm.weight", jnp.float32),
+            "in_proj": {"w": get(f"{pre}.mixer.in_proj.weight").T},
+            # conv1d weight (D, 1, K) → (K, D)
+            "conv_w": get(f"{pre}.mixer.conv1d.weight")[:, 0, :].T,
+            "x_proj": {"w": get(f"{pre}.mixer.x_proj.weight").T},
+            "dt_proj": {
+                "w": get(f"{pre}.mixer.dt_proj.weight").T,
+                "b": get(f"{pre}.mixer.dt_proj.bias"),
+            },
+            "a_log": get(f"{pre}.mixer.A_log", jnp.float32),
+            "d_skip": get(f"{pre}.mixer.D", jnp.float32),
+            "out_proj": {"w": get(f"{pre}.mixer.out_proj.weight").T},
+        }
+        if reader.has(f"{pre}.mixer.conv1d.bias"):
+            lp["conv_b"] = get(f"{pre}.mixer.conv1d.bias")
+        if reader.has(f"{pre}.mixer.in_proj.bias"):
+            lp["in_proj"]["b"] = get(f"{pre}.mixer.in_proj.bias")
+        if reader.has(f"{pre}.mixer.out_proj.bias"):
+            lp["out_proj"]["b"] = get(f"{pre}.mixer.out_proj.bias")
+        layers.append(lp)
+    embed = get("backbone.embeddings.weight")
+    lm_head = (
+        get("lm_head.weight").T if reader.has("lm_head.weight") else embed.T
+    )
+    return {
+        "embed": embed,
+        "layer_list": layers,
+        "final_norm": get("backbone.norm_f.weight", jnp.float32),
+        "lm_head": lm_head,
+    }
+
+
+def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
+    from jax.sharding import PartitionSpec as P
+
+    shape_tree = jax.eval_shape(lambda: init_params(cfg, None, 0))
+    return jax.tree_util.tree_map(lambda _: P(), shape_tree)

@@ -144,6 +144,7 @@ def causal_conv1d(
     x: jnp.ndarray,  # (R, S, C) inputs this step
     conv_state: jnp.ndarray,  # (R, K-1, C) trailing inputs from before
     weight: jnp.ndarray,  # (K, C) depthwise taps
+    bias: jnp.ndarray = None,  # (C,) optional (Mamba uses conv bias)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Depthwise causal conv + SiLU (ref: torch_causal_conv1d_update /
     causal_conv1d_fn with activation='silu'). Returns (y (R,S,C), new
@@ -155,5 +156,7 @@ def causal_conv1d(
     y = jnp.zeros((r, s, c), jnp.float32)
     for j in range(kk):  # static tiny kernel (4)
         y = y + full[:, j : j + s, :].astype(jnp.float32) * weight[j][None, None, :].astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[None, None, :]
     new_state = full[:, s : s + kk - 1, :]
     return jax.nn.silu(y), new_state
