@@ -823,3 +823,142 @@ def test_server_chat_image(vl_server):
             do_sample=False,
         )[0, len(ids):].tolist()
     assert got_text == tokenizer.decode(ref, skip_special_tokens=True)
+
+
+# ---------------------------------------------------------------------------
+# video inputs
+
+
+def test_video_e2e_qwen2vl(setup):
+    """Video (t=2) + image in ONE prompt: per-frame vision segments,
+    interleaved grid queues, mrope over frame indices."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup
+    rng = np.random.default_rng(20)
+    vgrid = (2, 4, 4)  # 32 patches → 8 merged tokens
+    igrid = GRID  # 16 patches → 4 merged tokens
+    vpx = _pixels(rng, vgrid)
+    ipx = _pixels(rng, igrid)
+    ids = np.concatenate(
+        [rng.integers(10, 512, 3), [VSTART], [VID_TOK] * 8,
+         rng.integers(10, 512, 2), [VSTART], [IMG_TOK] * 4,
+         rng.integers(10, 512, 3)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(ipx),
+            image_grid_thw=torch.tensor([list(igrid)]),
+            pixel_values_videos=torch.tensor(vpx),
+            video_grid_thw=torch.tensor([list(vgrid)]),
+            max_new_tokens=6,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=64, num_decode_steps=4,
+    )
+    outs = llm.generate(
+        [{
+            "prompt_token_ids": ids.tolist(),
+            "multi_modal_data": {
+                "image": {"pixel_values": ipx,
+                          "image_grid_thw": [igrid]},
+                "video": {"pixel_values_videos": vpx,
+                          "video_grid_thw": [vgrid]},
+            },
+        }],
+        SamplingParams(max_tokens=6, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == ref
+
+
+def test_video_e2e_qwen25vl_time_scaling(setup25):
+    """Qwen2.5-VL temporal index scaling (second_per_grid_ts ×
+    tokens_per_second)."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup25
+    rng = np.random.default_rng(21)
+    vgrid = (2, 4, 4)
+    vpx = _pixels(rng, vgrid)
+    spg = 2.5
+    n_vid = 8
+    ids = np.concatenate(
+        [rng.integers(10, 512, 4), [VSTART], [VID_TOK] * n_vid,
+         rng.integers(10, 512, 4)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values_videos=torch.tensor(vpx),
+            video_grid_thw=torch.tensor([list(vgrid)]),
+            second_per_grid_ts=torch.tensor([spg]),
+            max_new_tokens=6,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=64, num_decode_steps=4,
+    )
+    outs = llm.generate(
+        [{
+            "prompt_token_ids": ids.tolist(),
+            "multi_modal_data": {
+                "video": {"pixel_values_videos": vpx,
+                          "video_grid_thw": [vgrid],
+                          "second_per_grid_ts": [spg]},
+            },
+        }],
+        SamplingParams(max_tokens=6, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == ref
+
+
+def test_video_e2e_qwen3vl_frame_split(setup3):
+    """Qwen3-VL: per-frame rope grid splitting for videos. The prompt uses
+    the timestamped per-frame format the HF processor emits (each frame's
+    tokens preceded by their own vision_start)."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup3
+    rng = np.random.default_rng(22)
+    vgrid = (2, 4, 4)
+    vpx = _pixels(rng, vgrid)
+    ids = np.concatenate(
+        [rng.integers(10, 512, 4),
+         [VSTART], [VID_TOK] * 4,  # frame 1
+         rng.integers(10, 512, 1),  # "timestamp" text between frames
+         [VSTART], [VID_TOK] * 4,  # frame 2
+         rng.integers(10, 512, 4)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values_videos=torch.tensor(vpx),
+            video_grid_thw=torch.tensor([list(vgrid)]),
+            max_new_tokens=6,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=64, num_decode_steps=4,
+    )
+    outs = llm.generate(
+        [{
+            "prompt_token_ids": ids.tolist(),
+            "multi_modal_data": {
+                "video": {"pixel_values_videos": vpx,
+                          "video_grid_thw": [vgrid]},
+            },
+        }],
+        SamplingParams(max_tokens=6, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == ref

@@ -803,24 +803,74 @@ class ModelRunner:
             raise ValueError(
                 f"{cfg.architecture} does not accept multi_modal_data"
             )
-        grids = [tuple(int(x) for x in g) for g in mmd["image_grid_thw"]]
+        img_tok = self.model.image_token_id(cfg)
+        vid_tok = self.model.video_token_id(cfg)
+        img_grids = [tuple(int(x) for x in g)
+                     for g in mmd.get("image_grid_thw") or []]
+        vid_grids = [tuple(int(x) for x in g)
+                     for g in mmd.get("video_grid_thw") or []]
+        vid_spg = list(
+            mmd.get("video_second_per_grid") or [1.0] * len(vid_grids)
+        )
+        img_px = mmd.get("pixel_values")
+        vid_px = mmd.get("video_pixel_values")
+        merge2 = int(
+            (cfg.hf_config.get("vision_config") or {}).get(
+                "spatial_merge_size", 2
+            )
+        ) ** 2
+        # walk the prompt's vision placeholders in order, consuming the
+        # image/video grid queues so mixed prompts interleave correctly
+        enc_blocks, enc_grids, rope_grids, scales = [], [], [], []
+        ii = iv = 0
+        img_off = vid_off = 0
+        i, nids = 0, len(ids)
+        while i < nids:
+            if ids[i] == img_tok and ii < len(img_grids):
+                g = img_grids[ii]
+                rows = g[0] * g[1] * g[2]
+                enc_blocks.append(img_px[img_off : img_off + rows])
+                img_off += rows
+                enc_grids.append(g)
+                rope_grids.append(g)
+                scales.append(1.0)
+                ii += 1
+                i += rows // merge2
+            elif ids[i] == vid_tok and iv < len(vid_grids):
+                g = vid_grids[iv]
+                rows = g[0] * g[1] * g[2]
+                enc_blocks.append(vid_px[vid_off : vid_off + rows])
+                vid_off += rows
+                enc_grids.append(g)
+                rg, sc = self.model.video_rope_grids(g, cfg, vid_spg[iv])
+                rope_grids.extend(rg)
+                scales.extend(sc)
+                iv += 1
+                i += rows // merge2
+            else:
+                i += 1
+        if ii < len(img_grids) or iv < len(vid_grids):
+            raise ValueError(
+                f"prompt placeholders cover only {ii} of {len(img_grids)} "
+                f"images / {iv} of {len(vid_grids)} videos"
+            )
         embeds, deepstack = self.model.encode_images(
-            self.params, np.asarray(mmd["pixel_values"]), grids, cfg,
+            self.params, np.concatenate(enc_blocks), enc_grids, cfg,
             want_deepstack=True,
         )
         embeds = np.asarray(embeds, np.float32)
         deepstack = (
             None if deepstack is None else np.asarray(deepstack, np.float32)
         )
-        img_tok = self.model.image_token_id(cfg)
-        vid_tok = self.model.video_token_id(cfg)
         is_img = (ids == img_tok) | (ids == vid_tok)
         if int(is_img.sum()) != embeds.shape[0]:
             raise ValueError(
-                f"prompt has {int(is_img.sum())} image-placeholder tokens "
-                f"but the images encode to {embeds.shape[0]} embeddings"
+                f"prompt has {int(is_img.sum())} vision-placeholder tokens "
+                f"but the inputs encode to {embeds.shape[0]} embeddings"
             )
-        pos3, delta = self.model.mrope_positions_np(ids, grids, cfg)
+        pos3, delta = self.model.mrope_positions_np(
+            ids, rope_grids, cfg, time_scales=scales
+        )
         return {
             "embeds": embeds,
             "deepstack": deepstack,  # (K, Nimg, H) Qwen3-VL early-layer adds

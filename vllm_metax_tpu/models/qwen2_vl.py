@@ -128,6 +128,25 @@ def video_token_id(cfg: ModelConfig) -> int:
     return int(cfg.hf_config.get("video_token_id", VIDEO_TOKEN_ID))
 
 
+def video_rope_grids(grid, cfg: ModelConfig, second_per_grid: float):
+    """Rope-position grid entries + temporal scales for one VIDEO grid.
+    Qwen3-VL splits videos into per-frame grids (timestamps carry the
+    temporal signal as text tokens); Qwen2.5-VL scales the temporal index
+    by second_per_grid × tokens_per_second; Qwen2-VL uses plain frame
+    indices."""
+    t, h, w = (int(x) for x in grid)
+    if _is_v3(cfg):
+        return [(1, h, w)] * t, [1.0] * t
+    if _is_v25(cfg):
+        tps = float(
+            (cfg.hf_config.get("vision_config") or {}).get(
+                "tokens_per_second", 4
+            )
+        )
+        return [grid], [float(second_per_grid) * tps]
+    return [grid], [1.0]
+
+
 def num_image_tokens(grid_thw, merge: int) -> int:
     t, h, w = (int(x) for x in grid_thw)
     return t * h * w // (merge * merge)
@@ -150,7 +169,8 @@ def vision_patch_metadata(grids: list, vcfg: dict, pad_to: int):
         10000.0 ** (np.arange(0, quarter, dtype=np.float64) / quarter)
     )
     rows, segs = [], []
-    for i, (t, h, w) in enumerate(grids):
+    seg_id = 0
+    for t, h, w in grids:
         t, h, w = int(t), int(h), int(w)
         hpos = np.broadcast_to(np.arange(h)[:, None], (h, w))
         hpos = (
@@ -169,7 +189,10 @@ def vision_patch_metadata(grids: list, vcfg: dict, pad_to: int):
         rows.append(
             np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1)
         )  # (t*h*w, hd)
-        segs.append(np.full(t * h * w, i, np.int32))
+        # attention is PER FRAME (HF cu_seqlens repeat_interleave over t):
+        # one segment id per (grid, frame)
+        segs.append(np.repeat(np.arange(seg_id, seg_id + t), h * w).astype(np.int32))
+        seg_id += t
     rope = np.concatenate(rows, axis=0).astype(np.float32)
     seg = np.concatenate(segs, axis=0)
     p = rope.shape[0]
@@ -262,12 +285,19 @@ def _pos_embed_rows_np(grids: list, vcfg: dict):
 
 
 def mrope_positions_np(
-    ids: np.ndarray, grids: list, cfg: ModelConfig
+    ids: np.ndarray,
+    grids: list,
+    cfg: ModelConfig,
+    time_scales: Optional[list] = None,  # per-grid temporal scale (videos)
 ) -> tuple[np.ndarray, int]:
     """3-row (t/h/w) rope positions for one prompt + the decode delta
     (HF Qwen2VLModel.get_rope_index). `grids` are the image/video grid_thw
     triples in order of appearance. Text segments advance all three rows
-    together from prev_max+1; each vision run uses its 3-D grid indices."""
+    together from prev_max+1; each vision run uses its 3-D grid indices.
+    Qwen2.5-VL videos scale the temporal index by
+    second_per_grid_ts × tokens_per_second (HF Qwen2_5_VLModel
+    get_rope_index); pass those products via `time_scales` (1 for
+    images)."""
     merge = int(vision_cfg(cfg)["spatial_merge_size"])
     img, vid = image_token_id(cfg), video_token_id(cfg)
     n = len(ids)
@@ -289,17 +319,26 @@ def mrope_positions_np(
             nxt += ln
             i = j
         else:
-            t, h, w = (int(x) for x in grids[gi])
-            gh, gw = h // merge, w // merge
-            ln = t * gh * gw
-            t_idx = np.repeat(np.arange(t), gh * gw)
-            h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
-            w_idx = np.tile(np.arange(gw), t * gh)
-            block = np.stack([t_idx, h_idx, w_idx]) + nxt
-            out_parts.append((slice(i, i + ln), block))
-            nxt = int(block.max()) + 1
-            gi += 1
-            i += ln
+            j = i
+            while j < n and is_vis[j]:
+                j += 1
+            # a contiguous vision run may span several grids (per-frame
+            # split grids, adjacent images without separators)
+            while i < j:
+                t, h, w = (int(x) for x in grids[gi])
+                gh, gw = h // merge, w // merge
+                ln = t * gh * gw
+                scale = 1.0 if time_scales is None else float(time_scales[gi])
+                t_idx = np.repeat(
+                    (np.arange(t) * scale).astype(np.int64), gh * gw
+                )
+                h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
+                w_idx = np.tile(np.arange(gw), t * gh)
+                block = np.stack([t_idx, h_idx, w_idx]) + nxt
+                out_parts.append((slice(i, i + ln), block))
+                nxt = int(block.max()) + 1
+                gi += 1
+                i += ln
     for sl, block in out_parts:
         pos[:, sl] = block
     delta = int(pos.max()) + 1 - n if n else 0

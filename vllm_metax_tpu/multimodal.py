@@ -77,61 +77,115 @@ def image_from_url(url: str):
     )
 
 
-def normalize_mm_data(mmd, cfg: ModelConfig) -> Optional[dict]:
-    """Normalize multi_modal_data to {"pixel_values", "image_grid_thw"}.
-
-    Accepts: {"image": <raw image | list | preprocessed dict>} or the flat
-    preprocessed dict. Raw images run through the HF image processor."""
-    if mmd is None:
-        return None
-    if "image" in mmd and "pixel_values" not in mmd:
-        mmd = mmd["image"]
-    if _is_raw_image(mmd):
-        mmd = [mmd]
-    if isinstance(mmd, (list, tuple)) or _is_raw_image(mmd):
+def _normalize_images(imgs, cfg: ModelConfig) -> dict:
+    if _is_raw_image(imgs):
+        imgs = [imgs]
+    if isinstance(imgs, (list, tuple)):
         proc = _get_image_processor(cfg)
-        out = proc(images=list(mmd), return_tensors="np")
+        out = proc(images=list(imgs), return_tensors="np")
         return {
             "pixel_values": np.asarray(out["pixel_values"], np.float32),
             "image_grid_thw": [
                 tuple(int(x) for x in g) for g in out["image_grid_thw"]
             ],
         }
-    if "pixel_values" not in mmd or "image_grid_thw" not in mmd:
+    if "pixel_values" not in imgs or "image_grid_thw" not in imgs:
         raise ValueError(
-            "multi_modal_data must be raw image(s) or a dict with "
+            "image multi_modal_data must be raw image(s) or a dict with "
             "'pixel_values' and 'image_grid_thw'"
         )
     return {
-        "pixel_values": np.asarray(mmd["pixel_values"], np.float32),
+        "pixel_values": np.asarray(imgs["pixel_values"], np.float32),
         "image_grid_thw": [
-            tuple(int(x) for x in g) for g in mmd["image_grid_thw"]
+            tuple(int(x) for x in g) for g in imgs["image_grid_thw"]
         ],
     }
+
+
+def _normalize_videos(vids, cfg: ModelConfig) -> dict:
+    if isinstance(vids, np.ndarray) and vids.ndim == 4:  # one raw (T,H,W,C)
+        vids = [vids]
+    if isinstance(vids, (list, tuple)):
+        proc = _get_image_processor(cfg)
+        out = proc(images=None, videos=[list(v) for v in vids],
+                   return_tensors="np")
+        px = out["pixel_values_videos"]
+        grids = out["video_grid_thw"]
+        spg = [1.0] * len(grids)
+    else:
+        px = vids.get("pixel_values_videos")
+        if px is None:
+            px = vids.get("pixel_values")
+        if px is None or "video_grid_thw" not in vids:
+            raise ValueError(
+                "video multi_modal_data must be raw frame arrays or a dict "
+                "with 'pixel_values_videos' and 'video_grid_thw'"
+            )
+        grids = vids["video_grid_thw"]
+        spg = vids.get("second_per_grid_ts")
+        spg = [1.0] * len(grids) if spg is None else list(spg)
+    return {
+        "video_pixel_values": np.asarray(px, np.float32),
+        "video_grid_thw": [tuple(int(x) for x in g) for g in grids],
+        "video_second_per_grid": [float(x) for x in spg],
+    }
+
+
+def normalize_mm_data(mmd, cfg: ModelConfig) -> Optional[dict]:
+    """Normalize multi_modal_data to preprocessed tensors:
+    {"pixel_values", "image_grid_thw"} for images plus
+    {"video_pixel_values", "video_grid_thw", "video_second_per_grid"} for
+    videos. Accepts {"image": ..., "video": ...} nesting (raw arrays/PIL
+    or preprocessed dicts) or the flat preprocessed image dict."""
+    if mmd is None:
+        return None
+    out: dict = {}
+    if "pixel_values" in mmd or "image_grid_thw" in mmd:
+        out.update(_normalize_images(mmd, cfg))
+    if "image" in mmd:
+        out.update(_normalize_images(mmd["image"], cfg))
+    if "video" in mmd:
+        out.update(_normalize_videos(mmd["video"], cfg))
+    if not out:
+        raise ValueError(
+            "multi_modal_data must carry 'image' and/or 'video' entries"
+        )
+    return out
 
 
 def expand_placeholders(ids: list[int], mmd: dict, cfg: ModelConfig) -> list[int]:
     """Expand each single image/video placeholder token to the number of
     merged vision tokens its grid produces (the HF processor's expansion,
-    done engine-side so raw chat-template prompts work)."""
+    done engine-side so raw chat-template prompts work). Image and video
+    placeholders consume their own grid queues in appearance order."""
     hf = cfg.hf_config
     img = int(hf.get("image_token_id", 151655))
     vid = int(hf.get("video_token_id", 151656))
     merge = int((hf.get("vision_config") or {}).get("spatial_merge_size", 2))
-    counts = [
-        t * h * w // (merge * merge) for (t, h, w) in mmd["image_grid_thw"]
-    ]
+
+    def counts(key):
+        return [
+            t * h * w // (merge * merge) for (t, h, w) in mmd.get(key) or []
+        ]
+
+    img_counts = counts("image_grid_thw")
+    vid_counts = counts("video_grid_thw")
     occ = [i for i, t in enumerate(ids) if t in (img, vid)]
-    if len(occ) == sum(counts):
+    if len(occ) == sum(img_counts) + sum(vid_counts):
         return list(ids)  # already expanded (pre-processed prompt)
-    if len(occ) != len(counts):
+    n_img_ph = sum(1 for i in occ if ids[i] == img)
+    n_vid_ph = len(occ) - n_img_ph
+    if n_img_ph != len(img_counts) or n_vid_ph != len(vid_counts):
         raise ValueError(
-            f"prompt has {len(occ)} vision placeholders but "
-            f"{len(counts)} images were provided"
+            f"prompt has {n_img_ph} image / {n_vid_ph} video placeholders "
+            f"but {len(img_counts)} images / {len(vid_counts)} videos were "
+            f"provided"
         )
     out: list[int] = []
     prev = 0
-    for pos, cnt in zip(occ, counts):
+    iq, vq = iter(img_counts), iter(vid_counts)
+    for pos in occ:
+        cnt = next(iq) if ids[pos] == img else next(vq)
         out.extend(ids[prev:pos])
         out.extend([ids[pos]] * cnt)
         prev = pos + 1
