@@ -962,3 +962,57 @@ def test_video_e2e_qwen3vl_frame_split(setup3):
         SamplingParams(max_tokens=6, temperature=0.0),
     )
     assert outs[0].outputs[0].token_ids == ref
+
+
+def test_mm_prefix_caching(setup):
+    """Identical image+prompt shares prefix blocks; a different image with
+    the SAME placeholder tokens must not alias (mm-seeded hash chains)."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup
+    rng = np.random.default_rng(30)
+    # long text prefix so full blocks precede the image
+    ids = np.concatenate(
+        [rng.integers(10, 512, 40), [VSTART], [IMG_TOK] * 4,
+         rng.integers(10, 512, 6)]
+    ).astype(np.int64)
+    px_a = _pixels(rng, GRID)
+    px_b = _pixels(rng, GRID)
+
+    def ref(px):
+        with torch.no_grad():
+            return hf.generate(
+                input_ids=torch.tensor(ids)[None],
+                pixel_values=torch.tensor(px),
+                image_grid_thw=torch.tensor([list(GRID)]),
+                max_new_tokens=6,
+                do_sample=False,
+            )[0, len(ids):].tolist()
+
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=64,
+    )
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+    def run(px):
+        return llm.generate(
+            [{
+                "prompt_token_ids": ids.tolist(),
+                "multi_modal_data": {
+                    "image": {"pixel_values": px,
+                              "image_grid_thw": [GRID]},
+                },
+            }],
+            sp,
+        )[0].outputs[0].token_ids
+
+    assert run(px_a) == ref(px_a)
+    cached_before = llm.engine.scheduler.num_prefix_cached_tokens
+    # same image + prompt again → prefix-cache hit, same output
+    assert run(px_a) == ref(px_a)
+    assert llm.engine.scheduler.num_prefix_cached_tokens > cached_before
+    # DIFFERENT image, identical token ids → must not alias cached KV
+    assert run(px_b) == ref(px_b)

@@ -30,6 +30,33 @@ class KVCacheBlock:
     block_hash: Optional[int] = None
 
 
+def mm_hash_seed(request) -> int:
+    """Root parent hash for a request's block-hash chain. Multimodal
+    requests seed it with a digest of their pixel content so prompts whose
+    PLACEHOLDER TOKENS are identical but whose images differ never alias
+    (conservative: same-image same-prompt requests still share fully).
+    Cached on the request (pixel arrays can be MBs)."""
+    mmd = getattr(request, "multi_modal_data", None)
+    if not mmd:
+        return 0
+    seed = getattr(request, "_mm_hash_seed", None)
+    if seed is None:
+        h = hashlib.blake2b(digest_size=8)
+        for key in sorted(mmd):
+            val = mmd[key]
+            h.update(key.encode())
+            if isinstance(val, np.ndarray):
+                h.update(np.ascontiguousarray(val).tobytes())
+            else:
+                h.update(repr(val).encode())
+        seed = int.from_bytes(h.digest(), "little")
+        try:
+            request._mm_hash_seed = seed
+        except AttributeError:
+            pass
+    return seed
+
+
 def hash_block_tokens(parent_hash: int, tokens: tuple[int, ...]) -> int:
     """Stable content hash (not Python hash(), which is salted per process):
     PD disaggregation / multi-process prefix reuse must agree on block keys."""
@@ -166,7 +193,7 @@ class KVCacheManager:
         # only blocks strictly before the last token are usable
         max_cache_hit = (len(tokens) - 1) // self.block_size
         blocks = []
-        parent = 0
+        parent = mm_hash_seed(request)
         for i in range(max_cache_hit):
             chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
             parent = hash_block_tokens(parent, chunk)
@@ -207,7 +234,7 @@ class KVCacheManager:
             self.req_blocks[request.req_id] = cur = list(computed)
             # seed the hash chain with the reused prefix
             hashes = []
-            parent = 0
+            parent = mm_hash_seed(request)
             tokens = request.prompt_token_ids
             for i, _ in enumerate(computed):
                 chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
@@ -234,7 +261,7 @@ class KVCacheManager:
         hashes = self.req_hashes[request.req_id]
         tokens = request.all_token_ids
         num_full = num_computed_tokens // self.block_size
-        parent = hashes[-1] if hashes else 0
+        parent = hashes[-1] if hashes else mm_hash_seed(request)
         for i in range(len(hashes), min(num_full, len(blocks))):
             chunk = tuple(tokens[i * self.block_size : (i + 1) * self.block_size])
             parent = hash_block_tokens(parent, chunk)

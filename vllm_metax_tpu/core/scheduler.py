@@ -267,13 +267,9 @@ class Scheduler:
             req = self.waiting[0]
             resumed = req.status == RequestStatus.PREEMPTED
 
-            if (
-                resumed
-                or not self.kv_manager.enable_caching
-                or req.multi_modal_data is not None
-                # block hashes cover token ids only — sharing them across
-                # requests with different images would alias distinct KV
-            ):
+            if resumed or not self.kv_manager.enable_caching:
+                # mm requests participate too: their hash chains are seeded
+                # with a pixel-content digest (kv_cache_manager.mm_hash_seed)
                 computed_blocks, num_computed = None, req.num_computed_tokens
             else:
                 computed_blocks, num_computed = self.kv_manager.get_computed_blocks(
