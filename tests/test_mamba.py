@@ -175,3 +175,86 @@ def test_llm_e2e_mixed_batch(setup):
     outs = llm.generate(prompt_token_ids=[p1, p2], sampling_params=sp)
     assert outs[0].outputs[0].token_ids == r1
     assert outs[1].outputs[0].token_ids == r2
+
+
+# ---------------------------------------------------------------------------
+# Mamba-2 (SSD: per-head scalar decay, grouped B/C, gated RMSNorm)
+
+
+@pytest.fixture(scope="module")
+def setup2(tmp_path_factory):
+    import torch
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    cfg = Mamba2Config(
+        hidden_size=64,
+        state_size=16,
+        conv_kernel=4,
+        expand=2,
+        num_heads=8,
+        head_dim=16,
+        n_groups=2,
+        chunk_size=8,
+        num_hidden_layers=2,
+        vocab_size=256,
+        layer_norm_epsilon=1e-5,
+        use_bias=False,
+        use_conv_bias=True,
+        rms_norm=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf = Mamba2ForCausalLM(cfg).eval()
+    path = str(tmp_path_factory.mktemp("mamba2") / "tiny")
+    hf.save_pretrained(path, safe_serialization=True)
+    mcfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(mcfg.architecture)
+    params = model.load_weights(mcfg, None, path)
+    return hf, path, mcfg, model, params
+
+
+def test_m2_prefill_logits_parity(setup2):
+    import dataclasses
+
+    import torch
+
+    hf, _, cfg, model, params = setup2
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 256, size=18)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)[None]).logits[0].numpy()
+    kv = _state_kv(model, cfg)
+    md = tu.make_single_seq_metadata(0, len(ids), 16, 4)
+    md = dataclasses.replace(md, state_idx=jnp.asarray([0], jnp.int32))
+    hidden, kv = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+    logits = model.compute_logits(params, hidden, cfg)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=4e-4, atol=4e-4)
+
+
+def test_m2_llm_e2e(setup2):
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup2
+    rng = np.random.default_rng(6)
+    p1 = rng.integers(0, 256, size=11).tolist()
+    p2 = rng.integers(0, 256, size=7).tolist()
+    with torch.no_grad():
+        r1 = hf.generate(
+            torch.tensor(p1)[None], max_new_tokens=10, do_sample=False
+        )[0, len(p1):].tolist()
+        r2 = hf.generate(
+            torch.tensor(p2)[None], max_new_tokens=10, do_sample=False
+        )[0, len(p2):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=16,  # chunked prefill across the conv seam
+        num_decode_steps=4,
+    )
+    outs = llm.generate(
+        prompt_token_ids=[p1, p2],
+        sampling_params=SamplingParams(max_tokens=10, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == r1
+    assert outs[1].outputs[0].token_ids == r2

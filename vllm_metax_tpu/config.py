@@ -139,7 +139,7 @@ class ModelConfig:
             # image_token_id win and ride along in hf_config)
             cfg = {**cfg["text_config"], **cfg}
             cfg.pop("text_config")
-        if cfg.get("model_type") == "mamba":
+        if cfg.get("model_type") in ("mamba", "mamba2"):
             # Mamba has no attention; fill the attention-shaped fields the
             # generic parse expects with inert values
             cfg = {
@@ -152,7 +152,11 @@ class ModelConfig:
                 ),
             }
             if not cfg.get("architectures"):
-                cfg["architectures"] = ["MambaForCausalLM"]
+                cfg["architectures"] = [
+                    "Mamba2ForCausalLM"
+                    if cfg["model_type"] == "mamba2"
+                    else "MambaForCausalLM"
+                ]
         if "n_embd" in cfg:  # GPT-2-style key names
             cfg = {
                 **cfg,
@@ -494,7 +498,7 @@ class EngineConfig:
             cc.block_size = 128
         if (
             "linear_attention" in (mc.hf_config or {}).get("layer_types", ())
-            or (mc.hf_config or {}).get("model_type") == "mamba"
+            or (mc.hf_config or {}).get("model_type") in ("mamba", "mamba2")
         ):
             # hybrid linear-attention (Qwen3-Next): recurrent state can be
             # neither prefix-shared nor rewound, so prefix caching and

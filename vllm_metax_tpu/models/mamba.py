@@ -28,7 +28,12 @@ from vllm_metax_tpu.ops.attention import AttentionMetadata
 from vllm_metax_tpu.ops.gdn import causal_conv1d
 from vllm_metax_tpu.ops.kv_cache import KVCache
 from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
-from vllm_metax_tpu.ops.ssm import selective_scan, selective_scan_step
+from vllm_metax_tpu.ops.ssm import (
+    selective_scan,
+    selective_scan_step,
+    ssd_scan,
+    ssd_step,
+)
 
 _GRID_MAX_BYTES = 64 * 1024 * 1024
 
@@ -49,7 +54,47 @@ def _hp(cfg: ModelConfig) -> dict:
     }
 
 
+def _is_m2(cfg: ModelConfig) -> bool:
+    return cfg.hf_config.get("model_type") == "mamba2"
+
+
+def _hp2(cfg: ModelConfig) -> dict:
+    hf = cfg.hf_config
+    heads = int(hf.get("num_heads", 128))
+    hd = int(hf.get("head_dim", 64))
+    d_inner = int(
+        hf.get("intermediate_size")
+        or int(hf.get("expand", 2)) * cfg.hidden_size
+    )
+    g = int(hf.get("n_groups", 1))
+    n = int(hf.get("state_size", 128))
+    lim = hf.get("time_step_limit") or (0.0, float("inf"))
+    return {
+        "heads": heads,
+        "hd": hd,
+        "d_inner": d_inner,
+        "g": g,
+        "n": n,
+        "k": int(hf.get("conv_kernel", 4)),
+        "conv_dim": d_inner + 2 * g * n,
+        "limit": (float(lim[0]), float(lim[1])),
+        "rms_norm": bool(hf.get("rms_norm", True)),
+        "use_bias": bool(hf.get("use_bias", False)),
+        "use_conv_bias": bool(hf.get("use_conv_bias", True)),
+    }
+
+
 def kv_cache_spec(cfg: ModelConfig) -> dict:
+    if _is_m2(cfg):
+        hp = _hp2(cfg)
+        return {
+            "num_layers": 1,
+            "num_kv_heads": 1,
+            "head_dim": 8,
+            "linear_layers": cfg.num_hidden_layers,
+            "linear_state_shape": (hp["heads"], hp["hd"], hp["n"]),
+            "conv_state_shape": (hp["k"] - 1, hp["conv_dim"]),
+        }
     hp = _hp(cfg)
     return {
         # no attention layers: a minimal dummy page pool keeps the paged
@@ -206,6 +251,154 @@ def _scatter_pad(pool, idx, val):
     return pool.at[idx].set(val, mode="drop")
 
 
+def _mixer2(lp, normed, lin_state_l, conv_state_l, md, cfg, hp, num_slots):
+    """One Mamba-2 (SSD) mixer: per-head scalar decay, grouped B/C, conv
+    over the fused [x|B|C] stream, gated RMSNorm (HF Mamba2Mixer
+    torch_forward math)."""
+    t = normed.shape[0]
+    heads, hd, g, n = hp["heads"], hp["hd"], hp["g"], hp["n"]
+    d_inner, conv_dim = hp["d_inner"], hp["conv_dim"]
+    rslot = lin_state_l.shape[0]
+    slots = md.state_idx
+    tok_pad = md.slot_mapping >= num_slots
+    tok_slot = jnp.where(tok_pad, rslot, slots[md.req_idx])
+
+    proj = apply_linear(lp["in_proj"], normed)
+    z, xbc, dtr = jnp.split(proj, [d_inner, d_inner + conv_dim], axis=-1)
+    conv_w = lp["conv_w"]  # (K, conv_dim)
+    conv_b = lp.get("conv_b")
+    a = -jnp.exp(lp["a_log"].astype(jnp.float32))  # (H,)
+    dsk = lp["d_skip"].astype(jnp.float32)  # (H,)
+    lo, hi = hp["limit"]
+
+    def make_dt(dtr_rows):  # (..., H) raw → post-softplus/clamp f32
+        dt = jax.nn.softplus(
+            dtr_rows.astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32)
+        )
+        if lo != 0.0 or hi != float("inf"):
+            dt = jnp.clip(dt, lo, hi)
+        return dt
+
+    def split_xbc(u):  # post-conv (..., conv_dim) f32 → x (…H,P), B/C (…H,N)
+        x, b, c = jnp.split(u, [d_inner, d_inner + g * n], axis=-1)
+        x = x.reshape(x.shape[:-1] + (heads, hd))
+        rep = heads // g
+        b = jnp.repeat(b.reshape(b.shape[:-1] + (g, n)), rep, axis=-2)
+        c = jnp.repeat(c.reshape(c.shape[:-1] + (g, n)), rep, axis=-2)
+        return x, b, c
+
+    if md.decode_only:
+        r = slots.shape[0]
+        safe = jnp.minimum(slots, rslot - 1)
+        hist = conv_state_l[safe]
+        u, hist_new = causal_conv1d(xbc[:r][:, None, :], hist, conv_w, conv_b)
+        x, b, c = split_xbc(u[:, 0])
+        dt = make_dt(dtr[:r])
+        h0 = lin_state_l[safe]
+        y, h1 = ssd_step(x, dt, a, b, c, dsk, h0)
+        ok = slots < rslot
+        wslot = jnp.where(ok, slots, rslot)
+        lin_state_l = _scatter_pad(lin_state_l, wslot, h1)
+        conv_state_l = _scatter_pad(
+            conv_state_l, wslot, hist_new.astype(conv_state_l.dtype)
+        )
+        core = y.reshape(r, d_inner)
+        if t > r:
+            core = jnp.concatenate(
+                [core, jnp.zeros((t - r, d_inner), jnp.float32)], axis=0
+            )
+    else:
+        r = slots.shape[0]
+        grid_ok = (r + 1) * t * heads * hd * n * 4 <= _GRID_MAX_BYTES
+        qsl = md.query_start_loc
+        col = jnp.arange(t, dtype=jnp.int32) - qsl[md.req_idx]
+        row = jnp.where(tok_pad, r, md.req_idx)
+        first_pos = md.positions[jnp.minimum(qsl[:-1], t - 1)]
+        safe = jnp.minimum(slots, rslot - 1)
+        fresh = (first_pos == 0)[:, None]
+        if grid_ok:
+            grid_xbc = jnp.zeros((r + 1, t, conv_dim), xbc.dtype).at[
+                row, col
+            ].set(xbc, mode="drop")
+            grid_dtr = jnp.zeros((r + 1, t, heads), jnp.float32).at[
+                row, col
+            ].set(dtr.astype(jnp.float32), mode="drop")
+            valid = jnp.zeros((r + 1, t), bool).at[row, col].set(
+                ~tok_pad, mode="drop"
+            )
+            h0c = jnp.where(
+                fresh[..., None], 0.0, conv_state_l[safe]
+            ).astype(conv_state_l.dtype)
+            s0 = jnp.where(fresh[..., None, None], 0.0, lin_state_l[safe])
+            h0c = jnp.concatenate(
+                [h0c, jnp.zeros((1,) + h0c.shape[1:], h0c.dtype)], axis=0
+            )
+            s0 = jnp.concatenate(
+                [s0, jnp.zeros((1,) + s0.shape[1:], s0.dtype)], axis=0
+            )
+            u, _ = causal_conv1d(grid_xbc, h0c, conv_w, conv_b)
+            x, b, c = split_xbc(u)
+            dt = jnp.where(valid[..., None], make_dt(grid_dtr), 0.0)
+            y, s1 = ssd_scan(x, dt, a, b, c, dsk, s0)
+            core = y.reshape(r + 1, t, d_inner)[row, col]
+            window = jnp.concatenate([h0c, grid_xbc.astype(h0c.dtype)], axis=1)
+            n_r = (qsl[1:] - qsl[:-1])[:r]
+            hist_idx = n_r[:, None] + jnp.arange(
+                hp["k"] - 1, dtype=jnp.int32
+            )[None]
+            h1c = jnp.take_along_axis(window[:r], hist_idx[..., None], axis=1)
+            ok = slots < rslot
+            wslot = jnp.where(ok, slots, rslot)
+            lin_state_l = _scatter_pad(lin_state_l, wslot, s1[:r])
+            conv_state_l = _scatter_pad(
+                conv_state_l, wslot, h1c.astype(conv_state_l.dtype)
+            )
+        else:
+            st0 = jnp.concatenate(
+                [lin_state_l,
+                 jnp.zeros((1,) + lin_state_l.shape[1:], lin_state_l.dtype)],
+                axis=0,
+            )
+            cv0 = jnp.concatenate(
+                [conv_state_l,
+                 jnp.zeros((1,) + conv_state_l.shape[1:], conv_state_l.dtype)],
+                axis=0,
+            )
+
+            def tok_step(carry, xs):
+                st, cv = carry
+                xbc_t, dtr_t, slot, pos = xs
+                is_fresh = pos == 0
+                s0 = jnp.where(is_fresh, 0.0, st[slot])
+                h0c = jnp.where(is_fresh, 0.0, cv[slot])
+                u, h1c = causal_conv1d(
+                    xbc_t[None, None, :], h0c[None], conv_w, conv_b
+                )
+                x, b, c = split_xbc(u[:, 0])
+                dt = make_dt(dtr_t[None])
+                y, s1 = ssd_step(x, dt, a, b, c, dsk, s0[None])
+                st = st.at[slot].set(s1[0])
+                cv = cv.at[slot].set(h1c[0].astype(cv.dtype))
+                return (st, cv), y[0].reshape(d_inner)
+
+            (st1, cv1), core = jax.lax.scan(
+                tok_step,
+                (st0, cv0),
+                (xbc, dtr, jnp.minimum(tok_slot, rslot), md.positions),
+            )
+            lin_state_l = st1[:rslot]
+            conv_state_l = cv1[:rslot]
+
+    gated = core * jax.nn.silu(z.astype(jnp.float32))
+    if hp["rms_norm"]:
+        eps = float(cfg.hf_config.get("layer_norm_epsilon", 1e-5))
+        gated = gated * jax.lax.rsqrt(
+            (gated**2).mean(-1, keepdims=True) + eps
+        ) * lp["gated_norm"]
+    out = apply_linear(lp["out_proj"], gated.astype(normed.dtype))
+    return out, lin_state_l, conv_state_l
+
+
 def forward(
     params: dict,
     input_ids: jnp.ndarray,
@@ -219,7 +412,7 @@ def forward(
 ):
     if axis_name is not None or ep_axis_name is not None:
         raise NotImplementedError("Mamba runs replicated in v1")
-    hp = _hp(cfg)
+    hp = _hp2(cfg) if _is_m2(cfg) else _hp(cfg)
     eps = float(cfg.hf_config.get("layer_norm_epsilon", cfg.rms_norm_eps))
     num_slots = kv_cache.k.shape[0] * kv_cache.block_size
 
@@ -227,9 +420,10 @@ def forward(
     residual = jnp.zeros_like(hidden)
     lin_state = kv_cache.lin_state
     conv_state = kv_cache.conv_state
+    mixer = _mixer2 if _is_m2(cfg) else _mixer
     for l, lp in enumerate(params["layer_list"]):
         normed, residual = fused_add_rms_norm(hidden, residual, lp["ln"], eps)
-        out, ls, cs = _mixer(
+        out, ls, cs = mixer(
             lp, normed, lin_state[l], conv_state[l], md, cfg, hp, num_slots
         )
         lin_state = lin_state.at[l].set(ls)
@@ -250,7 +444,45 @@ def compute_logits(params, hidden, cfg: ModelConfig, axis_name=None):
     )
 
 
+def _init_params_m2(cfg: ModelConfig, seed: int) -> dict:
+    hp = _hp2(cfg)
+    key = jax.random.PRNGKey(seed)
+    e = cfg.hidden_size
+    d, heads, k = hp["d_inner"], hp["heads"], hp["k"]
+    cdim = hp["conv_dim"]
+    dt = cfg.dtype
+
+    def dense(kk, shape):
+        return (jax.random.normal(kk, shape, jnp.float32) * 0.02).astype(dt)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(jax.random.fold_in(key, i), 4)
+        lp = {
+            "ln": jnp.ones((e,), jnp.float32),
+            "in_proj": {"w": dense(ks[0], (e, d + cdim + heads))},
+            "conv_w": dense(ks[1], (k, cdim)),
+            "dt_bias": jnp.zeros((heads,), jnp.float32),
+            "a_log": jnp.zeros((heads,), jnp.float32),
+            "d_skip": jnp.ones((heads,), jnp.float32),
+            "out_proj": {"w": dense(ks[2], (d, e))},
+        }
+        if hp["use_conv_bias"]:
+            lp["conv_b"] = jnp.zeros((cdim,), dt)
+        if hp["rms_norm"]:
+            lp["gated_norm"] = jnp.ones((d,), jnp.float32)
+        layers.append(lp)
+    return {
+        "embed": dense(jax.random.fold_in(key, 999), (cfg.vocab_size, e)),
+        "layer_list": layers,
+        "final_norm": jnp.ones((e,), jnp.float32),
+        "lm_head": dense(jax.random.fold_in(key, 998), (e, cfg.vocab_size)),
+    }
+
+
 def init_params(cfg: ModelConfig, quant_cfg=None, seed: int = 0) -> dict:
+    if _is_m2(cfg):
+        return _init_params_m2(cfg, seed)
     hp = _hp(cfg)
     key = jax.random.PRNGKey(seed)
     e = cfg.hidden_size
@@ -289,11 +521,53 @@ def init_params(cfg: ModelConfig, quant_cfg=None, seed: int = 0) -> dict:
     }
 
 
+def _load_weights_m2(cfg: ModelConfig, reader) -> dict:
+    hp = _hp2(cfg)
+    dt = cfg.dtype
+
+    def get(name, dtype=None):
+        return jnp.asarray(reader.get(name), dtype=dtype or dt)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"backbone.layers.{i}"
+        lp = {
+            "ln": get(f"{pre}.norm.weight", jnp.float32),
+            "in_proj": {"w": get(f"{pre}.mixer.in_proj.weight").T},
+            "conv_w": get(f"{pre}.mixer.conv1d.weight")[:, 0, :].T,
+            "dt_bias": get(f"{pre}.mixer.dt_bias", jnp.float32),
+            "a_log": get(f"{pre}.mixer.A_log", jnp.float32),
+            "d_skip": get(f"{pre}.mixer.D", jnp.float32),
+            "out_proj": {"w": get(f"{pre}.mixer.out_proj.weight").T},
+        }
+        if reader.has(f"{pre}.mixer.conv1d.bias"):
+            lp["conv_b"] = get(f"{pre}.mixer.conv1d.bias")
+        if hp["rms_norm"]:
+            lp["gated_norm"] = get(f"{pre}.mixer.norm.weight", jnp.float32)
+        if reader.has(f"{pre}.mixer.in_proj.bias"):
+            lp["in_proj"]["b"] = get(f"{pre}.mixer.in_proj.bias")
+        if reader.has(f"{pre}.mixer.out_proj.bias"):
+            lp["out_proj"]["b"] = get(f"{pre}.mixer.out_proj.bias")
+        layers.append(lp)
+    embed = get("backbone.embeddings.weight")
+    lm_head = (
+        get("lm_head.weight").T if reader.has("lm_head.weight") else embed.T
+    )
+    return {
+        "embed": embed,
+        "layer_list": layers,
+        "final_norm": get("backbone.norm_f.weight", jnp.float32),
+        "lm_head": lm_head,
+    }
+
+
 def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
     from vllm_metax_tpu.weights.loader import CheckpointReader
 
-    hp = _hp(cfg)
     reader = CheckpointReader(path)
+    if _is_m2(cfg):
+        return _load_weights_m2(cfg, reader)
+    hp = _hp(cfg)
     dt = cfg.dtype
 
     def get(name, dtype=None):

@@ -57,6 +57,7 @@ _REGISTRY: dict[str, str] = {
     # Mamba-1 selective-state-space LM (ref: the selective_scan_fwd kernel,
     # csrc/mamba/mamba_ssm/selective_scan_fwd.cu)
     "MambaForCausalLM": "vllm_metax_tpu.models.mamba",
+    "Mamba2ForCausalLM": "vllm_metax_tpu.models.mamba",
 }
 
 

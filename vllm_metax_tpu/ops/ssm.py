@@ -59,3 +59,50 @@ def selective_scan_step(
     h = da * h + dt[..., None] * b[:, None, :] * uf[..., None]
     y = jnp.einsum("rdn,rn->rd", h, c) + d[None] * uf
     return y, h
+
+
+def ssd_scan(
+    x: jnp.ndarray,  # (R, T, H, P) post-conv inputs (head-split)
+    dt: jnp.ndarray,  # (R, T, H) f32 post-softplus (0 on pads)
+    a: jnp.ndarray,  # (H,) f32 negative per-head state scalar
+    b: jnp.ndarray,  # (R, T, H, N) f32 (groups pre-expanded to heads)
+    c: jnp.ndarray,  # (R, T, H, N) f32
+    d: jnp.ndarray,  # (H,) f32 skip
+    h0: jnp.ndarray,  # (R, H, P, N) f32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mamba-2 SSD recurrence (per-head scalar decay) as an associative
+    scan. NOTE: materializes (R, T, H, P, N) f32 — callers cap T·H·P·N and
+    fall back to the sequential step path beyond it (a chunked SSD kernel
+    is the long-sequence optimization). Returns (y (R,T,H,P), h_T)."""
+    xf = x.astype(jnp.float32)
+    da = jnp.exp(dt * a[None, None])  # (R, T, H)
+    db = dt[..., None, None] * b[:, :, :, None, :] * xf[..., None]
+
+    def comb(lhs, rhs):
+        al, bl = lhs
+        ar, br = rhs
+        return al * ar, ar[..., None, None] * bl + br
+
+    acc_a, acc_b = jax.lax.associative_scan(comb, (da, db), axis=1)
+    h = acc_a[..., None, None] * h0[:, None] + acc_b  # (R, T, H, P, N)
+    y = jnp.einsum("rthpn,rthn->rthp", h, c) + d[None, None, :, None] * xf
+    return y, h[:, -1]
+
+
+def ssd_step(
+    x: jnp.ndarray,  # (R, H, P)
+    dt: jnp.ndarray,  # (R, H) f32 post-softplus
+    a: jnp.ndarray,  # (H,)
+    b: jnp.ndarray,  # (R, H, N)
+    c: jnp.ndarray,  # (R, H, N)
+    d: jnp.ndarray,  # (H,)
+    h: jnp.ndarray,  # (R, H, P, N) f32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single Mamba-2 step (decode hot path)."""
+    xf = x.astype(jnp.float32)
+    da = jnp.exp(dt * a[None])  # (R, H)
+    h = da[..., None, None] * h + (
+        dt[..., None, None] * b[:, :, None, :] * xf[..., None]
+    )
+    y = jnp.einsum("rhpn,rhn->rhp", h, c) + d[None, :, None] * xf
+    return y, h
