@@ -58,3 +58,23 @@ def test_bench_throughput_cli(tiny_ckpt, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["output_tokens_per_s"] > 0
+
+
+def test_bench_serve_cli(tiny_ckpt, capsys):
+    """vllm bench serve analog: Poisson arrivals against the async engine
+    (ref: tests/benchmarks/test_serve_cli.py smoke surface)."""
+    import json as _json
+
+    from vllm_metax_tpu.entrypoints.cli import main
+
+    rc = main([
+        "bench", "serve", "--model", tiny_ckpt, "--dtype", "float32",
+        "--input-len", "8", "--output-len", "4", "--num-prompts", "4",
+        "--request-rate", "50", "--max-num-seqs", "4",
+        "--max-num-batched-tokens", "32",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["completed"] == 4
+    assert out["output_tokens_per_s"] > 0
+    assert out["p99_ttft_s"] >= out["p50_ttft_s"] > 0

@@ -144,6 +144,94 @@ def cmd_bench_throughput(args) -> int:
     return 0
 
 
+def cmd_bench_serve(args) -> int:
+    """Online serving benchmark: Poisson (or burst) request arrivals against
+    the async engine, reporting TTFT / TPOT / goodput (ref: vllm bench
+    serve, tests/benchmarks/test_serve_cli.py — ours drives the in-process
+    AsyncEngine so it measures the serving stack without HTTP noise)."""
+    import threading
+
+    from vllm_metax_tpu.config import EngineConfig
+    from vllm_metax_tpu.entrypoints.async_engine import AsyncEngine
+    from vllm_metax_tpu.entrypoints.llm import _build_engine_config
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    kwargs = {k: v for k, v in _engine_kwargs(args).items() if v is not None}
+    cfg = _build_engine_config(model=args.model, **kwargs)
+    eng = AsyncEngine(cfg)
+    rng = np.random.default_rng(args.seed)
+    vocab = cfg.model_config.vocab_size
+    prompts = [
+        rng.integers(0, vocab, size=args.input_len).tolist()
+        for _ in range(args.num_prompts)
+    ]
+    sp = SamplingParams(
+        max_tokens=args.output_len, temperature=0.0, ignore_eos=True
+    )
+    # warmup (compiles prefill + decode programs)
+    for _ in eng.stream(prompts[0], sp):
+        pass
+
+    if args.request_rate and args.request_rate > 0:
+        gaps = rng.exponential(1.0 / args.request_rate, args.num_prompts)
+    else:
+        gaps = np.zeros(args.num_prompts)  # burst: all at t=0
+    arrivals = np.cumsum(gaps)
+
+    results = [None] * args.num_prompts
+    lock = threading.Lock()
+
+    def worker(i):
+        t_send = time.perf_counter()
+        first = None
+        n_out = 0
+        for item in eng.stream(prompts[i], sp):
+            now = time.perf_counter()
+            if first is None and item.new_token_ids:
+                first = now
+            n_out += len(item.new_token_ids)
+        with lock:
+            results[i] = (t_send, first, time.perf_counter(), n_out)
+
+    t0 = time.perf_counter()
+    threads = []
+    for i in range(args.num_prompts):
+        wait = t0 + arrivals[i] - time.perf_counter()
+        if wait > 0:
+            time.sleep(wait)
+        th = threading.Thread(target=worker, args=(i,))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    t_end = time.perf_counter()
+    eng.shutdown()
+
+    ttfts = np.asarray([r[1] - r[0] for r in results if r and r[1]])
+    tpots = np.asarray([
+        (r[2] - r[1]) / max(r[3] - 1, 1) for r in results if r and r[1]
+    ])
+    total_out = sum(r[3] for r in results if r)
+    dur = t_end - t0
+    print(
+        json.dumps(
+            {
+                "completed": sum(r is not None for r in results),
+                "duration_s": round(dur, 3),
+                "request_rate": args.request_rate or "burst",
+                "requests_per_s": round(args.num_prompts / dur, 3),
+                "output_tokens_per_s": round(total_out / dur, 1),
+                "mean_ttft_s": round(float(ttfts.mean()), 4),
+                "p50_ttft_s": round(float(np.percentile(ttfts, 50)), 4),
+                "p99_ttft_s": round(float(np.percentile(ttfts, 99)), 4),
+                "mean_tpot_s": round(float(tpots.mean()), 5),
+                "p99_tpot_s": round(float(np.percentile(tpots, 99)), 5),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vllm-metax-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -165,6 +253,17 @@ def main(argv=None) -> int:
     p_lat.add_argument("--num-iters-warmup", type=int, default=1)
     p_lat.add_argument("--num-iters", type=int, default=3)
     p_lat.set_defaults(fn=cmd_bench_latency)
+
+    p_srv = bench_sub.add_parser("serve")
+    _add_engine_args(p_srv)
+    p_srv.add_argument("--input-len", type=int, default=128)
+    p_srv.add_argument("--output-len", type=int, default=64)
+    p_srv.add_argument("--num-prompts", type=int, default=32)
+    p_srv.add_argument(
+        "--request-rate", type=float, default=0.0,
+        help="Poisson arrival rate (req/s); 0 = burst",
+    )
+    p_srv.set_defaults(fn=cmd_bench_serve)
 
     p_thr = bench_sub.add_parser("throughput")
     _add_engine_args(p_thr)
