@@ -258,3 +258,92 @@ def test_m2_llm_e2e(setup2):
     )
     assert outs[0].outputs[0].token_ids == r1
     assert outs[1].outputs[0].token_ids == r2
+
+
+# ---------------------------------------------------------------------------
+# Jamba (hybrid attention + Mamba + MoE)
+
+
+@pytest.fixture(scope="module")
+def setup_jamba(tmp_path_factory):
+    import torch
+    from transformers import JambaConfig, JambaForCausalLM
+
+    cfg = JambaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        attn_layer_period=2,  # layers 1, 3 attention; 0, 2 mamba
+        attn_layer_offset=1,
+        expert_layer_period=2,  # layers 1, 3 MoE; 0, 2 dense
+        expert_layer_offset=1,
+        num_experts=4,
+        num_experts_per_tok=2,
+        mamba_d_state=8,
+        mamba_d_conv=4,
+        mamba_expand=2,
+        mamba_dt_rank=8,
+        use_mamba_kernels=False,
+        vocab_size=256,
+        rms_norm_eps=1e-6,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    hf = JambaForCausalLM(cfg).eval()
+    path = str(tmp_path_factory.mktemp("jamba") / "tiny")
+    hf.save_pretrained(path, safe_serialization=True)
+    mcfg = ModelConfig.from_pretrained(path, dtype="float32")
+    model = get_model(mcfg.architecture)
+    params = model.load_weights(mcfg, None, path)
+    return hf, path, mcfg, model, params
+
+
+def test_jamba_prefill_logits_parity(setup_jamba):
+    import dataclasses
+
+    import torch
+
+    hf, _, cfg, model, params = setup_jamba
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 256, size=15)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)[None]).logits[0].numpy()
+    kv = _state_kv(model, cfg)
+    md = tu.make_single_seq_metadata(0, len(ids), 16, 4)
+    md = dataclasses.replace(md, state_idx=jnp.asarray([0], jnp.int32))
+    hidden, kv = model.forward(params, jnp.asarray(ids), kv, md, cfg)
+    logits = model.compute_logits(params, hidden, cfg)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=4e-4, atol=4e-4)
+
+
+def test_jamba_llm_e2e(setup_jamba):
+    """Engine e2e: paged attention + mamba state pools + MoE in one model,
+    chunked prefill + multi-step decode."""
+    import torch
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    hf, path, cfg, model, params = setup_jamba
+    rng = np.random.default_rng(8)
+    p1 = rng.integers(0, 256, size=13).tolist()
+    p2 = rng.integers(0, 256, size=6).tolist()
+    with torch.no_grad():
+        r1 = hf.generate(
+            torch.tensor(p1)[None], max_new_tokens=10, do_sample=False
+        )[0, len(p1):].tolist()
+        r2 = hf.generate(
+            torch.tensor(p2)[None], max_new_tokens=10, do_sample=False
+        )[0, len(p2):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=16, num_decode_steps=4,
+    )
+    outs = llm.generate(
+        prompt_token_ids=[p1, p2],
+        sampling_params=SamplingParams(max_tokens=10, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == r1
+    assert outs[1].outputs[0].token_ids == r2

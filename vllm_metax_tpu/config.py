@@ -498,7 +498,9 @@ class EngineConfig:
             cc.block_size = 128
         if (
             "linear_attention" in (mc.hf_config or {}).get("layer_types", ())
-            or (mc.hf_config or {}).get("model_type") in ("mamba", "mamba2")
+            or (mc.hf_config or {}).get("model_type") in (
+                "mamba", "mamba2", "jamba"
+            )
         ):
             # hybrid linear-attention (Qwen3-Next): recurrent state can be
             # neither prefix-shared nor rewound, so prefix caching and

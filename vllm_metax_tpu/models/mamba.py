@@ -128,9 +128,25 @@ def _mixer(lp, normed, lin_state_l, conv_state_l, md, cfg, hp, num_slots):
     dsk = lp["d_skip"].astype(jnp.float32)
 
     def ssm_inputs(u_flat):
-        """post-conv u → (Δ (…D) f32 post-softplus, B, C)."""
+        """post-conv u → (Δ (…D) f32 post-softplus, B, C). Jamba variants
+        RMS-normalize dt/B/C between x_proj and dt_proj (JambaMambaMixer
+        dt_layernorm/b_layernorm/c_layernorm)."""
         sp = apply_linear(lp["x_proj"], u_flat.astype(normed.dtype))
         dtr, b, c = jnp.split(sp, [dt_rank, dt_rank + n], axis=-1)
+        if "dt_norm" in lp:
+            eps = cfg.rms_norm_eps
+
+            def _rms(x, w):
+                xf = x.astype(jnp.float32)
+                return (
+                    xf
+                    * jax.lax.rsqrt((xf**2).mean(-1, keepdims=True) + eps)
+                    * w
+                ).astype(x.dtype)
+
+            dtr = _rms(dtr, lp["dt_norm"])
+            b = _rms(b, lp["b_norm"])
+            c = _rms(c, lp["c_norm"])
         dt = apply_linear(lp["dt_proj"], dtr).astype(jnp.float32)
         return jax.nn.softplus(dt), b.astype(jnp.float32), c.astype(jnp.float32)
 
