@@ -1016,3 +1016,52 @@ def test_mm_prefix_caching(setup):
     assert llm.engine.scheduler.num_prefix_cached_tokens > cached_before
     # DIFFERENT image, identical token ids → must not alias cached KV
     assert run(px_b) == ref(px_b)
+
+
+def test_vl_tp2_matches_single_device(setup):
+    """TP=2 over the CPU mesh: text stack sharded, vision tower replicated,
+    mrope metadata replicated — outputs must match single-device exactly."""
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        ParallelConfig,
+        QuantizationConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    _, path, _, _, _ = setup
+    rng = np.random.default_rng(40)
+    px = _pixels(rng, GRID)
+    ids = _prompt_ids(rng, 512, 4).tolist()
+    mmd = {"pixel_values": px, "image_grid_thw": [GRID]}
+
+    def run(tp, mesh=None):
+        cfg = EngineConfig(
+            model_config=ModelConfig.from_pretrained(path, dtype="float32"),
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=4, max_num_batched_tokens=64
+            ),
+            parallel_config=ParallelConfig(tensor_parallel_size=tp),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+            quant_config=QuantizationConfig(),
+        )
+        eng = EngineCore(cfg, mesh=mesh)
+        eng.add_request(
+            "r0", ids, SamplingParams(max_tokens=8, temperature=0.0),
+            multi_modal_data=mmd,
+        )
+        acc = []
+        while eng.has_unfinished_requests():
+            for out in eng.step():
+                acc.extend(out.new_token_ids)
+        return acc
+
+    ref = run(1)
+    out = run(2, make_tp_mesh(2))
+    assert out == ref and len(ref) == 8
