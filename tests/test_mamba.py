@@ -347,3 +347,45 @@ def test_jamba_llm_e2e(setup_jamba):
     )
     assert outs[0].outputs[0].token_ids == r1
     assert outs[1].outputs[0].token_ids == r2
+
+
+def test_falcon_mamba_e2e(tmp_path):
+    """FalconMamba = Mamba-1 + weightless RMS on B/C/dt (mixer_rms_eps)."""
+    import torch
+    from transformers import FalconMambaConfig, FalconMambaForCausalLM
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    cfg = FalconMambaConfig(
+        hidden_size=64,
+        state_size=8,
+        conv_kernel=4,
+        expand=2,
+        time_step_rank=8,
+        num_hidden_layers=2,
+        vocab_size=256,
+        layer_norm_epsilon=1e-5,
+        mixer_rms_eps=1e-6,
+        use_bias=False,
+        use_conv_bias=True,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    hf = FalconMambaForCausalLM(cfg).eval()
+    path = str(tmp_path / "tiny_falcon_mamba")
+    hf.save_pretrained(path, safe_serialization=True)
+    rng = np.random.default_rng(10)
+    ids = rng.integers(0, 256, size=12).tolist()
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(ids)[None], max_new_tokens=10, do_sample=False
+        )[0, len(ids):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=32, num_decode_steps=4,
+    )
+    outs = llm.generate(
+        prompt_token_ids=[ids],
+        sampling_params=SamplingParams(max_tokens=10, temperature=0.0),
+    )
+    assert outs[0].outputs[0].token_ids == ref

@@ -139,7 +139,7 @@ class ModelConfig:
             # image_token_id win and ride along in hf_config)
             cfg = {**cfg["text_config"], **cfg}
             cfg.pop("text_config")
-        if cfg.get("model_type") in ("mamba", "mamba2"):
+        if cfg.get("model_type") in ("mamba", "mamba2", "falcon_mamba"):
             # Mamba has no attention; fill the attention-shaped fields the
             # generic parse expects with inert values
             cfg = {
@@ -152,11 +152,10 @@ class ModelConfig:
                 ),
             }
             if not cfg.get("architectures"):
-                cfg["architectures"] = [
-                    "Mamba2ForCausalLM"
-                    if cfg["model_type"] == "mamba2"
-                    else "MambaForCausalLM"
-                ]
+                cfg["architectures"] = [{
+                    "mamba2": "Mamba2ForCausalLM",
+                    "falcon_mamba": "FalconMambaForCausalLM",
+                }.get(cfg["model_type"], "MambaForCausalLM")]
         if "n_embd" in cfg:  # GPT-2-style key names
             cfg = {
                 **cfg,
@@ -499,7 +498,7 @@ class EngineConfig:
         if (
             "linear_attention" in (mc.hf_config or {}).get("layer_types", ())
             or (mc.hf_config or {}).get("model_type") in (
-                "mamba", "mamba2", "jamba"
+                "mamba", "mamba2", "falcon_mamba", "jamba"
             )
         ):
             # hybrid linear-attention (Qwen3-Next): recurrent state can be

@@ -51,6 +51,13 @@ def _hp(cfg: ModelConfig) -> dict:
         "dt_rank": int(dt_rank),
         "use_bias": bool(hf.get("use_bias", False)),
         "use_conv_bias": bool(hf.get("use_conv_bias", True)),
+        # FalconMamba: weightless RMS normalization of B/C/dt between
+        # x_proj and dt_proj (HF falcon_mamba rms_forward)
+        "bcdt_rms": (
+            float(hf.get("mixer_rms_eps", 1e-6))
+            if hf.get("model_type") == "falcon_mamba"
+            else None
+        ),
     }
 
 
@@ -133,6 +140,16 @@ def _mixer(lp, normed, lin_state_l, conv_state_l, md, cfg, hp, num_slots):
         dt_layernorm/b_layernorm/c_layernorm)."""
         sp = apply_linear(lp["x_proj"], u_flat.astype(normed.dtype))
         dtr, b, c = jnp.split(sp, [dt_rank, dt_rank + n], axis=-1)
+        if hp.get("bcdt_rms"):
+            eps2 = hp["bcdt_rms"]
+
+            def _wrms(x):
+                xf = x.astype(jnp.float32)
+                return (
+                    xf * jax.lax.rsqrt((xf**2).mean(-1, keepdims=True) + eps2)
+                ).astype(x.dtype)
+
+            dtr, b, c = _wrms(dtr), _wrms(b), _wrms(c)
         if "dt_norm" in lp:
             eps = cfg.rms_norm_eps
 

@@ -58,6 +58,7 @@ _REGISTRY: dict[str, str] = {
     # csrc/mamba/mamba_ssm/selective_scan_fwd.cu)
     "MambaForCausalLM": "vllm_metax_tpu.models.mamba",
     "Mamba2ForCausalLM": "vllm_metax_tpu.models.mamba",
+    "FalconMambaForCausalLM": "vllm_metax_tpu.models.mamba",
     # Jamba hybrid (attention + Mamba + MoE)
     "JambaForCausalLM": "vllm_metax_tpu.models.jamba",
 }
