@@ -389,3 +389,26 @@ def test_falcon_mamba_e2e(tmp_path):
         sampling_params=SamplingParams(max_tokens=10, temperature=0.0),
     )
     assert outs[0].outputs[0].token_ids == ref
+
+
+def test_ssd_chunked_equals_scan():
+    """Chunked SSD (state-space duality form) is exactly the associative
+    scan, incl. dt=0 pad rows and a non-multiple chunk length."""
+    import jax.numpy as jnp
+
+    from vllm_metax_tpu.ops.ssm import ssd_scan, ssd_scan_chunked
+
+    rng = np.random.default_rng(11)
+    r, t, h, p, n = 2, 53, 4, 8, 4
+    x = jnp.asarray(rng.standard_normal((r, t, h, p)), jnp.float32)
+    dt = jnp.abs(jnp.asarray(rng.standard_normal((r, t, h)), jnp.float32))
+    dt = dt.at[1, 40:].set(0.0)
+    a = -jnp.abs(jnp.asarray(rng.standard_normal(h), jnp.float32))
+    b = jnp.asarray(rng.standard_normal((r, t, h, n)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((r, t, h, n)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal(h), jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((r, h, p, n)), jnp.float32)
+    y1, s1 = ssd_scan(x, dt, a, b, c, d, h0)
+    y2, s2 = ssd_scan_chunked(x, dt, a, b, c, d, h0, chunk=16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-4)

@@ -31,7 +31,7 @@ from vllm_metax_tpu.ops.layernorm import fused_add_rms_norm, rms_norm
 from vllm_metax_tpu.ops.ssm import (
     selective_scan,
     selective_scan_step,
-    ssd_scan,
+    ssd_scan_chunked,
     ssd_step,
 )
 
@@ -342,7 +342,12 @@ def _mixer2(lp, normed, lin_state_l, conv_state_l, md, cfg, hp, num_slots):
             )
     else:
         r = slots.shape[0]
-        grid_ok = (r + 1) * t * heads * hd * n * 4 <= _GRID_MAX_BYTES
+        # chunked SSD peak: per-chunk states (T/C · H·P·N) + (C,C) blocks
+        ck = 64
+        grid_bytes = (r + 1) * t * heads * 4 * (
+            ck + hd * n // ck + 2 * (hd + n)
+        )
+        grid_ok = grid_bytes <= _GRID_MAX_BYTES
         qsl = md.query_start_loc
         col = jnp.arange(t, dtype=jnp.int32) - qsl[md.req_idx]
         row = jnp.where(tok_pad, r, md.req_idx)
@@ -372,7 +377,7 @@ def _mixer2(lp, normed, lin_state_l, conv_state_l, md, cfg, hp, num_slots):
             u, _ = causal_conv1d(grid_xbc, h0c, conv_w, conv_b)
             x, b, c = split_xbc(u)
             dt = jnp.where(valid[..., None], make_dt(grid_dtr), 0.0)
-            y, s1 = ssd_scan(x, dt, a, b, c, dsk, s0)
+            y, s1 = ssd_scan_chunked(x, dt, a, b, c, dsk, s0, chunk=ck)
             core = y.reshape(r + 1, t, d_inner)[row, col]
             window = jnp.concatenate([h0c, grid_xbc.astype(h0c.dtype)], axis=1)
             n_r = (qsl[1:] - qsl[:-1])[:r]

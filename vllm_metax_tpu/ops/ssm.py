@@ -106,3 +106,69 @@ def ssd_step(
     )
     y = jnp.einsum("rhpn,rhn->rhp", h, c) + d[None, :, None] * xf
     return y, h
+
+
+def ssd_scan_chunked(
+    x: jnp.ndarray,  # (R, T, H, P)
+    dt: jnp.ndarray,  # (R, T, H) f32 post-softplus (0 on pads)
+    a: jnp.ndarray,  # (H,) f32 negative
+    b: jnp.ndarray,  # (R, T, H, N) f32
+    c: jnp.ndarray,  # (R, T, H, N) f32
+    d: jnp.ndarray,  # (H,) f32
+    h0: jnp.ndarray,  # (R, H, P, N) f32
+    chunk: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunked SSD (the Mamba-2 paper's state-space-duality form): within a
+    chunk the output is an attention-like (C_q·B_k)·decay matmul; across
+    chunks only the (H, P, N) state flows. Peak memory is
+    O(T·H·(chunk + P·N/chunk)) instead of ssd_scan's O(T·H·P·N). Exactly
+    equal to ssd_scan (same recurrence, reassociated)."""
+    r, t, h, p_dim = x.shape
+    n = b.shape[-1]
+    pad = (-t) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        c = jnp.pad(c, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nc = (t + pad) // chunk
+    xf = x.astype(jnp.float32).reshape(r, nc, chunk, h, p_dim)
+    dtc = dt.reshape(r, nc, chunk, h)
+    bc = b.reshape(r, nc, chunk, h, n)
+    cc = c.reshape(r, nc, chunk, h, n)
+
+    adt = dtc * a[None, None, None]  # (R, NC, C, H) ≤ 0
+    cum = jnp.cumsum(adt, axis=2)  # inclusive cumulative decay
+    # in-chunk token->token decay: exp(cum_l - cum_m), m ≤ l (diag = own dt)
+    diff = cum[:, :, :, None, :] - cum[:, :, None, :, :]  # (R,NC,C,C,H)
+    causal = jnp.tril(jnp.ones((chunk, chunk), bool))
+    decay = jnp.where(causal[None, None, :, :, None], jnp.exp(diff), 0.0)
+    qk = jnp.einsum("rgchn,rgmhn->rgcmh", cc, bc) * decay  # (R,NC,C,C,H)
+    dx = dtc[..., None] * xf  # (R, NC, C, H, P) = Δ·x
+    y_diag = jnp.einsum("rgcmh,rgmhp->rgchp", qk, dx)
+
+    # per-chunk state contribution: Σ_m exp(cum_end - cum_m) Δ_m b_m⊗x_m
+    end_decay = jnp.exp(cum[:, :, -1:, :] - cum)  # (R, NC, C, H)
+    cstate = jnp.einsum(
+        "rgmhn,rgmhp->rghpn", bc * end_decay[..., None], dx
+    )  # (R, NC, H, P, N)
+    chunk_decay = jnp.exp(cum[:, :, -1, :])  # (R, NC, H)
+
+    def step(h_in, xs):
+        cs, cd = xs  # (R,H,P,N), (R,H)
+        h_out = h_in  # state ENTERING the chunk
+        h_next = cd[..., None, None] * h_in + cs
+        return h_next, h_out
+
+    h_t, h_ins = jax.lax.scan(
+        step,
+        h0.astype(jnp.float32),
+        (cstate.transpose(1, 0, 2, 3, 4), chunk_decay.transpose(1, 0, 2)),
+    )
+    h_ins = h_ins.transpose(1, 0, 2, 3, 4)  # (R, NC, H, P, N)
+    y_off = jnp.einsum(
+        "rgchn,rghpn->rgchp", cc * jnp.exp(cum)[..., None], h_ins
+    )
+    y = (y_diag + y_off).reshape(r, t + pad, h, p_dim)[:, :t]
+    y = y + d[None, None, :, None] * x.astype(jnp.float32)[:, :t]
+    return y, h_t
