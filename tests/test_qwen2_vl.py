@@ -1065,3 +1065,99 @@ def test_vl_tp2_matches_single_device(setup):
     ref = run(1)
     out = run(2, make_tp_mesh(2))
     assert out == ref and len(ref) == 8
+
+
+def test_qwen3_vl_moe_e2e(tmp_path_factory):
+    """Qwen3-VL-MoE: MoE text stack (packed expert tensors, softmax-topk
+    renorm) + deepstack vision, e2e greedy vs HF."""
+    import torch
+    from transformers import (
+        Qwen3VLMoeConfig,
+        Qwen3VLMoeForConditionalGeneration,
+    )
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    cfg = Qwen3VLMoeConfig(
+        text_config=dict(
+            hidden_size=64,
+            intermediate_size=128,
+            moe_intermediate_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            vocab_size=512,
+            max_position_embeddings=256,
+            rope_theta=10000.0,
+            num_experts=4,
+            num_experts_per_tok=2,
+            norm_topk_prob=True,
+            rope_scaling=dict(
+                rope_type="default",
+                mrope_section=[2, 3, 3],
+                mrope_interleaved=True,
+            ),
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=2,
+            hidden_size=32,
+            num_heads=2,
+            out_hidden_size=64,
+            intermediate_size=48,
+            in_channels=3,
+            patch_size=4,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1],
+            hidden_act="gelu_pytorch_tanh",
+        ),
+        image_token_id=IMG_TOK,
+        video_token_id=VID_TOK,
+        vision_start_token_id=VSTART,
+    )
+    torch.manual_seed(6)
+    hf = Qwen3VLMoeForConditionalGeneration(cfg).eval()
+    path = str(tmp_path_factory.mktemp("q3vlmoe") / "tiny")
+    hf.save_pretrained(path, safe_serialization=True)
+
+    rng = np.random.default_rng(50)
+    px = _pixels(rng, GRID3)
+    ids = np.concatenate(
+        [rng.integers(10, 512, 4), [VSTART], [IMG_TOK] * 8,
+         rng.integers(10, 512, 5)]
+    ).astype(np.int64)
+    txt = rng.integers(10, 512, size=9).tolist()
+    with torch.no_grad():
+        ref = hf.generate(
+            input_ids=torch.tensor(ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID3)]),
+            max_new_tokens=8,
+            do_sample=False,
+        )[0, len(ids):].tolist()
+        ref_t = hf.generate(
+            torch.tensor(txt)[None], max_new_tokens=8, do_sample=False
+        )[0, len(txt):].tolist()
+    llm = LLM(
+        model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+        max_num_batched_tokens=64, num_decode_steps=4,
+    )
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+    outs = llm.generate(
+        [
+            {
+                "prompt_token_ids": ids.tolist(),
+                "multi_modal_data": {
+                    "image": {"pixel_values": px,
+                              "image_grid_thw": [GRID3]},
+                },
+            },
+            {"prompt_token_ids": txt},
+        ],
+        sp,
+    )
+    assert outs[0].outputs[0].token_ids == ref
+    assert outs[1].outputs[0].token_ids == ref_t

@@ -127,12 +127,14 @@ class ModelConfig:
                 "qwen2_vl": ["Qwen2VLForConditionalGeneration"],
                 "qwen2_5_vl": ["Qwen2_5_VLForConditionalGeneration"],
                 "qwen3_vl": ["Qwen3VLForConditionalGeneration"],
+                "qwen3_vl_moe": ["Qwen3VLMoeForConditionalGeneration"],
             }.get(cfg.get("model_type", ""))
         archs = archs or ["LlamaForCausalLM"]
         if archs[0] in (
             "Qwen2VLForConditionalGeneration",
             "Qwen2_5_VLForConditionalGeneration",
             "Qwen3VLForConditionalGeneration",
+            "Qwen3VLMoeForConditionalGeneration",
         ) and isinstance(cfg.get("text_config"), dict):
             # transformers >=4.52 nests the text fields; flatten them for
             # the generic parse below (outer keys like vision_config /
@@ -203,6 +205,7 @@ class ModelConfig:
             "Qwen3ForCausalLM",
             "Qwen3MoeForCausalLM",
             "Qwen3VLForConditionalGeneration",
+            "Qwen3VLMoeForConditionalGeneration",
         ):
             kw["qk_norm"] = True
             kw["attention_bias"] = False

@@ -108,6 +108,26 @@ def forward(
     rope_cache = params["rope_cache"]
 
     hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    # multimodal hooks (Qwen3-VL-MoE text stack, models/qwen2_vl.py): image
+    # embeds blend over placeholder tokens; mrope reduces to per-token rope
+    # rows; deepstack features add into the first K layers' outputs
+    if md.mm_embeds is not None:
+        hidden = jnp.where(
+            md.mm_mask[:, None], md.mm_embeds.astype(hidden.dtype), hidden
+        )
+    if md.mrope_positions is not None:
+        from vllm_metax_tpu.ops.rope import mrope_rows
+
+        scaling = cfg.rope_scaling or {}
+        rope_cache = mrope_rows(
+            rope_cache,
+            md.mrope_positions,
+            tuple(int(x) for x in scaling["mrope_section"]),
+            interleaved=bool(scaling.get("mrope_interleaved", False)),
+        )
+        rope_pos = jnp.arange(hidden.shape[0], dtype=jnp.int32)
+    else:
+        rope_pos = None
 
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
@@ -143,7 +163,10 @@ def forward(
         if "q_norm" in layers:
             q = rms_norm(q, layers["q_norm"][l], eps)
             k = rms_norm(k, layers["k_norm"][l], eps)
-        q, k = apply_rope(q, k, md.positions, rope_cache)
+        q, k = apply_rope(
+            q, k, rope_pos if rope_pos is not None else md.positions,
+            rope_cache,
+        )
         if defer:
             attn = ragged_paged_attention(
                 q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window,
@@ -188,6 +211,15 @@ def forward(
         moe_out = _moe_block(
             lp, normed, cfg, act_fn, axis_name, ep_axis_name, layer_idx=l
         )
+        if md.mm_deepstack is not None:
+            kd = md.mm_deepstack.shape[0]
+            ds_l = jax.lax.dynamic_index_in_dim(
+                md.mm_deepstack, jnp.minimum(l, kd - 1), keepdims=False
+            )
+            on = jnp.logical_and(l < kd, md.mm_mask)
+            moe_out = moe_out + jnp.where(
+                on[:, None], ds_l, 0.0
+            ).astype(moe_out.dtype)
         if defer:
             return (moe_out, residual), (k, v)
         return (moe_out, residual, kv), None
@@ -291,11 +323,15 @@ def init_params(
     return params
 
 
-def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
-    """HF safetensors for Mixtral / Qwen2-MoE / Qwen3-MoE layouts."""
+def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
+    """HF safetensors for Mixtral / Qwen2-MoE / Qwen3-MoE layouts (+ the
+    PACKED per-layer expert tensors newer checkpoints carry, e.g.
+    Qwen3-VL-MoE's mlp.experts.gate_up_proj (E, H, 2I)). `reader` lets
+    wrappers inject a key-remapping view (models/qwen2_vl.py)."""
     from vllm_metax_tpu.weights.loader import CheckpointReader
 
-    reader = CheckpointReader(path)
+    if reader is None:
+        reader = CheckpointReader(path)
     dt = cfg.dtype
     flags = _arch_flags(cfg)
     mixtral = cfg.architecture == "MixtralForCausalLM"
@@ -317,6 +353,20 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
         return out
 
     def expert_bank(pre, i):
+        if reader.has(f"{pre}.mlp.experts.gate_up_proj"):
+            # packed (E, H, 2I) / (E, I, H) tensors — already bank-shaped
+            gu = {"w": get(f"{pre}.mlp.experts.gate_up_proj")}
+            dn = {"w": get(f"{pre}.mlp.experts.down_proj")}
+            if quant_cfg is not None and quant_cfg.enabled:
+                from vllm_metax_tpu.quantization import quantize_linear
+
+                gu = jax.vmap(
+                    lambda w: quantize_linear({"w": w}, quant_cfg)
+                )(gu["w"])
+                dn = jax.vmap(
+                    lambda w: quantize_linear({"w": w}, quant_cfg)
+                )(dn["w"])
+            return gu, dn
         gus, downs = [], []
         for j in range(cfg.num_experts):
             if mixtral:

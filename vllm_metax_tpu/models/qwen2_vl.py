@@ -52,7 +52,22 @@ def _is_v25(cfg: ModelConfig) -> bool:
 
 
 def _is_v3(cfg: ModelConfig) -> bool:
-    return cfg.architecture == "Qwen3VLForConditionalGeneration"
+    return cfg.architecture in (
+        "Qwen3VLForConditionalGeneration",
+        "Qwen3VLMoeForConditionalGeneration",
+    )
+
+
+def _is_moe(cfg: ModelConfig) -> bool:
+    return cfg.architecture == "Qwen3VLMoeForConditionalGeneration"
+
+
+def _text_mod(cfg: ModelConfig):
+    if _is_moe(cfg):
+        from vllm_metax_tpu.models import mixtral
+
+        return mixtral
+    return llama
 
 
 def mrope_interleaved(cfg: ModelConfig) -> bool:
@@ -603,6 +618,16 @@ def forward(
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,
 ):
+    if _is_moe(cfg):
+        # the MoE text stack handles the multimodal metadata hooks itself
+        # (models/mixtral.py forward: blend, mrope rows, deepstack)
+        from vllm_metax_tpu.models import mixtral
+
+        return mixtral.forward(
+            params, input_ids, kv_cache, md, cfg,
+            num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+            axis_name=axis_name, ep_axis_name=ep_axis_name,
+        )
     hidden = llama.embed(params, input_ids, cfg)
     if md.mm_embeds is not None:
         hidden = jnp.where(
@@ -729,7 +754,7 @@ def _init_vision_params(vcfg: dict, cfg: ModelConfig, key) -> dict:
 
 
 def init_params(cfg: ModelConfig, quant_cfg=None, seed: int = 0) -> dict:
-    params = llama.init_params(cfg, quant_cfg, seed)
+    params = _text_mod(cfg).init_params(cfg, quant_cfg, seed)
     params["visual"] = _init_vision_params(
         vision_cfg(cfg), cfg, jax.random.PRNGKey(seed + 7)
     )
@@ -762,7 +787,9 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
     from vllm_metax_tpu.weights.loader import CheckpointReader
 
     reader = CheckpointReader(path)
-    params = llama.load_weights(cfg, quant_cfg, path, reader=_RemapReader(reader))
+    params = _text_mod(cfg).load_weights(
+        cfg, quant_cfg, path, reader=_RemapReader(reader)
+    )
     vis_pre = (
         "model.visual" if reader.has("model.visual.patch_embed.proj.weight")
         else "visual"
@@ -875,7 +902,7 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
 def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     from jax.sharding import PartitionSpec as P
 
-    specs = llama.param_specs(cfg, quant_cfg)
+    specs = _text_mod(cfg).param_specs(cfg, quant_cfg)
     # vision tower is replicated (runs once per request; tiny vs the LM)
     shape_tree = jax.eval_shape(
         lambda: _init_vision_params(vision_cfg(cfg), cfg, jax.random.PRNGKey(0))
@@ -886,7 +913,7 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
 
 def prepare_for_tp(params: dict, cfg: ModelConfig, tp: int) -> dict:
     visual = params.pop("visual")
-    out = llama.prepare_for_tp(params, cfg, tp)
+    out = _text_mod(cfg).prepare_for_tp(params, cfg, tp)
     out["visual"] = visual
     params["visual"] = visual
     return out

@@ -54,6 +54,7 @@ _REGISTRY: dict[str, str] = {
     "Qwen2VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
     "Qwen2_5_VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
     "Qwen3VLForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
+    "Qwen3VLMoeForConditionalGeneration": "vllm_metax_tpu.models.qwen2_vl",
     # Mamba-1 selective-state-space LM (ref: the selective_scan_fwd kernel,
     # csrc/mamba/mamba_ssm/selective_scan_fwd.cu)
     "MambaForCausalLM": "vllm_metax_tpu.models.mamba",
