@@ -17,7 +17,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vllm_metax_tpu.config import ModelConfig
 from vllm_metax_tpu.layers.linear import apply_linear
