@@ -136,3 +136,47 @@ def test_pp_rejects_unsupported_model():
     )
     with pytest.raises(ValueError, match="pipeline"):
         _run_engine(_pp_config(mc, 2), mesh=make_tp_mesh(1, pp_size=2))
+
+
+def test_pp2_moe_matches_single_device():
+    """PP over the MoE stack (models/mixtral.py run_layers split)."""
+    mc = ModelConfig(
+        architecture="MixtralForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=256,
+        num_experts=4,
+        num_experts_per_tok=2,
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    out = _run_engine(
+        _pp_config(mc, 2),
+        mesh=make_tp_mesh(1, pp_size=2),
+    )
+    assert out == ref
+
+
+def test_pp2_x_tp2_moe_matches_single_device():
+    mc = ModelConfig(
+        architecture="Qwen2MoeForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=256,
+        num_experts=4,
+        num_experts_per_tok=2,
+        hf_config={"shared_expert_intermediate_size": 32},
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    out = _run_engine(
+        _pp_config(mc, 2, tp=2),
+        mesh=make_tp_mesh(2, pp_size=2),
+    )
+    assert out == ref

@@ -88,9 +88,17 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
     return y
 
 
-def forward(
+def embed(params: dict, input_ids: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    return jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+
+
+finalize = _llama.finalize
+
+
+def run_layers(
     params: dict,
-    input_ids: jnp.ndarray,
+    hidden: jnp.ndarray,
+    residual: jnp.ndarray,
     kv_cache: KVCache,
     md: AttentionMetadata,
     cfg: ModelConfig,
@@ -98,7 +106,11 @@ def forward(
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,
+    num_layers: Optional[int] = None,  # local layer count (PP stages)
 ):
+    """MoE decoder stack as one lax.scan (PP-splittable like
+    models/llama.py run_layers). Multimodal hooks (Qwen3-VL-MoE) are
+    metadata-driven: mrope rope rows and deepstack adds come from md."""
     hq = num_q_heads or cfg.num_q_heads
     hkv = num_kv_heads or cfg.num_kv_heads
     d = cfg.head_dim
@@ -106,15 +118,8 @@ def forward(
     sm_scale = d**-0.5
     act_fn = ACT2FN[cfg.hidden_act]
     rope_cache = params["rope_cache"]
+    n_layers = num_layers or cfg.num_hidden_layers
 
-    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
-    # multimodal hooks (Qwen3-VL-MoE text stack, models/qwen2_vl.py): image
-    # embeds blend over placeholder tokens; mrope reduces to per-token rope
-    # rows; deepstack features add into the first K layers' outputs
-    if md.mm_embeds is not None:
-        hidden = jnp.where(
-            md.mm_mask[:, None], md.mm_embeds.astype(hidden.dtype), hidden
-        )
     if md.mrope_positions is not None:
         from vllm_metax_tpu.ops.rope import mrope_rows
 
@@ -132,7 +137,7 @@ def forward(
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    nb_layer = kv_cache.k.shape[0] // n_layers
     slots_per_layer = nb_layer * kv_cache.block_size
     layers = params["layers"]
 
@@ -224,12 +229,11 @@ def forward(
             return (moe_out, residual), (k, v)
         return (moe_out, residual, kv), None
 
-    residual = jnp.zeros_like(hidden)
     if defer:
         (hidden, residual), (ks, vs) = jax.lax.scan(
             layer_fn,
             (hidden, residual),
-            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+            jnp.arange(n_layers, dtype=jnp.int32),
         )
         new_kv = write_all_layers_to_kv_cache(
             kv_cache, ks, vs, md.slot_mapping, nb_layer
@@ -238,12 +242,35 @@ def forward(
         (hidden, residual, new_kv), _ = jax.lax.scan(
             layer_fn,
             (hidden, residual, kv_cache),
-            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+            jnp.arange(n_layers, dtype=jnp.int32),
         )
-    hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(
-        cfg.dtype
+    return hidden, residual, new_kv
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
+):
+    hidden = embed(params, input_ids, cfg)
+    # multimodal blend (Qwen3-VL-MoE): image embeds over placeholder tokens
+    if md.mm_embeds is not None:
+        hidden = jnp.where(
+            md.mm_mask[:, None], md.mm_embeds.astype(hidden.dtype), hidden
+        )
+    residual = jnp.zeros_like(hidden)
+    hidden, residual, new_kv = run_layers(
+        params, hidden, residual, kv_cache, md, cfg,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        axis_name=axis_name, ep_axis_name=ep_axis_name,
     )
-    return hidden, new_kv
+    return finalize(hidden, residual, cfg), new_kv
 
 
 # ---------------------------------------------------------------- params
