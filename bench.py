@@ -19,7 +19,39 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+
+# Watchdog: the remote TPU compiler has been observed to wedge (hung
+# compiles, 2026-08-18 incident). A daemon THREAD (a signal handler can't
+# preempt a blocked PJRT C call) turns an indefinite driver hang into one
+# JSON error line. Generous default: a healthy run finishes in well under
+# 15 minutes including first compiles. Disarmed on success below.
+_WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+_watchdog_done = threading.Event()
+
+
+def _watchdog():
+    if _watchdog_done.wait(_WATCHDOG_S):
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip",
+                "value": 0,
+                "unit": "tok/s",
+                "vs_baseline": 0.0,
+                "error": f"bench watchdog fired after {_WATCHDOG_S}s "
+                "(TPU backend likely wedged; see memory axon-compile-wedge)",
+            }
+        ),
+        flush=True,
+    )
+    os._exit(3)
+
+
+if _WATCHDOG_S > 0:
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 # Flagship GEMM path: int8-quantized activations on the int8 MXU against the
 # packed int4 weights (ops/pallas/quant_matmul.py W4A8 kernel) — the bf16
@@ -201,6 +233,7 @@ def main():
 
     roofline = _roofline_tokens_s(engine, num_reqs, prompt_len + decode_len // 2)
     value = round(res["decode_tok_s"], 1)
+    _watchdog_done.set()
     print(
         json.dumps(
             {
