@@ -180,3 +180,34 @@ def test_pp2_x_tp2_moe_matches_single_device():
         mesh=make_tp_mesh(2, pp_size=2),
     )
     assert out == ref
+
+
+def test_pp2_gemma2_odd_local_layers():
+    """Gemma-2 under PP: the even/odd sliding-window alternation must use
+    GLOBAL layer parity — 6 layers / pp2 gives each stage an ODD count, so
+    a local-parity bug would flip stage 1's window schedule."""
+    mc = ModelConfig(
+        architecture="Gemma2ForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=6,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        vocab_size=256,
+        max_position_embeddings=256,
+        sliding_window=32,
+        sliding_window_pattern=2,
+        scale_embeddings=True,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        hidden_act="gelu_pytorch_tanh",
+        tie_word_embeddings=True,
+    )
+    ref = _run_engine(_make_config(mc, 1), prompts=[list(range(40, 80))])
+    out = _run_engine(
+        _pp_config(mc, 2),
+        mesh=make_tp_mesh(1, pp_size=2),
+        prompts=[list(range(40, 80))],
+    )
+    assert out == ref

@@ -52,9 +52,22 @@ from vllm_metax_tpu.ops.layernorm import rms_norm
 from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
 
 
-def forward(
+def embed(params: dict, input_ids: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    # Gemma scales embeddings by sqrt(E)
+    return hidden * jnp.asarray(cfg.hidden_size**0.5, cfg.dtype)
+
+
+def finalize(hidden: jnp.ndarray, residual: jnp.ndarray, cfg: ModelConfig):
+    return (
+        hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+    ).astype(cfg.dtype)
+
+
+def run_layers(
     params: dict,
-    input_ids: jnp.ndarray,  # (T,)
+    hidden: jnp.ndarray,
+    residual: jnp.ndarray,  # carried for the PP module contract (plain adds)
     kv_cache: KVCache,
     md: AttentionMetadata,
     cfg: ModelConfig,
@@ -62,6 +75,9 @@ def forward(
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,  # unused (dense model)
+    num_layers: Optional[int] = None,  # local layer count (PP stages)
+    layer_offset=0,  # GLOBAL index of local layer 0 (Gemma-2's
+    # even/odd sliding-window alternation needs global parity)
 ):
     hq = num_q_heads or cfg.num_q_heads
     hkv = num_kv_heads or cfg.num_kv_heads
@@ -73,14 +89,16 @@ def forward(
     rope_cache = params["rope_cache"]
     layers = params["layers"]
     sandwich = "post_attn_ln" in layers  # Gemma 2
+    n_layers = num_layers or cfg.num_hidden_layers
 
-    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
-    hidden = hidden * jnp.asarray(cfg.hidden_size**0.5, cfg.dtype)
+    hidden = (
+        hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+    ).astype(cfg.dtype)
 
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    nb_layer = kv_cache.k.shape[0] // n_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
     def attend(q, kv, md_l, window, k_cur=None, v_cur=None):
@@ -119,9 +137,10 @@ def forward(
             kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
         kc, vc = (k, v) if defer else (None, None)
         if cfg.sliding_window and cfg.sliding_window_pattern == 2:
-            # even layers sliding, odd layers global (Gemma 2)
+            # even GLOBAL layers sliding, odd global (Gemma 2) — under PP
+            # the local index is rebased by the stage's layer_offset
             attn = jax.lax.cond(
-                l % 2 == 0,
+                (l + layer_offset) % 2 == 0,
                 lambda q, kv, md_l: attend(q, kv, md_l, cfg.sliding_window,
                                            kc, vc),
                 lambda q, kv, md_l: attend(q, kv, md_l, 0, kc, vc),
@@ -155,7 +174,7 @@ def forward(
         (hidden,), (ks, vs) = jax.lax.scan(
             layer_fn,
             (hidden,),
-            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+            jnp.arange(n_layers, dtype=jnp.int32),
         )
         new_kv = write_all_layers_to_kv_cache(
             kv_cache, ks, vs, md.slot_mapping, nb_layer
@@ -164,9 +183,29 @@ def forward(
         (hidden, new_kv), _ = jax.lax.scan(
             layer_fn,
             (hidden, kv_cache),
-            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+            jnp.arange(n_layers, dtype=jnp.int32),
         )
-    return hidden, new_kv
+    return hidden, jnp.zeros_like(hidden), new_kv
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,  # (T,)
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,  # unused (dense model)
+):
+    hidden = embed(params, input_ids, cfg)
+    hidden, residual, new_kv = run_layers(
+        params, hidden, jnp.zeros_like(hidden), kv_cache, md, cfg,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        axis_name=axis_name,
+    )
+    return finalize(hidden, residual, cfg), new_kv
 
 
 def compute_logits(

@@ -84,6 +84,7 @@ def run_layers(
     rope_rows: Optional[jnp.ndarray] = None,  # (T, rot) per-token rope rows
     deepstack: Optional[jnp.ndarray] = None,  # (K, T, E) early-layer visual
     ds_mask: Optional[jnp.ndarray] = None,  # (T,) image-token mask
+    layer_offset=0,  # global index of local layer 0 (PP; unused here)
 ):
     """The decoder layer stack as one lax.scan over the (local) stacked layer
     bank. Returns (hidden, residual, new kv_cache) — residual is carried

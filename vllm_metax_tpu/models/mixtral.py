@@ -107,6 +107,7 @@ def run_layers(
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,
     num_layers: Optional[int] = None,  # local layer count (PP stages)
+    layer_offset=0,  # global index of local layer 0 (PP; unused here)
 ):
     """MoE decoder stack as one lax.scan (PP-splittable like
     models/llama.py run_layers). Multimodal hooks (Qwen3-VL-MoE) are

@@ -122,6 +122,9 @@ def pipeline_forward(
             num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
             axis_name=axis_name, ep_axis_name=ep_axis_name,
             num_layers=n_local,
+            # global index of this stage's first layer (Gemma-2 window
+            # parity and other global-position layer schedules)
+            layer_offset=s * n_local,
         )
         # collect: on the last stage mbc only ever clamps DOWN (mbi < mb
         # always there), so a valid write is never overwritten by drain ticks
