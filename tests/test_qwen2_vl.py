@@ -1161,3 +1161,41 @@ def test_qwen3_vl_moe_e2e(tmp_path_factory):
     )
     assert outs[0].outputs[0].token_ids == ref
     assert outs[1].outputs[0].token_ids == ref_t
+
+
+def test_mm_preemption_recompute(setup):
+    """A tiny KV pool forces preemption-by-recompute mid-decode; preempted
+    multimodal requests must resume token-exact (vision embeds + mrope
+    tables are admission-cached and survive the recompute)."""
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    _, path, cfg, model, params = setup
+    rng = np.random.default_rng(60)
+    reqs = []
+    for i in range(3):
+        px = _pixels(rng, GRID)
+        ids = np.concatenate(
+            [rng.integers(10, 512, 8 + 4 * i), [VSTART], [IMG_TOK] * 4,
+             rng.integers(10, 512, 6)]
+        ).tolist()
+        reqs.append({
+            "prompt_token_ids": ids,
+            "multi_modal_data": {
+                "image": {"pixel_values": px, "image_grid_thw": [GRID]},
+            },
+        })
+    sp = SamplingParams(max_tokens=24, temperature=0.0, ignore_eos=True)
+
+    def run(num_blocks):
+        llm = LLM(
+            model=path, dtype="float32", num_kv_blocks=num_blocks,
+            max_num_seqs=4, max_num_batched_tokens=64,
+        )
+        outs = llm.generate(list(reqs), sp)
+        n_preempt = llm.engine.scheduler.num_preemptions
+        return [o.outputs[0].token_ids for o in outs], n_preempt
+
+    roomy, _ = run(64)
+    tight, n_preempt = run(8)  # 8 blocks × 16 slots can't hold 3 requests
+    assert n_preempt > 0, "pool was large enough to avoid preempt"
+    assert tight == roomy
