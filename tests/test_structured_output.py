@@ -311,3 +311,76 @@ def test_json_schema_array_bounds():
     )
     assert rx.fullmatch("[1]") and rx.fullmatch("[1, 2]")
     assert not rx.fullmatch("[]") and not rx.fullmatch("[1, 2, 3]")
+
+
+# ---------------------------------------------------------------------------
+# guided_grammar (EBNF → regex → token FSM)
+
+
+def test_grammar_to_regex():
+    import re as _re
+
+    from vllm_metax_tpu.guided_grammar import grammar_to_regex
+
+    g = """
+    // a tiny key-value grammar
+    root ::= greeting " " name ("!" | ".")
+    greeting ::= "hello" | "hi"
+    name ::= [A-Z][a-z]+
+    """
+    rx = _re.compile(grammar_to_regex(g))
+    assert rx.fullmatch("hello World!")
+    assert rx.fullmatch("hi Bob.")
+    assert not rx.fullmatch("hello world!")  # lowercase name
+    assert not rx.fullmatch("hey Bob.")
+
+    # lark-style single-colon rules + repeats
+    g2 = """
+    start: digit+ ("," digit+)*
+    digit: [0-9]
+    """
+    rx2 = _re.compile(grammar_to_regex(g2))
+    assert rx2.fullmatch("12,345,6")
+    assert not rx2.fullmatch("12,,3")
+
+
+def test_grammar_recursion_rejected():
+    import pytest as _pytest
+
+    from vllm_metax_tpu.guided_grammar import grammar_to_regex
+
+    g = """
+    root ::= "(" root ")" | "x"
+    """
+    with _pytest.raises(ValueError, match="recursive"):
+        grammar_to_regex(g)
+
+
+def test_guided_grammar_e2e(tmp_path):
+    """Generation constrained by an EBNF grammar through LLM.generate."""
+    import re as _re
+
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tests.test_api_server import _make_tiny_tokenizer
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=32000,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny")
+    m.save_pretrained(path, safe_serialization=True)
+    _make_tiny_tokenizer(path)
+
+    llm = LLM(model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+              max_num_batched_tokens=64, max_model_len=128)
+    g = 'root ::= ("yes" | "no") ", " [0-9] [0-9]?'
+    out = llm.generate(
+        ["Answer:"],
+        SamplingParams(max_tokens=16, temperature=0.0, guided_grammar=g),
+    )[0].outputs[0].text
+    assert _re.fullmatch(r"(yes|no), [0-9][0-9]?", out), out

@@ -121,6 +121,9 @@ def _sampling_from_request(body: dict) -> SamplingParams:
                        or (body.get("extra_body") or {}).get("guided_choice")),
         guided_regex=(body.get("guided_regex")
                       or (body.get("extra_body") or {}).get("guided_regex")),
+        guided_grammar=(body.get("guided_grammar")
+                        or (body.get("extra_body") or {}).get(
+                            "guided_grammar")),
         guided_json=(body.get("guided_json")
                      or (body.get("extra_body") or {}).get("guided_json")
                      or _response_format_schema(body)),
@@ -146,13 +149,21 @@ def _attach_guided(sp, tokenizer):
             tokenizer.encode(c, add_special_tokens=False)
             for c in sp.guided_choice
         ]
-    elif sp.guided_regex or sp.guided_json:
+    elif sp.guided_regex or sp.guided_json or sp.guided_grammar:
         from vllm_metax_tpu.guided_fsm import (
             get_token_fsm,
             json_schema_to_regex,
         )
 
-        pattern = sp.guided_regex or json_schema_to_regex(sp.guided_json)
+        if sp.guided_grammar:
+            from vllm_metax_tpu.guided_grammar import grammar_to_regex
+
+            try:
+                pattern = grammar_to_regex(sp.guided_grammar)
+            except ValueError as e:  # malformed/recursive grammar → 400
+                raise RequestValidationError(str(e))
+        else:
+            pattern = sp.guided_regex or json_schema_to_regex(sp.guided_json)
         sp._guided_fsm = get_token_fsm(pattern, tokenizer)
 
 

@@ -246,7 +246,7 @@ class LLM:
                     for c in sp.guided_choice
                 ]
             if (
-                (sp.guided_regex or sp.guided_json)
+                (sp.guided_regex or sp.guided_json or sp.guided_grammar)
                 and self.tokenizer is not None
                 and not getattr(sp, "_guided_fsm", None)
             ):
@@ -255,9 +255,14 @@ class LLM:
                     json_schema_to_regex,
                 )
 
-                pattern = sp.guided_regex or json_schema_to_regex(
-                    sp.guided_json
-                )
+                if sp.guided_grammar:
+                    from vllm_metax_tpu.guided_grammar import grammar_to_regex
+
+                    pattern = grammar_to_regex(sp.guided_grammar)
+                else:
+                    pattern = sp.guided_regex or json_schema_to_regex(
+                        sp.guided_json
+                    )
                 sp._guided_fsm = get_token_fsm(pattern, self.tokenizer)
             # n>1: fan out into n engine requests (parallel sampling); the
             # prefix cache dedups the shared-prompt prefill across children

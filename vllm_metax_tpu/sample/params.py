@@ -58,6 +58,7 @@ class SamplingParams:
     # structured outputs
     guided_json: Optional[dict] = None
     guided_regex: Optional[str] = None
+    guided_grammar: Optional[str] = None  # EBNF (Lark/GBNF subset)
     guided_choice: Optional[list[str]] = None
     bad_words: list[str] = field(default_factory=list)
     # token-id form of bad_words (single tokens); entrypoints fill this via
