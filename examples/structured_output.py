@@ -24,3 +24,11 @@ print(llm.generate(
     ["Give me a person as JSON: "],
     SamplingParams(max_tokens=64, guided_json=schema),
 )[0].outputs[0].text)
+
+g = """
+root ::= ("yes" | "no") ", confidence " [0-9] "." [0-9] [0-9]
+"""
+print(llm.generate(
+    ["Will it rain? "],
+    SamplingParams(max_tokens=24, guided_grammar=g),
+)[0].outputs[0].text)

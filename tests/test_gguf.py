@@ -385,3 +385,26 @@ def test_unsupported_quant_type_raises(tmp_path):
     g = G.GGUFFile(path)
     with pytest.raises(NotImplementedError, match="Q3_K"):
         g.get("x.weight")
+
+
+def test_parser_robust_to_garbage(tmp_path):
+    """The GGUF parser handles hostile/truncated files with clean errors
+    (checkpoint paths are untrusted input)."""
+    rng = np.random.default_rng(7)
+    # valid header magic but garbage body, truncations, huge counts
+    cases = [
+        b"",
+        b"GG",
+        b"GGUF",
+        struct.pack("<IIQQ", G.GGUF_MAGIC, 3, 1, 1),  # truncated kv
+        struct.pack("<IIQQ", G.GGUF_MAGIC, 99, 0, 0),  # bad version
+        struct.pack("<IIQQ", G.GGUF_MAGIC, 3, 0, 1)
+        + struct.pack("<Q", 1 << 40),  # absurd string length
+        rng.bytes(256),
+    ]
+    for i, blob in enumerate(cases):
+        p = tmp_path / f"bad{i}.gguf"
+        p.write_bytes(blob)
+        with pytest.raises((ValueError, EOFError, OSError, struct.error,
+                            UnicodeDecodeError, MemoryError)):
+            G.GGUFFile(str(p))
