@@ -118,10 +118,11 @@ def test_pp2_rejects_indivisible_layers(small_model_config):
 
 
 def test_pp_rejects_unsupported_model():
-    """Models without embed/run_layers/finalize must fail loudly, not wrong."""
+    """Models without embed/run_layers/finalize must fail loudly, not wrong
+    (BaiChuanMoE keeps its monolithic forward)."""
     mc = ModelConfig(
-        model="dummy-gpt2",
-        architecture="GPT2LMHeadModel",
+        model="dummy-bcmoe",
+        architecture="BaiChuanMoEForCausalLM",
         hidden_size=64,
         intermediate_size=256,
         num_hidden_layers=2,
@@ -130,8 +131,8 @@ def test_pp_rejects_unsupported_model():
         vocab_size=256,
         max_position_embeddings=512,
         max_model_len=512,
-        tie_word_embeddings=True,
-        hidden_act="gelu_new",
+        num_experts=4,
+        num_experts_per_tok=2,
         dtype="float32",
     )
     with pytest.raises(ValueError, match="pipeline"):
@@ -209,5 +210,31 @@ def test_pp2_gemma2_odd_local_layers():
         _pp_config(mc, 2),
         mesh=make_tp_mesh(1, pp_size=2),
         prompts=[list(range(40, 80))],
+    )
+    assert out == ref
+
+
+@pytest.mark.parametrize("arch,extra", [
+    ("GPT2LMHeadModel", dict(hidden_act="gelu_new", tie_word_embeddings=True)),
+    ("OPTForCausalLM", dict(hidden_act="relu", tie_word_embeddings=True)),
+    ("GPTNeoXForCausalLM", dict(hidden_act="gelu")),
+])
+def test_pp2_legacy_families(arch, extra):
+    """PP for the learned-position / LayerNorm families (md-aware embed)."""
+    mc = ModelConfig(
+        architecture=arch,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        vocab_size=256,
+        max_position_embeddings=256,
+        **extra,
+    )
+    ref = _run_engine(_make_config(mc, 1))
+    out = _run_engine(
+        _pp_config(mc, 2),
+        mesh=make_tp_mesh(1, pp_size=2),
     )
     assert out == ref

@@ -55,9 +55,25 @@ def _pre_ln(cfg: ModelConfig) -> bool:
     return bool(cfg.hf_config.get("do_layer_norm_before", True))
 
 
-def forward(
+def embed(params, input_ids, cfg: ModelConfig, md=None):
+    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    if "proj_in" in params:
+        hidden = apply_linear(params["proj_in"], hidden)
+    return hidden + jnp.take(
+        params["pos_embed"], md.positions + 2, axis=0
+    ).astype(cfg.dtype)
+
+
+def finalize(hidden, residual, cfg: ModelConfig):
+    return (
+        hidden.astype(jnp.float32) + residual.astype(jnp.float32)
+    ).astype(cfg.dtype)
+
+
+def run_layers(
     params: dict,
-    input_ids: jnp.ndarray,
+    hidden: jnp.ndarray,
+    residual: jnp.ndarray,  # PP module contract (plain-add residuals here)
     kv_cache: KVCache,
     md: AttentionMetadata,
     cfg: ModelConfig,
@@ -65,6 +81,8 @@ def forward(
     num_kv_heads: Optional[int] = None,
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,  # unused (dense model)
+    num_layers: Optional[int] = None,  # local layer count (PP stages)
+    layer_offset=0,  # unused (no global-position layer schedule)
 ):
     hq = num_q_heads or cfg.num_q_heads
     hkv = num_kv_heads or cfg.num_kv_heads
@@ -74,18 +92,16 @@ def forward(
     act = _ACTS[cfg.hidden_act]
     pre_ln = _pre_ln(cfg)
     layers = params["layers"]
+    n_layers = num_layers or cfg.num_hidden_layers
 
-    hidden = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
-    if "proj_in" in params:
-        hidden = apply_linear(params["proj_in"], hidden)
-    hidden = hidden + jnp.take(
-        params["pos_embed"], md.positions + 2, axis=0
+    hidden = (
+        hidden.astype(jnp.float32) + residual.astype(jnp.float32)
     ).astype(cfg.dtype)
 
     def maybe_psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    nb_layer = kv_cache.k.shape[0] // cfg.num_hidden_layers
+    nb_layer = kv_cache.k.shape[0] // n_layers
     slots_per_layer = nb_layer * kv_cache.block_size
 
     # pure-decode steps defer the KV write to one all-layer scatter after
@@ -142,7 +158,7 @@ def forward(
         (hidden,), (ks, vs) = jax.lax.scan(
             layer_fn,
             (hidden,),
-            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+            jnp.arange(n_layers, dtype=jnp.int32),
         )
         new_kv = write_all_layers_to_kv_cache(
             kv_cache, ks, vs, md.slot_mapping, nb_layer
@@ -151,9 +167,29 @@ def forward(
         (hidden, new_kv), _ = jax.lax.scan(
             layer_fn,
             (hidden, kv_cache),
-            jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
+            jnp.arange(n_layers, dtype=jnp.int32),
         )
-    return hidden, new_kv
+    return hidden, jnp.zeros_like(hidden), new_kv
+
+
+def forward(
+    params: dict,
+    input_ids: jnp.ndarray,
+    kv_cache: KVCache,
+    md: AttentionMetadata,
+    cfg: ModelConfig,
+    num_q_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,  # unused (dense model)
+):
+    hidden = embed(params, input_ids, cfg, md=md)
+    hidden, residual, new_kv = run_layers(
+        params, hidden, jnp.zeros_like(hidden), kv_cache, md, cfg,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        axis_name=axis_name,
+    )
+    return finalize(hidden, residual, cfg), new_kv
 
 
 def compute_logits(

@@ -100,7 +100,13 @@ def pipeline_forward(
     n_local = cfg.num_hidden_layers // num_stages
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
 
-    h_all = model.embed(params, input_ids, cfg)  # (T, E) on every stage
+    import inspect
+
+    if "md" in inspect.signature(model.embed).parameters:
+        # learned-position models (gpt2/opt) need md.positions in embed
+        h_all = model.embed(params, input_ids, cfg, md=md)
+    else:
+        h_all = model.embed(params, input_ids, cfg)  # (T, E) on every stage
     e = h_all.shape[-1]
 
     def tick(carry, tstep):
