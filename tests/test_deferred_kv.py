@@ -118,8 +118,10 @@ def test_deferred_decode_quantized(rng):
            quantized=True, atol=0.15)
 
 
+@pytest.mark.parametrize("form", ["dus", "rows", "block"])
 @pytest.mark.parametrize("quantized", [False, True])
-def test_write_all_layers_matches_per_layer(rng, quantized):
+def test_write_all_layers_matches_per_layer(rng, quantized, form, monkeypatch):
+    monkeypatch.setenv("METAX_TPU_KV_COMMIT", form)
     n_layers, nb_layer, h, bs, d = 3, 4, 2, 8, 16
     nb = n_layers * nb_layer
     dtype = jnp.int8 if quantized else jnp.float32

@@ -30,7 +30,7 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # batched all-layer KV commit form: "block" (gather→blend→scatter of
     # whole blocks, H× fewer scatter rows) or "rows" (token rows; fallback —
     # the block form hung the TPU compiler on one toolchain)
-    "METAX_TPU_KV_COMMIT": lambda: os.getenv("METAX_TPU_KV_COMMIT", "block"),
+    "METAX_TPU_KV_COMMIT": lambda: os.getenv("METAX_TPU_KV_COMMIT", "rows"),
     # Fraction of free HBM to dedicate to the KV cache.
     "METAX_TPU_GPU_MEMORY_UTILIZATION": lambda: float(
         os.getenv("METAX_TPU_GPU_MEMORY_UTILIZATION", "0.9")

@@ -206,15 +206,27 @@ def write_all_layers_to_kv_cache(
     share a block, so the RMW is race-free.
     (ref layout: csrc/cache_kernels.cu:450 reshape_and_cache_flash)
 
-    METAX_TPU_KV_COMMIT=rows falls back to the one-shot token-row scatter:
-    the block-RMW HLO was observed to hang the TPU compiler on some
-    toolchains (2026-08-18 axon v5e incident), so the fallback stays a knob.
+    METAX_TPU_KV_COMMIT selects the lowering:
+      rows (default) — one-shot token-row scatter (L*T*H rows; ~4.5ms at 8B
+        shapes — scatter overhead is per ROW, ~70ns measured).
+      dus — per-token dynamic_update_slice loop on a 5-D
+        (L, nb_layer, H, BS, D) view (all layers share the token's
+        layer-local slot, so one strided DUS covers every layer). Measured
+        SLOWER than rows on v5e (2287 vs 5031 tok/s e2e): the T-iteration
+        fori_loop serializes what the scatter runs as one parallel op.
+      block — gather-blend-scatter whole blocks; would cut the row count
+        H-fold but was observed to hang the TPU compiler on some toolchains
+        (2026-08-18 axon v5e incident).
     """
     from vllm_metax_tpu import envs
 
     nb, h, bs, d = kv_cache.k.shape
     if envs.METAX_TPU_KV_COMMIT == "rows":
         return _write_all_layers_rows(
+            kv_cache, k, v, slot_mapping, nb_layer, first_layer
+        )
+    if envs.METAX_TPU_KV_COMMIT != "block":
+        return _write_all_layers_dus(
             kv_cache, k, v, slot_mapping, nb_layer, first_layer
         )
     cache_dtype = kv_cache.k.dtype
@@ -268,6 +280,86 @@ def write_all_layers_to_kv_cache(
     return kv_cache._replace(
         k=rmw(kv_cache.k, k.astype(cache_dtype)),
         v=rmw(kv_cache.v, v.astype(cache_dtype)),
+    )
+
+
+def _write_all_layers_dus(
+    kv_cache: KVCache,
+    k: jnp.ndarray,  # (L, T, H, D)
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,  # (T,) layer-local; OOB sentinel = pad
+    nb_layer: int,
+    first_layer: int = 0,
+) -> KVCache:
+    """dynamic_update_slice form of the batched all-layer commit — see
+    write_all_layers_to_kv_cache. One (L, 1, H, 1, D) strided update per
+    token covers every layer's K row (all layers share the layer-local
+    slot), so the per-step cost is T update ops + the raw ~L·T·H·D bytes,
+    not L·T·H scatter-row overheads."""
+    nb, h, bs, d = kv_cache.k.shape
+    cache_dtype = kv_cache.k.dtype
+    n_layers, t = k.shape[0], k.shape[1]
+    l_tot = nb // nb_layer
+    block_idx = slot_mapping // bs  # (T,) layer-local
+    off_idx = slot_mapping % bs
+    pad = slot_mapping >= nb_layer * bs
+
+    if kv_cache.quantized:
+        kq, ks = _quantize_kv(k, cache_dtype)
+        if v.size:
+            vq, vs = _quantize_kv(v, cache_dtype)
+        else:
+            vq = vs = None
+    else:
+        kq, vq = k.astype(cache_dtype), v.astype(cache_dtype)
+        ks = vs = None
+
+    def vals5(arr):  # (L, T, H, Dv) → (T, L, 1, H, 1, Dv) update slabs
+        return arr.transpose(1, 0, 2, 3)[:, :, None, :, None, :]
+
+    def scales4(arr):  # (L, T, H) → (T, L, 1, H, 1)
+        return arr.transpose(1, 0, 2)[:, :, None, :, None]
+
+    carry = {
+        "k": kv_cache.k.reshape(l_tot, nb_layer, h, bs, d),
+    }
+    upds = {"k": vals5(kq)}
+    if vq is not None and vq.size:
+        carry["v"] = kv_cache.v.reshape(l_tot, nb_layer, h, bs, vq.shape[-1])
+        upds["v"] = vals5(vq)
+    if ks is not None:
+        carry["ks"] = kv_cache.k_scale.reshape(l_tot, nb_layer, h, bs)
+        upds["ks"] = scales4(ks)
+        if vs is not None:
+            carry["vs"] = kv_cache.v_scale.reshape(l_tot, nb_layer, h, bs)
+            upds["vs"] = scales4(vs)
+
+    def body(i, c):
+        b = block_idx[i]
+        off = off_idx[i]
+
+        def write(c):
+            out = dict(c)
+            for name, pool in c.items():
+                u = jax.lax.dynamic_slice_in_dim(upds[name], i, 1, 0)[0]
+                start = (first_layer, b, 0, off) + (
+                    (0,) if pool.ndim == 5 else ()
+                )
+                out[name] = jax.lax.dynamic_update_slice(pool, u, start)
+            return out
+
+        return jax.lax.cond(pad[i], lambda c: c, write, c)
+
+    carry = jax.lax.fori_loop(0, t, body, carry)
+    return kv_cache._replace(
+        k=carry["k"].reshape(kv_cache.k.shape),
+        v=carry["v"].reshape(kv_cache.v.shape) if "v" in carry else kv_cache.v,
+        k_scale=carry["ks"].reshape(kv_cache.k_scale.shape)
+        if "ks" in carry
+        else kv_cache.k_scale,
+        v_scale=carry["vs"].reshape(kv_cache.v_scale.shape)
+        if "vs" in carry
+        else kv_cache.v_scale,
     )
 
 
