@@ -118,6 +118,34 @@ def test_deferred_decode_quantized(rng):
            quantized=True, atol=0.15)
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_write_all_layers_sorted_path(rng, quantized, monkeypatch):
+    # full bucket, distinct blocks, NO pads -> the rows form takes the
+    # sorted-scatter branch; must still match the per-layer writes
+    monkeypatch.setenv("METAX_TPU_KV_COMMIT", "rows")
+    n_layers, nb_layer, h, bs, d = 3, 8, 2, 8, 16
+    nb = n_layers * nb_layer
+    dtype = jnp.int8 if quantized else jnp.float32
+    pool_a = new_kv_cache(nb, bs, h, d, dtype)
+    pool_b = pool_a
+    # unsorted distinct blocks, one token each (decode-step shape)
+    slots = jnp.asarray([5 * bs + 3, 2 * bs + 7, 7 * bs, 0, 3 * bs + 1],
+                        jnp.int32)
+    t = slots.shape[0]
+    ks = jnp.asarray(rng.standard_normal((n_layers, t, h, d), np.float32))
+    vs = jnp.asarray(rng.standard_normal((n_layers, t, h, d), np.float32))
+    for l in range(n_layers):
+        pool_a = write_to_kv_cache(pool_a, ks[l], vs[l],
+                                   slots + l * nb_layer * bs)
+    pool_b = write_all_layers_to_kv_cache(pool_b, ks, vs, slots, nb_layer)
+    np.testing.assert_array_equal(np.asarray(pool_a.k), np.asarray(pool_b.k))
+    np.testing.assert_array_equal(np.asarray(pool_a.v), np.asarray(pool_b.v))
+    if quantized:
+        np.testing.assert_array_equal(
+            np.asarray(pool_a.k_scale), np.asarray(pool_b.k_scale)
+        )
+
+
 @pytest.mark.parametrize("form", ["dus", "rows", "block"])
 @pytest.mark.parametrize("quantized", [False, True])
 def test_write_all_layers_matches_per_layer(rng, quantized, form, monkeypatch):
