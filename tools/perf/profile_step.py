@@ -36,15 +36,25 @@ def main():
             rng.integers(1, vocab, size=prompt_len).tolist(),
             SamplingParams(max_tokens=decode_len, temperature=0.8, seed=i),
         )
-    # steady state: run until ONE multi-step decode window has executed
-    # (a step that emits >= 2*num_reqs tokens), so the window executable is
-    # compiled and the next windows are the real steady-state decode
-    for _ in range(200):
-        if not engine.has_unfinished_requests():
+    # warmup wave: run to completion so every executable (prefill buckets,
+    # decode window) is compiled, then enqueue a FRESH wave and advance it
+    # until every request has prefilled — the traced steps are then pure
+    # steady-state decode windows.
+    while engine.has_unfinished_requests():
+        engine.step()
+    for i in range(num_reqs):
+        engine.add_request(
+            f"t{i}",
+            rng.integers(1, vocab, size=prompt_len).tolist(),
+            SamplingParams(max_tokens=decode_len, temperature=0.8, seed=i),
+        )
+    first = set()
+    for _ in range(400):
+        if len(first) == num_reqs:
             break
-        outs = engine.step()
-        if sum(len(o.new_token_ids) for o in outs) >= 2 * num_reqs:
-            break
+        for o in engine.step():
+            if o.new_token_ids:
+                first.add(o.req_id)
 
     trace_dir = "/tmp/jaxtrace_step"
     os.system(f"rm -rf {trace_dir}")

@@ -374,27 +374,16 @@ def _write_all_layers_rows(
     """Token-row form of the batched all-layer commit (one scatter of
     L·T·H rows) — see write_all_layers_to_kv_cache.
 
-    Fast path: the TPU scatter runs ~2x faster with indices_are_sorted=True
-    (measured 70 → 36 ns/row, tools/perf/scatter_probe.py), and XLA fuses
-    the value permutation into the scatter's gather for free. Rows are
-    (l, t, h)-major with l the most significant field of the flat row id,
-    so the full row vector is strictly ascending iff tokens are sorted by
-    slot AND no two tokens share a block (the h sub-rows of consecutive
-    same-block tokens interleave) AND there are no pad rows (their OOB
-    sentinel would have to sort last within EVERY layer segment). Decode
-    steps at a full bucket satisfy all three (one token per request,
-    requests own their write blocks); a runtime cond checks and falls back
-    to the unsorted scatter otherwise."""
+    Deliberately ONE unconditional scatter: a sorted-indices fast path
+    behind a `lax.cond(sortable, ...)` measures ~2x faster per row in
+    isolation (70 → 36 ns/row, tools/perf/scatter_probe.py) but the cond
+    blocks XLA's input/output aliasing of the multi-GB pool inside the
+    decode-window while-loop, so each scatter materializes a full pool
+    copy (~9.8ms vs ~2.3ms at 8B shapes, profile_step.py). In-place beats
+    sorted; keep this branch-free."""
     nb, h, bs, d = kv_cache.k.shape
     cache_dtype = kv_cache.k.dtype
     n_layers, t = k.shape[0], k.shape[1]
-    order = jnp.argsort(slot_mapping)
-    slots_s = slot_mapping[order]
-    pad_s = slots_s >= nb_layer * bs
-    block_s = slots_s // bs
-    sortable = jnp.logical_not(jnp.any(pad_s))
-    if t > 1:
-        sortable &= jnp.all(block_s[1:] != block_s[:-1])
 
     def build_rows(slots):
         block_idx = slots // bs
@@ -417,37 +406,20 @@ def _write_all_layers_rows(
             rows0[None] >= nb * h * bs, nb * h * bs, rows0[None] + layer_off
         ).reshape(-1)
 
-    def scatter_with(rows, sorted_):
-        def scatter(cache_arr, vals):
-            if cache_arr.size == 0:
-                return cache_arr
-            tail = cache_arr.shape[3:]
-            flat = cache_arr.reshape((nb * h * bs,) + tail)
-            flat = flat.at[rows].set(
-                vals.reshape((-1,) + tail),
-                mode="drop",
-                unique_indices=True,
-                indices_are_sorted=sorted_,
-            )
-            return flat.reshape(cache_arr.shape)
-
-        return scatter
-
-    rows_unsorted = build_rows(slot_mapping)
-    rows_sorted = build_rows(slots_s)
+    rows = build_rows(slot_mapping)
 
     def scatter(cache_arr, vals):
         if cache_arr.size == 0:
             return cache_arr
-        return jax.lax.cond(
-            sortable,
-            lambda c, v: scatter_with(rows_sorted, True)(
-                c, jnp.take(v, order, axis=1)
-            ),
-            scatter_with(rows_unsorted, False),
-            cache_arr,
-            vals,
+        tail = cache_arr.shape[3:]
+        flat = cache_arr.reshape((nb * h * bs,) + tail)
+        flat = flat.at[rows].set(
+            vals.reshape((-1,) + tail),
+            mode="drop",
+            unique_indices=True,
+            indices_are_sorted=False,
         )
+        return flat.reshape(cache_arr.shape)
 
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
