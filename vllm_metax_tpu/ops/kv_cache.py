@@ -380,7 +380,14 @@ def _write_all_layers_rows(
     blocks XLA's input/output aliasing of the multi-GB pool inside the
     decode-window while-loop, so each scatter materializes a full pool
     copy (~9.8ms vs ~2.3ms at 8B shapes, profile_step.py). In-place beats
-    sorted; keep this branch-free."""
+    sorted; keep this branch-free.
+
+    A cond-free always-sorted variant (pads routed to reserved in-bounds
+    trash slots + argsort) was also tried and is WORSE at real pool sizes:
+    indices_are_sorted=True scatters on a multi-GB pool lower to a slow
+    path (~9.8ms/scatter e2e, 3.1k vs 5.0k tok/s; the 2x-faster-sorted
+    probe result only holds on ~100MB pools —
+    tools/perf/scatter_inplace_probe.py)."""
     nb, h, bs, d = kv_cache.k.shape
     cache_dtype = kv_cache.k.dtype
     n_layers, t = k.shape[0], k.shape[1]
