@@ -529,6 +529,23 @@ class ModelRunner:
         spec = self.config.speculative_config
         eagle = bool(spec is not None and spec.method == "eagle"
                      and spec.enabled)
+        def finish(params):
+            # quantized lm_head (GPTQ quantize_config "lm_head": true or
+            # explicit lm_head_quantized): int8 per-channel at load — the
+            # loaders keep lm_head dense; models dispatch on the dict form
+            qc = self.config.quant_config
+            if (
+                qc is not None
+                and qc.enabled
+                and qc.lm_head_quantized
+                and isinstance(params.get("lm_head"), jax.Array)
+            ):
+                from vllm_metax_tpu.ops.quant import quantize_int8_channel
+
+                w_i8, s = quantize_int8_channel(params["lm_head"])
+                params = dict(params, lm_head={"w_i8": w_i8, "s": s})
+            return params
+
         if lc.load_format == "dummy" or not self.model_cfg.model:
             logger.info("initializing dummy weights (load_format=dummy)")
             params = self.model.init_params(
@@ -536,7 +553,7 @@ class ModelRunner:
             )
             if eagle:
                 params["mtp"] = self.model.init_eagle_params(self.model_cfg)
-            return params
+            return finish(params)
         logger.info("loading weights from %s", self.model_cfg.model)
         params = self.model.load_weights(
             self.model_cfg, self.config.quant_config, self.model_cfg.model
@@ -548,7 +565,7 @@ class ModelRunner:
                 self.model_cfg, self.config.quant_config,
                 self.model_cfg.draft_model,
             )
-        return params
+        return finish(params)
 
     @property
     def _is_sharded(self) -> bool:
@@ -949,8 +966,8 @@ class ModelRunner:
         num_slots = self.num_slots
         vocab = self.model_cfg.vocab_size
 
-        def run(params, kv_cache, tokens0, block_tables, pos0, valid, st,
-                state_idx, hist_ids, hist_is_out, extras, counts_in):
+        def run(params, kv_cache, tokens0, block_tables, pos0, valid, wend,
+                st, state_idx, hist_ids, hist_is_out, extras, counts_in):
             req_rows = jnp.arange(rb, dtype=jnp.int32)
             qsl = jnp.arange(rb + 1, dtype=jnp.int32)
             if use_penalties:
@@ -976,7 +993,12 @@ class ModelRunner:
                 slot = (
                     block_tables[req_rows, pos // bs] * bs + pos % bs
                 )
-                slot = jnp.where(valid, slot, num_slots)  # drop pad writes
+                # drop writes of pad rows AND of rows past their own output
+                # budget (wend = prompt_len + max_tokens, absolute): finished
+                # requests idle to the window's end without consuming KV
+                # slots, so the scheduler only reserves each request's OWN
+                # remaining budget (not the full window) — see allocate_slots
+                slot = jnp.where(valid & (pos < wend), slot, num_slots)
                 md = AttentionMetadata(
                     slot_mapping=slot,
                     block_tables=block_tables,
@@ -1109,7 +1131,7 @@ class ModelRunner:
             run_split,
             mesh=self.mesh,
             in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
-                      P(), P(), P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P(), P()),
             check_vma=False,
         )
@@ -1162,6 +1184,7 @@ class ModelRunner:
             dev_pos = cache["pos"]
             dev_bt = cache["bt"]
             dev_valid = cache["valid"]
+            dev_wend = cache["wend"]
             st_tensors = cache["st"]
             all_greedy, need_lp, plain = cache["mode"]
             if warm_delta:
@@ -1174,13 +1197,21 @@ class ModelRunner:
             tokens0 = np.zeros(rb, np.int32)
             pos0 = np.zeros(rb, np.int32)
             valid = np.zeros(rb, bool)
+            wend = np.zeros(rb, np.int32)  # pads: 0 → never write
             block_tables = np.zeros((rb, maxb), np.int32)
+            mml = self.model_cfg.max_model_len
             for i, rid in enumerate(req_ids):
                 st = self.requests[rid]
                 start = st.num_computed_tokens
                 tokens0[i] = st.token_ids[start]
                 pos0[i] = start
                 valid[i] = True
+                mt = st.sampling_params.max_tokens
+                # absolute write-end: position prompt_len+max_tokens-1 is the
+                # last KV a request can ever need (its final sampled token is
+                # output-only) — constant across windows, so warm windows
+                # reuse the device tensor
+                wend[i] = mml if mt is None else min(st.prompt_len + mt, mml)
                 bids = np.asarray(st.block_ids, np.int32)
                 block_tables[i, : len(bids)] = bids
             all_greedy = all(
@@ -1196,6 +1227,7 @@ class ModelRunner:
             dev_pos = jnp.asarray(pos0)
             dev_bt = jnp.asarray(block_tables)
             dev_valid = jnp.asarray(valid)
+            dev_wend = jnp.asarray(wend)
             st_tensors = self._build_sampling_tensors(req_ids, rb)
 
         use_penalties = any(
@@ -1318,6 +1350,7 @@ class ModelRunner:
             dev_bt,
             dev_pos,
             dev_valid,
+            dev_wend,
             st_tensors,
             state_idx,
             hist_ids,
@@ -1339,6 +1372,7 @@ class ModelRunner:
             "pos": pos_next,
             "bt": dev_bt,
             "valid": dev_valid,
+            "wend": dev_wend,
             "st": st_tensors,
             "mode": (all_greedy, need_lp, plain),
             "counts": counts_next if use_penalties else None,

@@ -220,7 +220,18 @@ class Scheduler:
                 r.num_tokens_with_spec - r.num_computed_tokens == 1 for r in reqs
             ):
                 room = min(self.max_model_len - r.num_tokens + 1 for r in reqs)
-                multi = max(1, min(self.config.num_decode_steps, room))
+                # cap by the LONGEST-living request's remaining output budget
+                # (shorter requests stop writing KV mid-window via the
+                # runner's per-request write-end mask, so they don't need
+                # slots past their budget — reserving the full window per
+                # request caused preemption storms at block_size=128: the
+                # phantom lookahead block × 128 requests exceeded the pool)
+                rem_max = max(
+                    (r.sampling_params.max_tokens or (1 << 30))
+                    - r.num_output_tokens
+                    for r in reqs
+                )
+                multi = max(1, min(self.config.num_decode_steps, room, rem_max))
         out.num_decode_steps = multi
 
         # 1. running requests first (decode or in-flight chunked prefill)
@@ -236,8 +247,16 @@ class Scheduler:
                 num_new = min(num_new, self.config.long_prefill_token_threshold)
             if num_new <= 0:
                 continue
-            # reserve slots for the extra on-device steps as well
-            num_slots = num_new + (multi - 1)
+            # reserve slots for the extra on-device steps as well — but only
+            # up to this request's own remaining output budget (the runner
+            # masks its KV writes past that; see write-end mask)
+            if multi > 1:
+                rem_r = (
+                    req.sampling_params.max_tokens or (1 << 30)
+                ) - req.num_output_tokens
+                num_slots = num_new + min(multi, max(rem_r, 1)) - 1
+            else:
+                num_slots = num_new
             while True:
                 new_blocks = self.kv_manager.allocate_slots(req, num_slots)
                 if new_blocks is not None:

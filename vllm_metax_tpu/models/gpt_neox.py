@@ -196,9 +196,13 @@ def compute_logits(
         hidden, params["final_norm_w"], params["final_norm_b"],
         cfg.rms_norm_eps,
     )
-    logits = jnp.dot(
-        normed, params["lm_head"], preferred_element_type=jnp.float32
-    )
+    head = params["lm_head"]
+    if isinstance(head, dict):  # int8 weight-only (qc.lm_head_quantized)
+        from vllm_metax_tpu.layers.linear import apply_linear
+
+        logits = apply_linear(head, normed).astype(jnp.float32)
+    else:
+        logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
     if axis_name:
         logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     return logits[:, : cfg.vocab_size]

@@ -152,9 +152,12 @@ def forward(
 
 
 def compute_logits(params, hidden, cfg: ModelConfig, axis_name=None):
-    return jnp.dot(
-        hidden, params["lm_head"], preferred_element_type=jnp.float32
-    )
+    head = params["lm_head"]
+    if isinstance(head, dict):  # int8 weight-only (qc.lm_head_quantized)
+        from vllm_metax_tpu.layers.linear import apply_linear
+
+        return apply_linear(head, hidden).astype(jnp.float32)
+    return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
 
 
 def init_params(cfg: ModelConfig, quant_cfg=None, seed: int = 0) -> dict:

@@ -250,7 +250,14 @@ def compute_logits(
         # tied embeddings — replicated, so no gather needed
         logits = jnp.dot(normed, params["embed"].T, preferred_element_type=jnp.float32)
     else:
-        logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
+        if isinstance(head, dict):
+            # quantized lm_head (qc.lm_head_quantized, e.g. GPTQ checkpoints
+            # with quantize_config "lm_head": true): int8 weight-only halves
+            # the per-step vocab-matrix HBM read — the single largest
+            # unquantized weight at decode (E*V bf16)
+            logits = apply_linear(head, normed).astype(jnp.float32)
+        else:
+            logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
         if axis_name:
             # lm_head is sharded on vocab: gather shards → full vocab
             logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)

@@ -39,17 +39,31 @@ _BF16_DEQUANT = False
 # (N/TILE_N, K/2, TILE_N) so each kernel block is one fully CONTIGUOUS run of
 # HBM — the flat layout's (k_half, TN) blocks read 256-byte strided bursts
 # and cap the kernel at ~40% of HBM bandwidth (measured). Env-settable for
-# hardware sweeps (layout-time: takes effect at engine init).
-TILE_N = int(os.getenv("METAX_TPU_GEMM_TILE_N", "256"))
+# hardware sweeps (layout-time: takes effect at engine init). 512 beats 256
+# by ~3% e2e at 8B decode (fewer grid cells → less per-cell fixed cost);
+# _pick_tile_n falls back per bank when N doesn't divide or the double-
+# buffered block would blow VMEM.
+TILE_N = int(os.getenv("METAX_TPU_GEMM_TILE_N", "512"))
+_TILE_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the 2x-buffered weight block
+
+
+def _pick_tile_n(k_half: int, n: int, tp: int = 1) -> int:
+    tile = TILE_N
+    while tile > 128 and (
+        n % (tp * tile) or 2 * k_half * tile > _TILE_VMEM_BUDGET
+    ):
+        tile //= 2
+    return tile
 
 
 def tile_packed_weight(w_p4: jnp.ndarray, tp: int = 1) -> jnp.ndarray:
     """(K/2, N) → (N/TILE_N, K/2, TILE_N), rank-major over tp so a contiguous
     split of the tile dim gives each TP rank exactly its N columns."""
     k_half, n = w_p4.shape
-    nt_local = n // tp // TILE_N
-    w = w_p4.reshape(k_half, tp, nt_local, TILE_N)
-    return w.transpose(1, 2, 0, 3).reshape(tp * nt_local, k_half, TILE_N)
+    tile_n = _pick_tile_n(k_half, n, tp)
+    nt_local = n // tp // tile_n
+    w = w_p4.reshape(k_half, tp, nt_local, tile_n)
+    return w.transpose(1, 2, 0, 3).reshape(tp * nt_local, k_half, tile_n)
 
 
 def untile_packed_weight(w_p4t: jnp.ndarray) -> jnp.ndarray:
@@ -65,8 +79,12 @@ def _choose_tile(dim: int, candidates=(256, 128)) -> int:
     return dim  # caller validates
 
 
-def _choose_chunk(k_half: int, group_size: int, max_chunk: int = 1024) -> int:
-    """Largest KC ≤ max_chunk dividing k_half and a multiple of group_size."""
+def _choose_chunk(k_half: int, group_size: int, max_chunk: int = 2048) -> int:
+    """Largest KC ≤ max_chunk dividing k_half and a multiple of group_size.
+    Default cap 2048: one chunk covers the whole K/2 plane at 8B shapes
+    (fewer unrolled loop edges, +1% e2e); METAX_TPU_GEMM_KC is a CAP fed
+    through the divisor search, never a raw chunk (a non-divisor KC would
+    silently drop K rows)."""
     kc = min(max_chunk, k_half)
     while kc > 1:
         if k_half % kc == 0 and (group_size <= 0 or kc % group_size == 0):
@@ -153,7 +171,7 @@ def int4_matmul_pallas(
     tn = _TN_OVERRIDE or _choose_tile(n)
     if t % tt or n % tn or n % 128 or k != 2 * k_half:
         raise ValueError(f"bad tiling: T={t} N={n} K={k}")
-    kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
+    kc = _choose_chunk(k_half, gs, _KC_OVERRIDE or 2048)
 
     grid = (t // tt, n // tn)
     flops = 2 * t * k * n
@@ -244,7 +262,7 @@ def int4_matmul_tiled_pallas(
     tt = _choose_tile(t, (128, 64, 32, 16, 8))
     if t % tt or k != 2 * k_half:
         raise ValueError(f"bad tiling: T={t} K={k}")
-    kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
+    kc = _choose_chunk(k_half, gs, _KC_OVERRIDE or 2048)
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     kernel = functools.partial(_int4_tiled_kernel, kc=kc, gs=gs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -449,7 +467,7 @@ def int4a8_matmul_tiled_pallas(
         raise ValueError("w4a8 kernel needs a w4a8_repack()ed int8 bank")
     if t % tt or k != 2 * k_half or k_half % gs:
         raise ValueError(f"bad tiling: T={t} K={k} gs={gs}")
-    kc = _KC_OVERRIDE or _choose_chunk(k_half, gs)
+    kc = _choose_chunk(k_half, gs, _KC_OVERRIDE or 2048)
 
     from vllm_metax_tpu import envs
 

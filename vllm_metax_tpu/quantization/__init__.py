@@ -105,4 +105,15 @@ def quantize_params(
             )(lin["w"])
     new_params = dict(params)
     new_params["layers"] = layers
+    if (
+        qc.lm_head_quantized
+        and "lm_head" in new_params
+        and not isinstance(new_params["lm_head"], dict)
+    ):
+        # int8 weight-only per-channel (accuracy-safe for logits; the act
+        # side stays bf16) — halves the E*V decode-step HBM read
+        from vllm_metax_tpu.ops.quant import quantize_int8_channel
+
+        w_i8, s = quantize_int8_channel(new_params["lm_head"])
+        new_params["lm_head"] = {"w_i8": w_i8, "s": s}
     return new_params
