@@ -151,13 +151,29 @@ def run(xq, sxq, w, s, variant, n_iter):
 
     def layer(carry, inputs):
         wl, sl = inputs
-        out = pl.pallas_call(
-            make_kernel(variant),
-            out_shape=jax.ShapeDtypeStruct((t, n), jnp.bfloat16),
-            grid=(nt,),
-            in_specs=[
+        if variant.endswith("+xvmem"):
+            # x-side inputs live whole in VMEM for the entire call — no
+            # possibility of per-cell refetch of the grid-constant blocks
+            kern = make_kernel(variant[: -len("+xvmem")])
+
+            def kernel(xq_ref, sxq_ref, w_ref, s_ref, out_ref):
+                kern(xq_ref, sxq_ref, w_ref, s_ref, out_ref)
+
+            x_specs = [
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
+        else:
+            kernel = make_kernel(variant)
+            x_specs = [
                 pl.BlockSpec((t, 2 * k_half), lambda j: (0, 0)),
                 pl.BlockSpec((t, 2 * k_half // GS), lambda j: (0, 0)),
+            ]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t, n), jnp.bfloat16),
+            grid=(nt,),
+            in_specs=x_specs + [
                 pl.BlockSpec((1, 1, k_half, TN), lambda j: (0, j, 0, 0)),
                 pl.BlockSpec((1, 2 * k_half // GS, TN), lambda j: (0, 0, j)),
             ],

@@ -441,6 +441,15 @@ class ModelRunner:
         # an in-place scatter on the scan carry — no per-step stacked copies
         cc = self.cache_cfg
         kv_spec = self.model.kv_cache_spec(self.model_cfg)
+        from vllm_metax_tpu import envs
+
+        # fused [K‖V] pools only apply to symmetric standard-attention
+        # caches (MLA latent pools have store_v=False / custom v_dim)
+        fused = (
+            envs.METAX_TPU_KV_FUSED
+            and kv_spec.get("store_v", True)
+            and kv_spec.get("v_dim") is None
+        )
         self.kv_cache = new_kv_cache(
             kv_spec["num_layers"] * cc.num_blocks,
             cc.block_size,
@@ -450,6 +459,7 @@ class ModelRunner:
             model_dtype=self.model_cfg.dtype,
             store_v=kv_spec.get("store_v", True),
             v_dim=kv_spec.get("v_dim"),
+            fused=fused,
         )
         n_lin = kv_spec.get("linear_layers", 0)
         if n_lin:

@@ -27,6 +27,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "METAX_TPU_FUSED_ACT_QUANT": lambda: os.getenv(
         "METAX_TPU_FUSED_ACT_QUANT", "0"
     ) == "1",
+    # fused [K‖V] page pools for standard attention: K and V side by side in
+    # one (NB, H, BS, 2D) array — ONE scatter row per (layer, token, head)
+    # commits both sides (scatter cost is per row) and ONE page DMA feeds
+    # attention. "1" = on (default); "0" = split K/V pools.
+    "METAX_TPU_KV_FUSED": lambda: os.getenv("METAX_TPU_KV_FUSED", "1") == "1",
     # batched all-layer KV commit form: "block" (gather→blend→scatter of
     # whole blocks, H× fewer scatter rows) or "rows" (token rows; fallback —
     # the block form hung the TPU compiler on one toolchain)

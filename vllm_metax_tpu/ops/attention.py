@@ -230,7 +230,12 @@ def ragged_paged_attention_xla(
     # non-local DCP blocks carry an out-of-range sentinel: clamp the gather
     # (data is garbage) and kill those columns in the mask below
     safe_bt = jnp.minimum(metadata.block_tables, nb - 1)
-    k_all, v_all = gather_kv_for_requests(kv_cache, safe_bt, jnp.float32)
+    from vllm_metax_tpu.ops.kv_cache import kv_fused_width
+
+    k_all, v_all = gather_kv_for_requests(
+        kv_cache, safe_bt, jnp.float32,
+        fused_width=kv_fused_width(kv_cache, d),
+    )
     # (R, CTX, HKV, D) → per-token context
     k_tok = k_all[metadata.req_idx]  # (T, CTX, HKV, D)
     v_tok = v_all[metadata.req_idx]

@@ -75,17 +75,40 @@ def new_kv_cache(
     model_dtype=jnp.bfloat16,
     store_v: bool = True,
     v_dim: Optional[int] = None,
+    fused: bool = False,
 ) -> KVCache:
     """store_v=False → zero-width v (MLA latent caches keep [ckv|k_pe] in k
     only, ref: concat_and_cache_mla, csrc/cache_kernels.cu:503). v_dim
     overrides the v width: DeepSeek V3.2 stores the 128-wide indexer K rows
     in the v pool alongside the 576-wide latents in k (ref:
-    DeepseekV32IndexerCache, vllm_metax/models/deepseek_v2.py:562)."""
-    shape = (num_blocks, num_kv_heads, block_size, head_dim)
+    DeepseekV32IndexerCache, vllm_metax/models/deepseek_v2.py:562).
+
+    fused=True (standard-attention pools): K and V live side by side in the
+    `k` array as (NB, H, BS, 2D) = [K‖V]; v is zero-width. One page DMA then
+    delivers both (half the attention descriptors) and the decode-step
+    commit is ONE row scatter of 2D-wide rows instead of two D-wide ones —
+    the TPU scatter costs per ROW (~75ns regardless of width ≤512B,
+    tools/perf/scatter_probe.py), so fusing halves the dominant commit cost.
+    Consumers detect fused-ness structurally: k.shape[-1] == 2 * q-width
+    with a zero-width v (MLA latent pools have k-width == q-width)."""
     if v_dim is None:
         v_dim = head_dim if store_v else 0
-    v_shape = (num_blocks, num_kv_heads, block_size, v_dim)
     quantized = dtype in (jnp.int8, jnp.float8_e4m3fn, jnp.float8_e5m2)
+    if fused:
+        if not store_v or v_dim != head_dim:
+            raise ValueError("fused KV needs symmetric K/V widths")
+        k = jnp.zeros(
+            (num_blocks, num_kv_heads, block_size, 2 * head_dim), dtype=dtype
+        )
+        v = jnp.zeros((num_blocks, num_kv_heads, block_size, 0), dtype=dtype)
+        if quantized:
+            s = jnp.ones(
+                (num_blocks, num_kv_heads, block_size), dtype=jnp.float32
+            )
+            return KVCache(k, v, s, s)
+        return KVCache(k, v)
+    shape = (num_blocks, num_kv_heads, block_size, head_dim)
+    v_shape = (num_blocks, num_kv_heads, block_size, v_dim)
     k = jnp.zeros(shape, dtype=dtype)
     # the V3.2 indexer-K side pool stays bf16 (scales don't apply to it)
     v = jnp.zeros(v_shape, dtype=model_dtype if (not store_v and v_dim) else dtype)
@@ -93,6 +116,18 @@ def new_kv_cache(
         s = jnp.ones((num_blocks, num_kv_heads, block_size), dtype=jnp.float32)
         return KVCache(k, v, s, s)
     return KVCache(k, v)
+
+
+def kv_fused_width(kv_cache: KVCache, q_width: int) -> int:
+    """Half-width D if the pool is a fused [K‖V] pool for q of width D,
+    else 0. Static shapes → static Python int at trace time."""
+    if (
+        kv_cache.v is not None
+        and kv_cache.v.shape[-1] == 0
+        and kv_cache.k.shape[-1] == 2 * q_width
+    ):
+        return q_width
+    return 0
 
 
 def _quantize_kv(x: jnp.ndarray, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -128,9 +163,17 @@ def write_to_kv_cache(
     slot_mapping: (T,) int32 of block_id*block_size+offset; padding tokens use
     an out-of-range sentinel (>= num_slots) which the scatter drops. NOTE:
     negative padding indices would wrap in JAX — callers must use OOB values.
+
+    Fused [K‖V] pools (new_kv_cache fused=True): one scatter of 2D-wide rows
+    covers both; scales stay separate.
     """
     nb, h, bs, d = kv_cache.k.shape
     cache_dtype = kv_cache.k.dtype
+    fused = (
+        v.size
+        and kv_cache.v.shape[-1] == 0
+        and d == k.shape[-1] + v.shape[-1]
+    )
     block_idx = slot_mapping // bs
     off_idx = slot_mapping % bs
     # flat row addressing: row(t, head) = (block*H + head)*BS + off. A plain
@@ -173,11 +216,24 @@ def write_to_kv_cache(
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
         vq, vs = _quantize_kv(v, cache_dtype)
+        if fused:
+            return kv_cache._replace(
+                k=scatter(kv_cache.k, jnp.concatenate([kq, vq], axis=-1)),
+                k_scale=scatter_scale(kv_cache.k_scale, ks),
+                v_scale=scatter_scale(kv_cache.v_scale, vs),
+            )
         return kv_cache._replace(
             k=scatter(kv_cache.k, kq),
             v=scatter(kv_cache.v, vq),
             k_scale=scatter_scale(kv_cache.k_scale, ks),
             v_scale=scatter_scale(kv_cache.v_scale, vs),
+        )
+    if fused:
+        return kv_cache._replace(
+            k=scatter(
+                kv_cache.k,
+                jnp.concatenate([k, v], axis=-1).astype(cache_dtype),
+            ),
         )
     return kv_cache._replace(
         k=scatter(kv_cache.k, k.astype(cache_dtype)),
@@ -221,7 +277,12 @@ def write_all_layers_to_kv_cache(
     from vllm_metax_tpu import envs
 
     nb, h, bs, d = kv_cache.k.shape
-    if envs.METAX_TPU_KV_COMMIT == "rows":
+    fused = bool(
+        v.size and kv_cache.v.shape[-1] == 0 and d == k.shape[3] + v.shape[3]
+    )
+    if fused or envs.METAX_TPU_KV_COMMIT == "rows":
+        # fused [K‖V] pools always take the rows form: ONE scatter of
+        # 2D-wide rows commits both sides (scatter cost is per ROW)
         return _write_all_layers_rows(
             kv_cache, k, v, slot_mapping, nb_layer, first_layer
         )
@@ -391,6 +452,9 @@ def _write_all_layers_rows(
     nb, h, bs, d = kv_cache.k.shape
     cache_dtype = kv_cache.k.dtype
     n_layers, t = k.shape[0], k.shape[1]
+    fused = bool(
+        v.size and kv_cache.v.shape[-1] == 0 and d == k.shape[3] + v.shape[3]
+    )
 
     def build_rows(slots):
         block_idx = slots // bs
@@ -430,6 +494,17 @@ def _write_all_layers_rows(
 
     if kv_cache.quantized:
         kq, ks = _quantize_kv(k, cache_dtype)
+        if fused:
+            vq, vs = _quantize_kv(v, cache_dtype)
+            return kv_cache._replace(
+                k=scatter(kv_cache.k, jnp.concatenate([kq, vq], axis=-1)),
+                k_scale=scatter(
+                    kv_cache.k_scale[..., None], ks[..., None]
+                )[..., 0],
+                v_scale=scatter(
+                    kv_cache.v_scale[..., None], vs[..., None]
+                )[..., 0],
+            )
         if v.size:  # zero-width v (MLA latent pools): leave v/v_scale alone
             vq, vs = _quantize_kv(v, cache_dtype)
             return kv_cache._replace(
@@ -448,6 +523,13 @@ def _write_all_layers_rows(
                 kv_cache.k_scale[..., None], ks[..., None]
             )[..., 0],
         )
+    if fused:
+        return kv_cache._replace(
+            k=scatter(
+                kv_cache.k,
+                jnp.concatenate([k, v], axis=-1).astype(cache_dtype),
+            ),
+        )
     return kv_cache._replace(
         k=scatter(kv_cache.k, k.astype(cache_dtype)),
         v=scatter(kv_cache.v, v.astype(cache_dtype)),
@@ -455,18 +537,26 @@ def _write_all_layers_rows(
 
 
 def gather_kv_for_requests(
-    kv_cache: KVCache, block_tables: jnp.ndarray, out_dtype
+    kv_cache: KVCache, block_tables: jnp.ndarray, out_dtype,
+    fused_width: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather + dequantize full per-request context KV.
 
     block_tables: (R, MAXB) — padding entries may be any in-range id; callers
     mask by seq_len. Returns (R, MAXB*BS, H, D) k and v in out_dtype.
+    fused_width: half-width D of a fused [K‖V] pool (kv_fused_width) — the
+    gathered pages are split back into k and v.
     Reference analog: gather_and_maybe_dequant_cache (cache_kernels.cu:725).
     """
     r, maxb = block_tables.shape
     nb, h, bs, d = kv_cache.k.shape
-    k = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, H, BS, D)
-    v = jnp.take(kv_cache.v, block_tables, axis=0)
+    fk = jnp.take(kv_cache.k, block_tables, axis=0)  # (R, MAXB, H, BS, D)
+    if fused_width:
+        k = fk[..., :fused_width]
+        v = fk[..., fused_width:]
+    else:
+        k = fk
+        v = jnp.take(kv_cache.v, block_tables, axis=0)
     if kv_cache.quantized:
         ks = jnp.take(kv_cache.k_scale, block_tables, axis=0)  # (R, MAXB, H, BS)
         vs = jnp.take(kv_cache.v_scale, block_tables, axis=0)
@@ -474,7 +564,10 @@ def gather_kv_for_requests(
         v = v.astype(jnp.float32) * vs[..., None]
     k = jnp.transpose(k, (0, 1, 3, 2, 4)).astype(out_dtype)  # (R,MAXB,BS,H,D)
     v = jnp.transpose(v, (0, 1, 3, 2, 4)).astype(out_dtype)
-    return k.reshape(r, maxb * bs, h, d), v.reshape(r, maxb * bs, h, d)
+    return (
+        k.reshape(r, maxb * bs, h, k.shape[-1]),
+        v.reshape(r, maxb * bs, h, v.shape[-1]),
+    )
 
 
 def move_kv_slots(

@@ -77,30 +77,43 @@ def _decode_kernel(
     logits_soft_cap,
     quantized,
     pv_width,
+    fused,
     deferred,
     dcp,
     return_lse,
 ):
     kcur_ref = vcur_ref = None
     lse_ref = None
+    single_kv = pv_width or fused  # one HBM pool / one KV VMEM buffer
     if return_lse:
         # outputs come in declaration order: out_ref then lse_ref, followed
         # by the scratch refs — pull lse out so the unpacks below stay shared
         rest = list(rest)
         n_scratch = (
-            8 if quantized else (5 if pv_width else 6)
+            (7 if fused else 8) if quantized else (5 if single_kv else 6)
         )  # kv bufs [+ scale bufs] + acc/m/l + sem
         lse_ref = rest.pop(-n_scratch - 1)
-    if quantized:
+    if quantized and fused:
+        # fused [K‖V] pages: values in one pool/buffer, scales separate.
+        # Deferred mode passes ONE kvcur (HKV, NR, 2D) row set.
+        if deferred:
+            (ks_hbm, vs_hbm, kcur_ref, out_ref, k_buf, ks_buf, vs_buf,
+             acc_ref, m_ref, l_ref, sem) = rest
+        else:
+            (ks_hbm, vs_hbm, out_ref, k_buf, ks_buf, vs_buf,
+             acc_ref, m_ref, l_ref, sem) = rest
+        v_hbm = v_buf = None
+    elif quantized:
         if deferred:
             (v_hbm, ks_hbm, vs_hbm, kcur_ref, vcur_ref, out_ref, k_buf,
              v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref, sem) = rest
         else:
             (v_hbm, ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
              acc_ref, m_ref, l_ref, sem) = rest
-    elif pv_width:
-        # MLA latent MQA: no separate V — PV reads the first pv_width lanes
-        # of the latent K buffer (ref: mla/common.py:1851 _forward_decode)
+    elif single_kv:
+        # MLA latent MQA (pv_width: PV reads the first pv_width lanes of the
+        # latent K buffer, ref: mla/common.py:1851) or fused [K‖V] pages
+        # (K = [..., :D], V = [..., D:]) — either way ONE pool, ONE buffer
         if deferred:
             (kcur_ref, out_ref, k_buf, acc_ref, m_ref, l_ref, sem) = rest
         else:
@@ -157,7 +170,7 @@ def _decode_kernel(
                             sem.at[slot, 0, rr],
                         ),
                     ]
-                    if not pv_width:
+                    if not single_kv:
                         dmas.append(
                             pltpu.make_async_copy(
                                 v_hbm.at[page],
@@ -291,8 +304,19 @@ def _decode_kernel(
                     @pl.when((last >= c * ckv) & (last < (c + 1) * ckv))
                     def _(rr=rr, last=last):
                         off = rr * ckv + (last - c * ckv)
-                        kc = kcur_ref[0, :, rr : rr + 1, :]  # (HKV, 1, D)
-                        if quantized:
+                        kc = kcur_ref[0, :, rr : rr + 1, :]  # (HKV, 1, D|2D)
+                        if quantized and fused:
+                            # fused row [K‖V]: halves quantize independently
+                            # (per-side scales), ONE value blend
+                            kq, ks = _quant_row(kc[:, :, :d])
+                            vq, vs = _quant_row(kc[:, :, d:])
+                            blend_row(
+                                k_buf, off,
+                                jnp.concatenate([kq, vq], axis=2),
+                            )
+                            blend_scale(ks_buf, off, ks)
+                            blend_scale(vs_buf, off, vs)
+                        elif quantized:
                             kq, ks = _quant_row(kc)
                             blend_row(k_buf, off, kq)
                             blend_scale(ks_buf, off, ks)
@@ -303,7 +327,7 @@ def _decode_kernel(
                             blend_scale(vs_buf, off, vs)
                         else:
                             blend_row(k_buf, off, kc)
-                            if not pv_width:
+                            if not single_kv:
                                 blend_row(
                                     v_buf, off, vcur_ref[0, :, rr : rr + 1, :]
                                 )
@@ -335,8 +359,16 @@ def _decode_kernel(
             mask = mask[None]  # (1, NR*G, NR*CKV) broadcasts over HKV
 
             q_all = q_ref[0]  # (HKV, NR*G, D)
-            k_all = k_buf[slot]  # (HKV, NR*CKV, D)
-            v_all = k_all[:, :, :pv_width] if pv_width else v_buf[slot]
+            k_full = k_buf[slot]  # (HKV, NR*CKV, D | 2D | latent)
+            if fused:
+                v_all = k_full[:, :, d:]
+                k_all = k_full[:, :, :d]
+            elif pv_width:
+                k_all = k_full
+                v_all = k_full[:, :, :pv_width]
+            else:
+                k_all = k_full
+                v_all = v_buf[slot]
             if quantized:
                 k_all = k_all.astype(q_all.dtype)
             s = jax.lax.dot_general(
@@ -423,7 +455,7 @@ def paged_decode_attention_pallas(
     interpret: bool = False,
 ):
     t, hq, d = q.shape
-    nb, hkv, bs, _ = kv_cache.k.shape
+    nb, hkv, bs, dk = kv_cache.k.shape
     g = hq // hkv
     d_out = pv_width or d
     r, maxb = metadata.block_tables.shape
@@ -432,6 +464,12 @@ def paged_decode_attention_pallas(
     if ckv % bs:
         ckv = bs
     deferred = k_cur is not None
+    # fused [K‖V] pool: one page DMA delivers both sides (half the DMA
+    # descriptors); kernel slices K = [..., :d], V = [..., d:]
+    fused = bool(not pv_width and kv_cache.v.shape[-1] == 0 and dk == 2 * d)
+    if fused and deferred:
+        k_cur = jnp.concatenate([k_cur, v_cur], axis=-1)
+        v_cur = None
 
     # (R, HQ, D) → (NT, HKV, NR*G, D): row rr*G+gi of tile t is request
     # t*NR+rr, group gi — pure transpose, no gathers
@@ -457,9 +495,9 @@ def paged_decode_attention_pallas(
         kv_cache.k,
     ]
     scratch = [
-        pltpu.VMEM((2, hkv, NR * ckv, d), kv_cache.k.dtype),
+        pltpu.VMEM((2, hkv, NR * ckv, dk), kv_cache.k.dtype),
     ]
-    if not pv_width:
+    if not pv_width and not fused:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(kv_cache.v)
         scratch.append(pltpu.VMEM((2, hkv, NR * ckv, d), kv_cache.v.dtype))
@@ -474,11 +512,12 @@ def paged_decode_attention_pallas(
             pltpu.VMEM((2, hkv, NR * ckv), jnp.float32),
         ]
     if deferred:
+        dc = k_cur.shape[-1]  # D, or 2D for fused [K‖V] rows
         in_specs.append(
-            pl.BlockSpec((1, hkv, NR, d), lambda i, *_: (i, 0, 0, 0))
+            pl.BlockSpec((1, hkv, NR, dc), lambda i, *_: (i, 0, 0, 0))
         )
         inputs.append(cur_tiled(k_cur))
-        if not pv_width:
+        if not pv_width and not fused:
             in_specs.append(
                 pl.BlockSpec((1, hkv, NR, d), lambda i, *_: (i, 0, 0, 0))
             )
@@ -519,6 +558,7 @@ def paged_decode_attention_pallas(
         logits_soft_cap=logits_soft_cap,
         quantized=quantized,
         pv_width=pv_width,
+        fused=fused,
         deferred=deferred,
         dcp=dcp,
         return_lse=return_lse,

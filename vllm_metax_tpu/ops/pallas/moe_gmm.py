@@ -46,6 +46,7 @@ from vllm_metax_tpu.ops.pallas.quant_matmul import (
     _choose_chunk,
     _int4_kernel,
     _int8_kernel,
+    _pick_tile_n,
 )
 
 
@@ -57,8 +58,11 @@ def tile_expert_bank(w: jnp.ndarray, tp: int = 1, axis: str = "n"):
     has already applied the rank-major column permutation).
     axis="k": plain tiling (row-parallel down; tp shards the K dim)."""
     *lead, k, n = w.shape
-    nt = n // TILE_N
-    w = w.reshape(*lead, k, nt, TILE_N)
+    # same per-bank fallback as tile_packed_weight: narrow expert banks
+    # (N < TILE_N) tile at the widest 128-multiple that divides N
+    tile_n = _pick_tile_n(k, n, tp if axis == "n" else 1)
+    nt = n // tile_n
+    w = w.reshape(*lead, k, nt, tile_n)
     w = jnp.moveaxis(w, -2, -3)  # (..., NT, K, TILE_N)
     if axis == "n" and tp > 1:
         # NT is rank-major already via the column perm; contiguous NT split

@@ -68,15 +68,26 @@ def _attn_kernel(
     logits_soft_cap,
     quantized,
     tree,
+    fused,
 ):
     bits_ref = None
     rest = list(rest)
     if tree:
         bits_ref = rest.pop(0)
-    k_hbm, v_hbm = rest.pop(0), rest.pop(0)
-    if quantized:
+    k_hbm = rest.pop(0)
+    # fused [K‖V] pools: one HBM pool of 2D-wide pages, one VMEM buffer,
+    # half the DMA descriptors; K/V are lane slices at compute time
+    v_hbm = None if fused else rest.pop(0)
+    if quantized and fused:
+        (ks_hbm, vs_hbm, out_ref, k_buf, ks_buf, vs_buf,
+         acc_ref, m_ref, l_ref, state_ref, sem) = rest
+        v_buf = None
+    elif quantized:
         (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
          acc_ref, m_ref, l_ref, state_ref, sem) = rest
+    elif fused:
+        (out_ref, k_buf, acc_ref, m_ref, l_ref, state_ref, sem) = rest
+        ks_hbm = vs_hbm = ks_buf = vs_buf = v_buf = None
     else:
         (out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, state_ref,
          sem) = rest
@@ -126,12 +137,15 @@ def _attn_kernel(
                         k_buf.at[slot, :, pl.ds(p * bs, bs)],
                         sem.at[slot, 0, p],
                     ),
-                    pltpu.make_async_copy(
-                        v_hbm.at[page],
-                        v_buf.at[slot, :, pl.ds(p * bs, bs)],
-                        sem.at[slot, 1, p],
-                    ),
                 ]
+                if not fused:
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            v_hbm.at[page],
+                            v_buf.at[slot, :, pl.ds(p * bs, bs)],
+                            sem.at[slot, 1, p],
+                        )
+                    )
                 if quantized:
                     # head-major scale pages (H, BS) land directly in the
                     # (HKV, CKV) orientation the score multiply wants
@@ -208,8 +222,13 @@ def _attn_kernel(
             # matmul + one softmax-update op sequence instead of HKV small
             # ones — per-op overhead dominated the decode path otherwise
             q_all = q_ref[0]  # (HKV, TQ*G, D)
-            k_all = k_buf[slot]  # (HKV, CKV, D)
-            v_all = v_buf[slot]
+            if fused:
+                k_full = k_buf[slot]  # (HKV, CKV, 2D) = [K‖V]
+                k_all = k_full[:, :, :d]
+                v_all = k_full[:, :, d:]
+            else:
+                k_all = k_buf[slot]  # (HKV, CKV, D)
+                v_all = v_buf[slot]
             if quantized:
                 # int8/fp8 KV: cast for the MXU; per-token scales fold into
                 # the scores (k) and the probabilities (v) — O(CKV) work per
@@ -293,8 +312,10 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     t, hq, d = q.shape
-    nb, hkv, bs, _ = kv_cache.k.shape
+    nb, hkv, bs, dk = kv_cache.k.shape
     g = hq // hkv
+    # fused [K‖V] pool: one page DMA delivers both sides
+    fused = bool(kv_cache.v.shape[-1] == 0 and dk == 2 * d)
     r, maxb = metadata.block_tables.shape
     qsl = metadata.query_start_loc  # (R+1,)
 
@@ -364,18 +385,15 @@ def ragged_paged_attention_pallas(
             )
         )
         in_specs.append(pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)))
-    in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    inputs += [
-        kv_cache.k,
-        kv_cache.v,
-    ]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    inputs.append(kv_cache.k)
     scratch = [
-        pltpu.VMEM((2, hkv, ckv, d), kv_cache.k.dtype),
-        pltpu.VMEM((2, hkv, ckv, d), kv_cache.v.dtype),
+        pltpu.VMEM((2, hkv, ckv, dk), kv_cache.k.dtype),
     ]
+    if not fused:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(kv_cache.v)
+        scratch.append(pltpu.VMEM((2, hkv, ckv, d), kv_cache.v.dtype))
     if quantized:
         # scales must stay in HBM: ANY may pick VMEM, where sub-128-lane
         # page slices violate Mosaic tiling
@@ -411,6 +429,7 @@ def ragged_paged_attention_pallas(
         logits_soft_cap=logits_soft_cap,
         quantized=quantized,
         tree=tree,
+        fused=fused,
     )
     out_tiled = pl.pallas_call(
         kernel,
