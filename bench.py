@@ -57,9 +57,8 @@ if _WATCHDOG_S > 0:
 # packed int4 weights (ops/pallas/quant_matmul.py W4A8 kernel) — the bf16
 # dequant path burns ~35% more step time on VPU nibble-unpacking.
 os.environ.setdefault("METAX_TPU_W4A8", "1")
-# Conservative KV-commit form: the block-RMW variant hung the remote TPU
-# compiler once (2026-08-18); rows compiles reliably at ~4.5ms/step cost.
-os.environ.setdefault("METAX_TPU_KV_COMMIT", "rows")
+# KV commit: the slab-bounce Pallas kernel (envs default "pallas",
+# ops/pallas/kv_commit.py) — 0.42ms/step vs ~3.0ms for the row scatters.
 
 import jax
 import numpy as np
@@ -177,15 +176,34 @@ def _build_engine(on_tpu: bool):
     return EngineCore(config), num_reqs, prompt_len, decode_len
 
 
+def _mixed_prompt_lens(num_reqs, rng, max_len=1024, budget=None):
+    """ShareGPT-like prompt-length distribution (lognormal, median ~150,
+    heavy right tail) — the BASELINE trace shape. Clipped to [16, max_len]
+    and scaled under the KV budget."""
+    lens = np.clip(
+        rng.lognormal(mean=5.0, sigma=0.8, size=num_reqs), 16, max_len
+    ).astype(int)
+    if budget is not None:
+        while lens.sum() > budget:
+            lens = np.maximum(16, lens * 3 // 4)
+    return [int(x) for x in lens]
+
+
 def _run_wave(engine, num_reqs, prompt_len, decode_len, rng):
     """One full wave of requests; returns per-request TTFT and the decode-phase
-    throughput (measured after every request has produced its first token)."""
+    throughput (measured after every request has produced its first token).
+    prompt_len: int (uniform) or list of per-request lengths (mixed trace)."""
     from vllm_metax_tpu.sample.params import SamplingParams
 
+    lens = (
+        prompt_len
+        if isinstance(prompt_len, (list, tuple))
+        else [prompt_len] * num_reqs
+    )
     vocab = engine.config.model_config.vocab_size
     t_add = time.perf_counter()
     for i in range(num_reqs):
-        prompt = rng.integers(0, vocab, size=prompt_len).tolist()
+        prompt = rng.integers(0, vocab, size=lens[i]).tolist()
         engine.add_request(
             f"w{t_add}-{i}", prompt, SamplingParams(max_tokens=decode_len)
         )
@@ -207,6 +225,7 @@ def _run_wave(engine, num_reqs, prompt_len, decode_len, rng):
     return {
         "decode_tok_s": decode_tokens / decode_time if decode_tokens else 0.0,
         "p50_ttft_s": ttft[len(ttft) // 2],
+        "p99_ttft_s": ttft[min(len(ttft) - 1, int(len(ttft) * 0.99))],
         "total_generated": num_reqs * decode_len,
     }
 
@@ -239,6 +258,20 @@ def main():
     _run_wave(engine, num_reqs, prompt_len, decode_len, rng)  # warmup/compile
     res = _run_wave(engine, num_reqs, prompt_len, decode_len, rng)  # measured
 
+    # TTFT on a ShareGPT-like MIXED-length trace (the BASELINE trace shape;
+    # the uniform wave above keeps the decode-throughput metric comparable
+    # across rounds)
+    slots_per_layer = (
+        engine.config.cache_config.num_blocks
+        * engine.config.cache_config.block_size
+    )
+    mixed_lens = _mixed_prompt_lens(
+        num_reqs, rng,
+        max_len=min(1024, engine.config.model_config.max_model_len - decode_len - 1),
+        budget=int(slots_per_layer * 0.8) - num_reqs * decode_len,
+    )
+    mixed = _run_wave(engine, num_reqs, mixed_lens, decode_len, rng)
+
     roofline = _roofline_tokens_s(engine, num_reqs, prompt_len + decode_len // 2)
     value = round(res["decode_tok_s"], 1)
     _watchdog_done.set()
@@ -258,7 +291,11 @@ def main():
                         else ""
                     ),
                     "num_reqs": num_reqs,
-                    "p50_ttft_s": round(res["p50_ttft_s"], 4),
+                    "p50_ttft_s": round(mixed["p50_ttft_s"], 4),
+                    "p99_ttft_s": round(mixed["p99_ttft_s"], 4),
+                    "ttft_trace": "sharegpt-like-lognormal",
+                    "p50_ttft_uniform_s": round(res["p50_ttft_s"], 4),
+                    "mixed_decode_tok_s": round(mixed["decode_tok_s"], 1),
                     "roofline_tok_s": round(roofline, 1),
                     "device": jax.devices()[0].device_kind,
                 },

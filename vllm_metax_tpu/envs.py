@@ -32,10 +32,15 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # commits both sides (scatter cost is per row) and ONE page DMA feeds
     # attention. "1" = on (default); "0" = split K/V pools.
     "METAX_TPU_KV_FUSED": lambda: os.getenv("METAX_TPU_KV_FUSED", "1") == "1",
+    # Cascade / shared-prefix decode attention: compute a batch-wide shared
+    # KV-page prefix once per step and LSE-merge with per-request suffixes
+    # (ref: flash_attn.py:1013 cascade_attention)
+    "METAX_TPU_CASCADE": lambda: os.getenv("METAX_TPU_CASCADE", "1") == "1",
     # batched all-layer KV commit form: "block" (gather→blend→scatter of
-    # whole blocks, H× fewer scatter rows) or "rows" (token rows; fallback —
-    # the block form hung the TPU compiler on one toolchain)
-    "METAX_TPU_KV_COMMIT": lambda: os.getenv("METAX_TPU_KV_COMMIT", "rows"),
+    # Decode-step KV commit lowering: "pallas" (default — slab-bounce DMA
+    # kernel, ops/pallas/kv_commit.py), "rows" (token-row scatter), "dus",
+    # or "block" (whole-block RMW; hung the TPU compiler on one toolchain)
+    "METAX_TPU_KV_COMMIT": lambda: os.getenv("METAX_TPU_KV_COMMIT", "pallas"),
     # Fraction of free HBM to dedicate to the KV cache.
     "METAX_TPU_GPU_MEMORY_UTILIZATION": lambda: float(
         os.getenv("METAX_TPU_GPU_MEMORY_UTILIZATION", "0.9")

@@ -263,8 +263,12 @@ def write_all_layers_to_kv_cache(
     (ref layout: csrc/cache_kernels.cu:450 reshape_and_cache_flash)
 
     METAX_TPU_KV_COMMIT selects the lowering:
-      rows (default) — one-shot token-row scatter (L*T*H rows; ~4.5ms at 8B
-        shapes — scatter overhead is per ROW, ~70ns measured).
+      pallas (default on TPU) — slab-bounce Pallas kernel: one (L, H, 8, TD)
+        DMA-in / blend / DMA-out per token + whole-lane scale rows
+        (ops/pallas/kv_commit.py; 0.42ms vs 3.0ms for the scatters at 8B
+        flagship shapes).
+      rows — one-shot token-row scatter (L*T*H rows; scatter overhead is
+        per ROW, ~70ns measured).
       dus — per-token dynamic_update_slice loop on a 5-D
         (L, nb_layer, H, BS, D) view (all layers share the token's
         layer-local slot, so one strided DUS covers every layer). Measured
@@ -274,13 +278,25 @@ def write_all_layers_to_kv_cache(
         H-fold but was observed to hang the TPU compiler on some toolchains
         (2026-08-18 axon v5e incident).
     """
+    import jax as _jax
+
     from vllm_metax_tpu import envs
 
     nb, h, bs, d = kv_cache.k.shape
     fused = bool(
         v.size and kv_cache.v.shape[-1] == 0 and d == k.shape[3] + v.shape[3]
     )
-    if fused or envs.METAX_TPU_KV_COMMIT == "rows":
+    on_tpu = _jax.devices()[0].platform not in ("cpu", "gpu")
+    if (
+        envs.METAX_TPU_KV_COMMIT == "pallas"
+        and on_tpu
+        and bs % 8 == 0
+        and d % 128 == 0
+    ):
+        return _write_all_layers_pallas(
+            kv_cache, k, v, slot_mapping, nb_layer, first_layer, fused
+        )
+    if fused or envs.METAX_TPU_KV_COMMIT in ("rows", "pallas"):
         # fused [K‖V] pools always take the rows form: ONE scatter of
         # 2D-wide rows commits both sides (scatter cost is per ROW)
         return _write_all_layers_rows(
@@ -342,6 +358,77 @@ def write_all_layers_to_kv_cache(
         k=rmw(kv_cache.k, k.astype(cache_dtype)),
         v=rmw(kv_cache.v, v.astype(cache_dtype)),
     )
+
+
+def _write_all_layers_pallas(
+    kv_cache: KVCache,
+    k: jnp.ndarray,  # (L, T, H, D)
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,  # (T,) layer-local; OOB sentinel = pad
+    nb_layer: int,
+    first_layer: int,
+    fused: bool,
+) -> KVCache:
+    """Slab-bounce Pallas form of the batched all-layer commit — see
+    write_all_layers_to_kv_cache and ops/pallas/kv_commit.py."""
+    from vllm_metax_tpu.ops.pallas.kv_commit import commit_token_rows_pallas
+
+    cache_dtype = kv_cache.k.dtype
+
+    def scales_arr(parts):  # list of (L, T, H) → (T, NS, L, H)
+        return jnp.stack(parts, axis=0).transpose(2, 0, 1, 3)
+
+    if kv_cache.quantized:
+        kq, ks = _quantize_kv(k, cache_dtype)
+        if fused:
+            vq, vs = _quantize_kv(v, cache_dtype)
+            pool, (nks, nvs) = commit_token_rows_pallas(
+                kv_cache.k,
+                jnp.concatenate([kq, vq], axis=-1),
+                slot_mapping,
+                (kv_cache.k_scale, kv_cache.v_scale),
+                scales_arr([ks, vs]),
+                nb_layer,
+                first_layer,
+            )
+            return kv_cache._replace(k=pool, k_scale=nks, v_scale=nvs)
+        if v.size:  # separate quantized k/v pools
+            vq, vs = _quantize_kv(v, cache_dtype)
+            kp, (nks,) = commit_token_rows_pallas(
+                kv_cache.k, kq, slot_mapping, (kv_cache.k_scale,),
+                scales_arr([ks]), nb_layer, first_layer,
+            )
+            vp, (nvs,) = commit_token_rows_pallas(
+                kv_cache.v, vq, slot_mapping, (kv_cache.v_scale,),
+                scales_arr([vs]), nb_layer, first_layer,
+            )
+            return kv_cache._replace(
+                k=kp, v=vp, k_scale=nks, v_scale=nvs
+            )
+        # zero-width v (MLA latent pools): k side only
+        kp, (nks,) = commit_token_rows_pallas(
+            kv_cache.k, kq, slot_mapping, (kv_cache.k_scale,),
+            scales_arr([ks]), nb_layer, first_layer,
+        )
+        return kv_cache._replace(k=kp, k_scale=nks)
+    if fused:
+        pool, _ = commit_token_rows_pallas(
+            kv_cache.k,
+            jnp.concatenate([k, v], axis=-1).astype(cache_dtype),
+            slot_mapping, (), None, nb_layer, first_layer,
+        )
+        return kv_cache._replace(k=pool)
+    kp, _ = commit_token_rows_pallas(
+        kv_cache.k, k.astype(cache_dtype), slot_mapping, (), None,
+        nb_layer, first_layer,
+    )
+    if v.size:
+        vp, _ = commit_token_rows_pallas(
+            kv_cache.v, v.astype(cache_dtype), slot_mapping, (), None,
+            nb_layer, first_layer,
+        )
+        return kv_cache._replace(k=kp, v=vp)
+    return kv_cache._replace(k=kp)
 
 
 def _write_all_layers_dus(
