@@ -370,6 +370,12 @@ class ParallelConfig:
     pipeline_parallel_size: int = 1
     # decode-context-parallel (KV sharded over this axis for long sequences)
     decode_context_parallel_size: int = 1
+    # --- multi-host (DCN) SPMD: every host runs the same engine loop over
+    # one global mesh; jax.distributed.initialize replaces the reference's
+    # NCCL bootstrap (SURVEY §2.4; parallel/multihost.py)
+    num_hosts: int = 1
+    host_rank: int = 0
+    coordinator_address: str = "127.0.0.1:29500"
 
     @property
     def world_size(self) -> int:
@@ -406,6 +412,8 @@ class QuantizationConfig:
     # fp8 / w8a8
     activation_scheme: str = "dynamic"  # "dynamic" | "static"
     ignored_layers: tuple = ()
+    # compressed-tensors: parsed config_groups routing ("w8a8_int8"|"wna16")
+    ct_scheme: str = ""
 
     @property
     def enabled(self) -> bool:
@@ -434,7 +442,21 @@ class QuantizationConfig:
                 ignored_layers=tuple(q.get("ignored_layers", ())),
             )
         if method == "compressed-tensors":
-            return QuantizationConfig(method="compressed-tensors", bits=8)
+            # real config_groups parsing: W8A8-int8 vs WNA16 per scheme
+            # (ref: quant_config/compressed_tensors_moe.py:31,92)
+            from vllm_metax_tpu.quantization.compressed_tensors import (
+                parse_ct_scheme,
+            )
+
+            scheme, bits, group_size, sym = parse_ct_scheme(q)
+            return QuantizationConfig(
+                method="compressed-tensors",
+                bits=bits,
+                group_size=group_size,
+                sym=sym,
+                ct_scheme=scheme,
+                ignored_layers=tuple(q.get("ignore", ())),
+            )
         raise ValueError(f"unsupported quant_method {method!r}")
 
 

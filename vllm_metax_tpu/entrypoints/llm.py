@@ -51,6 +51,9 @@ def _build_engine_config(
     enable_lora: bool = False,
     max_loras: int = 4,
     max_lora_rank: int = 16,
+    num_hosts: int = 1,
+    host_rank: int = 0,
+    coordinator_address: str = "127.0.0.1:29500",
 ) -> EngineConfig:
     overrides = {"dtype": dtype} if dtype != "auto" else {}
     if max_model_len:
@@ -102,6 +105,9 @@ def _build_engine_config(
             expert_parallel_size=expert_parallel_size,
             pipeline_parallel_size=pipeline_parallel_size,
             decode_context_parallel_size=decode_context_parallel_size,
+            num_hosts=num_hosts,
+            host_rank=host_rank,
+            coordinator_address=coordinator_address,
         ),
         load_config=LoadConfig(load_format=load_format, seed=seed),
         quant_config=quant_config,
@@ -124,6 +130,14 @@ class LLM:
         self.config = engine_config
         mesh = None
         pc = engine_config.parallel_config
+        if pc.num_hosts > 1:
+            # DCN bootstrap BEFORE the first device query: jax.devices()
+            # becomes the global list and the mesh below spans hosts
+            from vllm_metax_tpu.parallel import multihost
+
+            multihost.initialize(
+                pc.coordinator_address, pc.num_hosts, pc.host_rank
+            )
         if (
             pc.tensor_parallel_size > 1
             or pc.expert_parallel_size > 1
@@ -281,7 +295,8 @@ class LLM:
             req_ids.append(children)
 
         acc: dict[str, dict] = {
-            rid: {"tokens": [], "logprobs": [], "finish_reason": None, "stop": None}
+            rid: {"tokens": [], "logprobs": [], "finish_reason": None,
+                  "stop": None, "prompt_logprobs": None}
             for children in req_ids
             for rid in children
         }
@@ -291,6 +306,8 @@ class LLM:
                 a["tokens"].extend(out.new_token_ids)
                 if out.new_logprobs:
                     a["logprobs"].extend(out.new_logprobs)
+                if out.prompt_logprobs is not None:
+                    a["prompt_logprobs"] = out.prompt_logprobs
                 if out.finished:
                     a["finish_reason"] = out.finish_reason
                     a["stop"] = out.stop_reason
@@ -328,6 +345,7 @@ class LLM:
                     request_id=children[0],
                     prompt=prompts[i] if prompts is not None else None,
                     prompt_token_ids=list(prompt_token_ids[i]),
+                    prompt_logprobs=acc[children[0]]["prompt_logprobs"],
                     outputs=completions,
                     finished=True,
                 )
