@@ -53,6 +53,18 @@ class EngineCore:
                 f"prompt ({len(prompt_token_ids)} tokens) exceeds max_model_len "
                 f"({self.config.model_config.max_model_len})"
             )
+        if not prompt_token_ids:
+            raise ValueError("empty prompt")
+        vocab = self.config.model_config.vocab_size
+        bad = [t for t in prompt_token_ids if not 0 <= t < vocab]
+        if bad:
+            # reject poisoned requests at the door — a bad id must error ONE
+            # request, never the engine (ref: tests/v1/shutdown/
+            # test_forward_error.py engine-robustness bar)
+            raise ValueError(
+                f"prompt contains out-of-vocabulary token ids {bad[:5]} "
+                f"(vocab_size={vocab})"
+            )
         self.scheduler.add_request(
             Request(
                 req_id=req_id,
@@ -114,7 +126,27 @@ class EngineCore:
             tr = self.traces.get(rid)
             if tr:
                 tr.mark_scheduled()
-        runner_output = self.runner.execute_model(scheduler_output)
+        try:
+            runner_output = self.runner.execute_model(scheduler_output)
+        except Exception as e:  # noqa: BLE001
+            # forward-error containment: a failing batch errors the
+            # SCHEDULED requests, not the engine — subsequent requests keep
+            # serving (ref: tests/v1/shutdown/test_forward_error.py)
+            logger.error("model execution failed, erroring batch: %s", e)
+            failed = []
+            for rid in list(scheduler_output.num_scheduled_tokens):
+                self.scheduler.abort_request(rid)
+                self.traces.pop(rid, None)
+                failed.append(
+                    EngineCoreOutput(
+                        req_id=rid,
+                        new_token_ids=[],
+                        finished=True,
+                        finish_reason="error",
+                        stop_reason=str(e),
+                    )
+                )
+            return failed
         sampled = dict(zip(runner_output.req_ids, runner_output.sampled_token_ids))
         outputs = self.scheduler.update_from_output(scheduler_output, sampled)
         # MTP/EAGLE drafts from the runner's draft head become the next
@@ -132,6 +164,9 @@ class EngineCore:
             lp = lp_by_req.get(out.req_id)
             if lp is not None and out.new_token_ids:
                 out.new_logprobs = lp[: len(out.new_token_ids)]
+            plp = runner_output.prompt_logprobs.get(out.req_id)
+            if plp is not None:
+                out.prompt_logprobs = plp
         for out in outputs:
             tr = self.traces.get(out.req_id)
             if tr:
@@ -140,6 +175,7 @@ class EngineCore:
                     tr.completion_tokens += len(out.new_token_ids)
                 if out.finished:
                     tr.finish()
+                    self.stats.record_finished(tr, out.finish_reason)
                     del self.traces[out.req_id]
         self.stats.record_step(
             num_tokens=scheduler_output.total_num_scheduled_tokens,

@@ -40,6 +40,10 @@ from vllm_metax_tpu.utils import cdiv, default_token_buckets, pick_bucket
 
 logger = init_logger(__name__)
 
+# top-k entries returned per prompt position for prompt_logprobs (the
+# engine cap, like vLLM's max_logprobs default)
+_PLP_TOPK = 16
+
 
 @dataclass
 class CachedReqState:
@@ -57,6 +61,10 @@ class CachedReqState:
     # image-token ordinal per prompt position, "pos3": np (3, prompt_len)
     # mrope rows, "delta": int decode rope offset}
     mm: Optional[dict] = None
+    # prompt-logprob accumulator (SamplingParams.prompt_logprobs): one
+    # {token_id: logprob} per prompt position ≥ 1, built up across chunked-
+    # prefill steps (ref: tests/v1/engine/test_output_processor.py:119-133)
+    prompt_lp_acc: Optional[list] = None
 
 
 @dataclass
@@ -70,6 +78,9 @@ class ModelRunnerOutput:
     # (parent index per draft, -1 = committed root)
     draft_tokens: dict[str, list[int]] = field(default_factory=dict)
     draft_parents: dict[str, list[int]] = field(default_factory=dict)
+    # per request that just finished prefill with prompt_logprobs set:
+    # [None, {tok: lp}, ...] — one entry per prompt position
+    prompt_logprobs: dict[str, list] = field(default_factory=dict)
 
 
 class ModelRunner:
@@ -672,14 +683,16 @@ class ModelRunner:
         return vals._replace(k_scale=scales[0], v_scale=scales[1])
 
     def _get_step_fn(self, all_greedy: bool, need_logprobs: bool,
-                     plain: bool = False):
-        key = (all_greedy, need_logprobs, plain)
+                     plain: bool = False, need_plp: bool = False):
+        key = (all_greedy, need_logprobs, plain, need_plp)
         if key not in self._step_fns:
-            self._step_fns[key] = self._build_step_fn(all_greedy, need_logprobs, plain)
+            self._step_fns[key] = self._build_step_fn(
+                all_greedy, need_logprobs, plain, need_plp
+            )
         return self._step_fns[key]
 
     def _build_step_fn(self, all_greedy: bool = False, need_logprobs: bool = True,
-                        plain: bool = False):
+                        plain: bool = False, need_plp: bool = False):
         model, cfg = self.model, self.model_cfg
         tp = self.tp_size
         pp = self.pp_size
@@ -712,8 +725,39 @@ class ModelRunner:
 
         def step(params, kv_cache, input_ids, md, logits_indices, st,
                  hist_ids, hist_is_out, allowed_ids=None, banned=None,
-                 mtp_next=None):
+                 mtp_next=None, plp_targets=None):
             hidden, kv_cache = fwd(params, input_ids, kv_cache, md)
+            plp_out = None
+            if need_plp:
+                # prompt logprobs: full-vocab log-softmax for EVERY token row
+                # of the step, chunked so the (C, V) f32 logits stay small
+                # (ref surface: SamplingParams.prompt_logprobs,
+                # tests/v1/engine/test_output_processor.py:119-133)
+                tb_rows = hidden.shape[0]
+                c = 128 if tb_rows % 128 == 0 else tb_rows
+
+                def plp_chunk(args):
+                    h_c, tgt_c = args
+                    lg = model.compute_logits(
+                        params, h_c, cfg, axis_name=axis_name
+                    ).astype(jnp.float32)
+                    lg = jax.nn.log_softmax(lg, axis=-1)
+                    tlp = jnp.take_along_axis(lg, tgt_c[:, None], axis=1)[:, 0]
+                    tv, ti = jax.lax.top_k(lg, _PLP_TOPK)
+                    return tlp, ti.astype(jnp.int32), tv
+
+                tlp, ti, tv = jax.lax.map(
+                    plp_chunk,
+                    (
+                        hidden.reshape(tb_rows // c, c, -1),
+                        plp_targets.reshape(tb_rows // c, c),
+                    ),
+                )
+                plp_out = (
+                    tlp.reshape(tb_rows),
+                    ti.reshape(tb_rows, _PLP_TOPK),
+                    tv.reshape(tb_rows, _PLP_TOPK),
+                )
             sel = jnp.take(hidden, logits_indices, axis=0)
             logits = model.compute_logits(params, sel, cfg, axis_name=axis_name)
             if hist_ids is not None:
@@ -774,7 +818,7 @@ class ModelRunner:
                     drafts = drafts.astype(jnp.int32)
                 else:
                     drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
-            return (out, drafts), kv_cache
+            return (out, drafts, plp_out), kv_cache
 
         def step_split(params, kv_vals, kv_scales, *rest):
             out, kv = step(params, self._join_kv(kv_vals, kv_scales), *rest)
@@ -808,7 +852,7 @@ class ModelRunner:
             step,
             mesh=self.mesh,
             in_specs=(param_specs, kv_specs, P(), P(), P(), P(), P(), P(),
-                      P(), P(), P()),
+                      P(), P(), P(), P()),
             out_specs=(P(), kv_specs),
             check_vma=False,
         )
@@ -977,7 +1021,8 @@ class ModelRunner:
         vocab = self.model_cfg.vocab_size
 
         def run(params, kv_cache, tokens0, block_tables, pos0, valid, wend,
-                st, state_idx, hist_ids, hist_is_out, extras, counts_in):
+                st, state_idx, hist_ids, hist_is_out, extras, counts_in,
+                cascade=None):
             req_rows = jnp.arange(rb, dtype=jnp.int32)
             qsl = jnp.arange(rb + 1, dtype=jnp.int32)
             if use_penalties:
@@ -1028,6 +1073,15 @@ class ModelRunner:
                         )
                         if self._is_mrope
                         else None
+                    ),
+                    cascade_blocks=(
+                        cascade[0] if cascade is not None else None
+                    ),
+                    cascade_tables=(
+                        cascade[1] if cascade is not None else None
+                    ),
+                    cascade_len=(
+                        cascade[2] if cascade is not None else None
                     ),
                 )
                 if self.dcp_size > 1:
@@ -1141,7 +1195,7 @@ class ModelRunner:
             run_split,
             mesh=self.mesh,
             in_specs=(param_specs, kv_vals_specs, kv_scale_specs, P(), P(),
-                      P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), kv_vals_specs, kv_scale_specs, P(), P(), P()),
             check_vma=False,
         )
@@ -1261,8 +1315,15 @@ class ModelRunner:
             and cache is not None
             and cache.get("counts") is not None
         )
+        # cascade / shared-prefix decode: recomputed whenever the block
+        # tables were (re)built; pure-warm windows reuse the device arrays
+        if warm and cache is not None:
+            cascade = cache.get("cascade")
+        else:
+            cascade = self._compute_cascade(req_ids, rb, maxb)
         key = (rb, m, all_greedy, need_lp, plain, use_penalties, use_bans,
-               use_lora, counts_warm)
+               use_lora, counts_warm,
+               0 if cascade is None else cascade[0].shape[0])
         if key not in self._multi_step_fns:
             self._multi_step_fns[key] = self._build_multi_step_fn(
                 rb, m, all_greedy, need_lp, plain, use_penalties, use_bans,
@@ -1367,6 +1428,7 @@ class ModelRunner:
             hist_is_out,
             extras,
             counts_in,
+            cascade,
         )
         # prime the next window's inputs (device-resident; no host hop).
         # fingerprint uses the POST-window block counts so a block-boundary
@@ -1386,6 +1448,7 @@ class ModelRunner:
             "st": st_tensors,
             "mode": (all_greedy, need_lp, plain),
             "counts": counts_next if use_penalties else None,
+            "cascade": cascade,
         }
         # fetch only what's needed: each device→host read costs a full
         # round trip on remote-attached TPUs
@@ -1714,6 +1777,28 @@ class ModelRunner:
             for rid in req_ids
         )
         plain = self._plain_sampling(req_ids)
+        # prompt logprobs: per-row target = the NEXT prompt token (row at
+        # position p scores prompt[p+1]); rows past the prompt are masked
+        # host-side in _make_output
+        need_plp = any(
+            self.requests[rid].sampling_params.prompt_logprobs is not None
+            and self.requests[rid].num_computed_tokens
+            < self.requests[rid].prompt_len - 1
+            for rid in req_ids
+        )
+        plp_targets = None
+        if need_plp:
+            plp_np = np.zeros(tb, np.int32)
+            offset3 = 0
+            for i, rid in enumerate(req_ids):
+                stt = self.requests[rid]
+                n = so.num_scheduled_tokens[rid]
+                start = stt.num_computed_tokens
+                if stt.sampling_params.prompt_logprobs is not None:
+                    nxt = stt.token_ids[start + 1 : start + n + 1]
+                    plp_np[offset3 : offset3 + len(nxt)] = nxt
+                offset3 += n
+            plp_targets = jnp.asarray(plp_np)
         mtp_next = None
         if self.mtp:
             # known next token per row (prefill ground truth); -1 rows take
@@ -1728,8 +1813,8 @@ class ModelRunner:
                 mtp_np[offset : offset + len(known)] = known
                 offset += n
             mtp_next = jnp.asarray(mtp_np)
-        step_fn = self._get_step_fn(all_greedy, need_lp, plain)
-        (out, draft_rows), self.kv_cache = step_fn(
+        step_fn = self._get_step_fn(all_greedy, need_lp, plain, need_plp)
+        (out, draft_rows, plp_arrs), self.kv_cache = step_fn(
             self.params,
             self.kv_cache,
             jnp.asarray(input_ids),
@@ -1741,8 +1826,84 @@ class ModelRunner:
             allowed_ids,
             banned,
             mtp_next,
+            plp_targets,
         )
-        return self._make_output(req_ids, out, so, s_rows, draft_rows)
+        return self._make_output(
+            req_ids, out, so, s_rows, draft_rows, plp_arrs
+        )
+
+    def _accumulate_prompt_logprobs(
+        self, req_ids: list[str], so: SchedulerOutput, plp_arrs
+    ) -> None:
+        """Fold this step's full-row logprob arrays into each requesting
+        request's prompt_lp_acc: the row at prompt position p contributes
+        the dict for position p+1 (top-K + the actual next prompt token)."""
+        tlp = np.asarray(plp_arrs[0])
+        ti = np.asarray(plp_arrs[1])
+        tv = np.asarray(plp_arrs[2])
+        offset = 0
+        for rid in req_ids:
+            st = self.requests[rid]
+            n = so.num_scheduled_tokens[rid]
+            start = st.num_computed_tokens
+            k_want = st.sampling_params.prompt_logprobs
+            if k_want is None or start >= st.prompt_len - 1:
+                offset += n
+                continue
+            if st.prompt_lp_acc is None:
+                st.prompt_lp_acc = []
+            k_want = min(k_want, _PLP_TOPK) if k_want > 0 else 0
+            for j in range(n):
+                pos = start + j
+                if pos >= st.prompt_len - 1:
+                    break
+                row = offset + j
+                lps = {
+                    int(ti[row, m]): float(tv[row, m]) for m in range(k_want)
+                }
+                lps[int(st.token_ids[pos + 1])] = float(tlp[row])
+                st.prompt_lp_acc.append(lps)
+            offset += n
+
+    def _compute_cascade(self, req_ids: list[str], rb: int, maxb: int):
+        """Detect a batch-wide shared KV-page prefix for cascade decode
+        (ref: cascade_attention, flash_attn.py:1013). Returns
+        (cascade_blocks (CB,), suffix_tables (rb, maxb), cascade_len ())
+        device arrays, or None. Shared pages must sit strictly below every
+        request's write block (full, immutable prefix-cache blocks)."""
+        from vllm_metax_tpu import envs
+
+        if (
+            not envs.METAX_TPU_CASCADE
+            or len(req_ids) < 2
+            or self.dcp_size > 1
+        ):
+            return None
+        bs = self.cache_cfg.block_size
+        tabs = [self.requests[rid].block_ids for rid in req_ids]
+        writable = min(
+            self.requests[rid].num_computed_tokens for rid in req_ids
+        ) // bs
+        limit = min(min(len(t) for t in tabs), writable)
+        first = tabs[0]
+        c = 0
+        while c < limit and all(t[c] == first[c] for t in tabs):
+            c += 1
+        if c < 1:
+            return None
+        cb = 1 << (c - 1).bit_length()  # bucketed static shape
+        blocks = np.asarray(
+            list(first[:c]) + [first[c - 1]] * (cb - c), np.int32
+        )
+        sfx = np.zeros((rb, maxb), np.int32)
+        for i, rid in enumerate(req_ids):
+            bids = np.asarray(self.requests[rid].block_ids[c:], np.int32)
+            sfx[i, : len(bids)] = bids
+        return (
+            jnp.asarray(blocks),
+            jnp.asarray(sfx),
+            jnp.asarray(c * bs, jnp.int32),
+        )
 
     def _needs_per_step_host_state(self, so: SchedulerOutput) -> bool:
         """Features whose per-step state can't ride the on-device window
@@ -1822,9 +1983,11 @@ class ModelRunner:
 
     def _make_output(
         self, req_ids: list[str], out: SamplerOutput, so: SchedulerOutput,
-        s_rows: int = 1, draft_rows=None,
+        s_rows: int = 1, draft_rows=None, plp_arrs=None,
     ) -> ModelRunnerOutput:
         tokens = np.asarray(out.token_ids)
+        if plp_arrs is not None:
+            self._accumulate_prompt_logprobs(req_ids, so, plp_arrs)
         drafts_np = np.asarray(draft_rows) if draft_rows is not None else None
         any_lp = any(
             self.requests[rid].sampling_params.logprobs is not None
@@ -1914,6 +2077,11 @@ class ModelRunner:
             result.sampled_token_ids.append(emitted)
             st.token_ids.extend(emitted)
             result.logprobs.append(lps if want_lp else None)
+            if st.prompt_lp_acc is not None and emitted:
+                # prefill just completed: ship position-0=None + accumulated
+                # per-position dicts alongside the first sampled token
+                result.prompt_logprobs[rid] = [None] + st.prompt_lp_acc
+                st.prompt_lp_acc = None
             if drafts_np is not None and emitted:
                 # the draft head conditioned on the LAST COMMITTED row's
                 # sampled token proposes the next step's speculative tokens

@@ -74,6 +74,9 @@ class EngineCoreOutput:
     finish_reason: Optional[str] = None
     stop_reason: Optional[str] = None
     new_logprobs: Optional[list[dict[int, float]]] = None
+    # [None, {tok: lp}, ...] per prompt position; delivered once, with the
+    # first output token after prefill (SamplingParams.prompt_logprobs)
+    prompt_logprobs: Optional[list] = None
 
 
 class Scheduler:

@@ -116,6 +116,19 @@ def _sampling_from_request(body: dict) -> SamplingParams:
             if isinstance(body.get("logprobs"), int)
             else (body.get("top_logprobs") if body.get("logprobs") else None)
         ),
+        # completions `echo` + logprobs returns prompt-token logprobs too
+        # (ref: tests/v1/engine/test_output_processor.py:119-133)
+        prompt_logprobs=(
+            body.get("prompt_logprobs")
+            if isinstance(body.get("prompt_logprobs"), int)
+            else (body.get("extra_body") or {}).get("prompt_logprobs")
+            if isinstance((body.get("extra_body") or {}).get("prompt_logprobs"), int)
+            else (
+                body.get("logprobs")
+                if body.get("echo") and isinstance(body.get("logprobs"), int)
+                else None
+            )
+        ),
         ignore_eos=body.get("ignore_eos", False),
         guided_choice=(body.get("guided_choice")
                        or (body.get("extra_body") or {}).get("guided_choice")),
@@ -185,6 +198,12 @@ def _openai_logprobs(
     if chat:
         content = []
         for tid, d in zip(token_ids, lp_dicts):
+            if d is None:
+                content.append(
+                    {"token": tok_str(tid), "logprob": None,
+                     "top_logprobs": []}
+                )
+                continue
             top = sorted(d.items(), key=lambda kv: -kv[1])[: max(top_n, 0)]
             content.append(
                 {
@@ -199,6 +218,10 @@ def _openai_logprobs(
     tokens, token_logprobs, top_logprobs = [], [], []
     for tid, d in zip(token_ids, lp_dicts):
         tokens.append(tok_str(tid))
+        if d is None:
+            token_logprobs.append(None)
+            top_logprobs.append(None)
+            continue
         token_logprobs.append(d.get(tid, 0.0))
         top = sorted(d.items(), key=lambda kv: -kv[1])[: max(top_n, 0)]
         # distinct token ids may decode to the same string (e.g. specials);
@@ -300,6 +323,17 @@ def make_handler(state: ServerState):
                     f'{name}{{model_name="{state.served_model}",engine="0"}} '
                     f"{s.get(key, 0)}"
                 )
+            if hasattr(state.engine, "prometheus_lines"):
+                lines.extend(
+                    state.engine.prometheus_lines(state.served_model)
+                )
+            elif hasattr(state.engine, "engines"):
+                # EnginePool: per-engine-index labels
+                for i, e in enumerate(state.engine.engines):
+                    if hasattr(e, "prometheus_lines"):
+                        lines.extend(
+                            e.prometheus_lines(state.served_model, str(i))
+                        )
             data = ("\n".join(lines) + "\n").encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")
@@ -543,21 +577,35 @@ def make_handler(state: ServerState):
             for k, s in enumerate(streams):
                 tokens: list[int] = []
                 lp_dicts: list[dict[int, float]] = []
+                plp_dicts = None
                 finish_reason = None
                 for item in s:
                     tokens.extend(item.new_token_ids)
                     if item.logprobs:
                         lp_dicts.extend(item.logprobs)
+                    if getattr(item, "prompt_logprobs", None) is not None:
+                        plp_dicts = item.prompt_logprobs
                     detoks[k].push(item.new_token_ids)
                     if item.finished:
                         finish_reason = item.finish_reason
                 detoks[k].finish()
                 text = detoks[k].emitted
                 total_completion += len(tokens)
+                echo = bool(body.get("echo")) and not chat
+                lp_tokens, lp_all = tokens, lp_dicts
+                if echo:
+                    if state.tokenizer is not None:
+                        text = state.tokenizer.decode(token_ids) + text
+                    if plp_dicts is not None:
+                        lp_tokens = list(token_ids) + tokens
+                        lp_all = list(plp_dicts) + (
+                            lp_dicts or [None] * len(tokens)
+                        )
                 lp_obj = None
-                if sp.logprobs is not None and lp_dicts:
+                if (sp.logprobs is not None or plp_dicts is not None) and lp_all:
                     lp_obj = _openai_logprobs(
-                        tokens, lp_dicts, state.tokenizer, sp.logprobs, chat
+                        lp_tokens, lp_all, state.tokenizer,
+                        sp.logprobs or 0, chat,
                     )
                 if chat:
                     choices.append(

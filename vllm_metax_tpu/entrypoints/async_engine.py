@@ -33,6 +33,7 @@ class StreamItem:
     finish_reason: Optional[str] = None
     stop_reason: Optional[str] = None
     logprobs: Optional[list] = None
+    prompt_logprobs: Optional[list] = None
 
 
 @dataclass
@@ -203,6 +204,11 @@ class AsyncEngine:
         s["prefix_cached_tokens"] = self.engine.scheduler.num_prefix_cached_tokens
         return s
 
+    def prometheus_lines(self, model_name: str, engine: str = "0") -> list:
+        """Per-request latency histograms (TTFT/TPOT/queue/e2e) in
+        Prometheus text form (tests/v1/test_metrics_reader.py:19-31)."""
+        return self.engine.stats.render_prometheus(model_name, engine)
+
     def shutdown(self) -> None:
         self._shutdown = True
         self._wake.set()
@@ -280,6 +286,7 @@ class AsyncEngine:
                         out.finish_reason,
                         out.stop_reason,
                         out.new_logprobs,
+                        out.prompt_logprobs,
                     )
                 )
                 if out.finished:

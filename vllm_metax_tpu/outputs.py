@@ -24,3 +24,6 @@ class RequestOutput:
     prompt_token_ids: list[int]
     outputs: list[CompletionOutput] = field(default_factory=list)
     finished: bool = False
+    # [None, {tok: lp}, ...] per prompt position when
+    # SamplingParams.prompt_logprobs was set
+    prompt_logprobs: Optional[list] = None
