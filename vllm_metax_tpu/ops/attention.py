@@ -74,6 +74,17 @@ class AttentionMetadata:
     # Qwen3-VL deepstack: per-early-layer visual features added to the
     # hidden states at image positions (K, T, H)
     mm_deepstack: Optional[jnp.ndarray] = None
+    # Cascade / shared-prefix decode (ref: flash_attn.py:1013
+    # cascade_attention): every live request shares the SAME leading KV
+    # pages. cascade_blocks (CB,) holds those page ids (layer-local,
+    # bucket-padded; columns >= cascade_len are masked); cascade_tables is
+    # block_tables with the shared pages dropped (shifted left);
+    # cascade_len () int32 = shared token count. Attention then reads the
+    # shared prefix ONCE for the whole batch and LSE-merges with the
+    # per-request suffix.
+    cascade_blocks: Optional[jnp.ndarray] = None
+    cascade_tables: Optional[jnp.ndarray] = None
+    cascade_len: Optional[jnp.ndarray] = None
 
 
 def layer_view(
@@ -88,6 +99,16 @@ def layer_view(
         md,
         slot_mapping=md.slot_mapping + layer_idx * slots_per_layer,
         block_tables=md.block_tables + layer_idx * nb_layer,
+        cascade_blocks=(
+            None
+            if md.cascade_blocks is None
+            else md.cascade_blocks + layer_idx * nb_layer
+        ),
+        cascade_tables=(
+            None
+            if md.cascade_tables is None
+            else md.cascade_tables + layer_idx * nb_layer
+        ),
     )
 
 
@@ -142,6 +163,57 @@ def ragged_paged_attention(
                 logits_soft_cap,
             )
         impl = "xla"
+    if (
+        metadata.cascade_blocks is not None
+        and metadata.decode_only
+        and metadata.dcp_axis is None
+        and metadata.tree_bits is None
+        and sliding_window == 0
+    ):
+        # cascade / shared-prefix decode (ref: flash_attn.py:1013): ONE
+        # batched pass over the shared prefix pages + per-request suffix
+        # attention over the shifted tables, LSE-merged
+        import dataclasses
+
+        out1, lse1 = _cascade_prefix_attention(
+            q, kv_cache, metadata, sm_scale, logits_soft_cap
+        )
+        md_sfx = dataclasses.replace(
+            metadata,
+            block_tables=metadata.cascade_tables,
+            seq_lens=jnp.maximum(
+                metadata.seq_lens - metadata.cascade_len, 0
+            ),
+            positions=jnp.maximum(
+                metadata.positions - metadata.cascade_len, 0
+            ),
+            cascade_blocks=None,
+            cascade_tables=None,
+            cascade_len=None,
+        )
+        sfx_pallas = False
+        if impl == "pallas":
+            from vllm_metax_tpu.ops.pallas.decode_attention import (
+                decode_attention_supported,
+                paged_decode_attention_pallas,
+            )
+
+            sfx_pallas = decode_attention_supported(q, kv_cache, md_sfx)
+        if sfx_pallas:
+            out2, lse2 = paged_decode_attention_pallas(
+                q, kv_cache, md_sfx, sm_scale, 0, logits_soft_cap,
+                k_cur=k_cur, v_cur=v_cur, return_lse=True,
+            )
+        else:
+            out2, lse2 = ragged_paged_attention_xla(
+                q, kv_cache, md_sfx, sm_scale, 0, logits_soft_cap,
+                k_cur=k_cur, v_cur=v_cur, return_lse=True,
+            )
+        out, _ = merge_attn_states(
+            out1.astype(jnp.float32), lse1,
+            out2.astype(jnp.float32), lse2,
+        )
+        return out.astype(q.dtype)
     if metadata.dcp_axis is not None:
         if impl == "pallas" and metadata.decode_only and k_cur is None:
             from vllm_metax_tpu.ops.pallas.decode_attention import (
@@ -216,6 +288,7 @@ def ragged_paged_attention_xla(
     logits_soft_cap: float = 0.0,
     k_cur: Optional[jnp.ndarray] = None,  # deferred-write current K/V
     v_cur: Optional[jnp.ndarray] = None,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Exact reference implementation (math of tests/kernels/attention/
     test_attention.py:50 ref_masked_attention, extended to paged+ragged)."""
@@ -316,7 +389,76 @@ def ragged_paged_attention_xla(
     denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     p = p / denom
     out = jnp.einsum("thgc,tchd->thgd", p, v_tok)
-    return out.reshape(t, hq, d).astype(q.dtype)
+    out = out.reshape(t, hq, d).astype(q.dtype)
+    if return_lse:
+        lse = (m + jnp.log(denom)).reshape(t, hq)
+        return out, lse
+    return out
+
+
+def _cascade_prefix_attention(
+    q: jnp.ndarray,  # (T, HQ, D)
+    kv_cache: KVCache,
+    metadata: AttentionMetadata,
+    sm_scale: float,
+    logits_soft_cap: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared-prefix attention computed ONCE for the whole decode batch
+    (ref: cascade_attention, v1/attention/backends/flash_attn.py:1013).
+    Every query row attends the SAME cascade_blocks pages (all positions
+    strictly below every request's current position — no causal mask, only
+    the cascade_len bound on bucket padding). Returns normalized (out, lse)
+    for merge_attn_states."""
+    t, hq, d = q.shape
+    bs = kv_cache.block_size
+    hkv = kv_cache.num_kv_heads
+    g = hq // hkv
+    from vllm_metax_tpu.ops.kv_cache import kv_fused_width
+
+    blocks = metadata.cascade_blocks  # (CB,)
+    nb = kv_cache.k.shape[0]
+    fk = jnp.take(kv_cache.k, jnp.minimum(blocks, nb - 1), axis=0)
+    fw = kv_fused_width(kv_cache, d)
+    if fw:
+        k = fk[..., :fw]
+        v = fk[..., fw:]
+    else:
+        k = fk
+        v = jnp.take(kv_cache.v, jnp.minimum(blocks, nb - 1), axis=0)
+    if kv_cache.quantized:
+        ks = jnp.take(kv_cache.k_scale, jnp.minimum(blocks, nb - 1), axis=0)
+        vs = jnp.take(kv_cache.v_scale, jnp.minimum(blocks, nb - 1), axis=0)
+        k = k.astype(jnp.float32) * ks[..., None]
+        v = v.astype(jnp.float32) * vs[..., None]
+    # (CB, H, BS, D) → (H, CB*BS, D)
+    p_len = blocks.shape[0] * bs
+    k = k.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(hkv, p_len, d)
+    v = v.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(hkv, p_len, d)
+    qf = (
+        q.astype(jnp.float32)
+        .reshape(t, hkv, g, d)
+        .transpose(1, 0, 2, 3)
+        .reshape(hkv, t * g, d)
+    )
+    s = jnp.einsum("hrd,hcd->hrc", qf, k) * sm_scale  # (H, T*G, P)
+    if logits_soft_cap > 0.0:
+        s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+    col_ok = (
+        jnp.arange(p_len, dtype=jnp.int32)[None, None, :]
+        < metadata.cascade_len
+    )
+    s = jnp.where(col_ok, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.maximum(m, -1e30)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+    out = jnp.einsum("hrc,hcd->hrd", p / denom, v)  # (H, T*G, D)
+    out = (
+        out.reshape(hkv, t, g, d).transpose(1, 0, 2, 3).reshape(t, hq, d)
+    ).astype(q.dtype)
+    lse = (m + jnp.log(denom))[..., 0].reshape(hkv, t, g)
+    lse = lse.transpose(1, 0, 2).reshape(t, hq)
+    return out, lse
 
 
 def merge_attn_states(

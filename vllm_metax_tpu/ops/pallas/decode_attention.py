@@ -41,6 +41,9 @@ _NEG_INF = -1e30
 import os
 
 NR = int(os.getenv("METAX_TPU_DECODE_NR", "8"))
+# perf-probe ONLY: skip the per-page scale DMAs (results are numerically
+# wrong; quantifies the descriptor cost of the 2-per-page scale fetches)
+_PROBE_SKIP_SCALE_DMA = os.getenv("METAX_TPU_PROBE_NOSCALE", "0") == "1"
 
 
 def decode_attention_supported(q, kv_cache: KVCache, md, mla: bool = False) -> bool:
@@ -178,7 +181,7 @@ def _decode_kernel(
                                 sem.at[slot, 1, rr],
                             )
                         )
-                    if quantized:
+                    if quantized and not _PROBE_SKIP_SCALE_DMA:
                         dmas.append(
                             pltpu.make_async_copy(
                                 ks_hbm.at[page],
