@@ -219,6 +219,61 @@ def test_metrics_endpoint(server):
     assert 'model_name="' in text
 
 
+def test_metrics_latency_histograms(server):
+    """TTFT/TPOT/queue/e2e histograms appear with bucket/sum/count series
+    after at least one finished request (the reference's per-request
+    metrics surface, tests/v1/test_metrics_reader.py:19-31)."""
+    _post(
+        server,
+        "/v1/completions",
+        {"prompt": "histogram probe", "max_tokens": 4, "temperature": 0.0},
+    )
+    text = _get(server, "/metrics")
+    for name in (
+        "vllm:time_to_first_token_seconds",
+        "vllm:time_per_output_token_seconds",
+        "vllm:request_queue_time_seconds",
+        "vllm:e2e_request_latency_seconds",
+    ):
+        assert f"# TYPE {name} histogram" in text
+        assert f"{name}_bucket" in text
+        assert f"{name}_sum" in text
+        assert f"{name}_count" in text
+    # at least one observation landed
+    assert any(
+        line.split()[-1] not in ("0", "0.0")
+        for line in text.splitlines()
+        if line.startswith("vllm:time_to_first_token_seconds_count")
+    )
+    assert "vllm:request_success_total" in text
+
+
+def test_prompt_logprobs_echo_completions(server):
+    """completions echo+logprobs returns prompt-token logprobs with a
+    leading null (ref: tests/v1/engine/test_output_processor.py:119-133)."""
+    out = _post(
+        server,
+        "/v1/completions",
+        {
+            "prompt": "one two three four",
+            "max_tokens": 2,
+            "temperature": 0.0,
+            "echo": True,
+            "logprobs": 2,
+        },
+    )
+    lp = out["choices"][0]["logprobs"]
+    assert lp is not None
+    n_prompt = out["usage"]["prompt_tokens"]
+    assert len(lp["tokens"]) == n_prompt + 2
+    assert lp["token_logprobs"][0] is None
+    assert all(
+        v is None or v <= 1e-5 for v in lp["token_logprobs"]
+    )
+    # echoed text starts with the prompt
+    assert out["choices"][0]["text"].startswith("one two three four"[:3])
+
+
 def test_tokenize_roundtrip(server):
     toks = _post(server, "/tokenize", {"prompt": "hello"})["tokens"]
     text = _post(server, "/detokenize", {"tokens": toks})["prompt"]

@@ -366,6 +366,13 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
         # checkpoint carries pre-quantized GPTQ/AWQ tensors; otherwise fall
         # through to dense load + on-the-fly quantize_params
         return _load_weights_quantized(cfg, quant_cfg, reader)
+    if quant_cfg is not None and quant_cfg.method == "compressed-tensors":
+        from vllm_metax_tpu.quantization.compressed_tensors import (
+            has_ct_tensors,
+        )
+
+        if has_ct_tensors(reader, "model.layers.0.self_attn.q_proj"):
+            return _load_weights_quantized(cfg, quant_cfg, reader)
 
     def get(name):
         return jnp.asarray(reader.get(name), dtype=dt)
@@ -448,7 +455,14 @@ def _load_weights_quantized(cfg, quant_cfg, reader):
     from vllm_metax_tpu.quantization.gptq import load_gptq_linear
     from vllm_metax_tpu.quantization.awq import load_awq_linear
 
-    load_fn = load_gptq_linear if quant_cfg.method == "gptq" else load_awq_linear
+    if quant_cfg.method == "compressed-tensors":
+        from vllm_metax_tpu.quantization.compressed_tensors import (
+            load_ct_linear as load_fn,
+        )
+    else:
+        load_fn = (
+            load_gptq_linear if quant_cfg.method == "gptq" else load_awq_linear
+        )
     dt = cfg.dtype
 
     def get(name):
@@ -463,7 +477,9 @@ def _load_weights_quantized(cfg, quant_cfg, reader):
     def merge_quant(ps: list[dict]) -> dict:
         out = {}
         for key in ps[0]:
-            if key == "perm":  # same K permutation required to merge
+            if key == "perm" or ps[0][key].ndim == 0:
+                # same K permutation required to merge; 0-dim markers
+                # (w8a8 "a8") pass through
                 out[key] = ps[0][key]
             else:
                 out[key] = jnp.concatenate([p[key] for p in ps], axis=-1)

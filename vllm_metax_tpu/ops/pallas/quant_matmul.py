@@ -34,6 +34,12 @@ import os
 _TN_OVERRIDE = int(os.getenv("METAX_TPU_GEMM_TN", "0")) or None
 _KC_OVERRIDE = int(os.getenv("METAX_TPU_GEMM_KC", "0")) or None
 _BF16_DEQUANT = False
+# W4A8 per-group scale-FMA precision: the kernel is VPU-bound on the
+# G passes of convert+mul+add over the (TT, TN) accumulator (profiled
+# ~61us of the 123us gate_up call); bf16 multiplies run the VPU at 2x.
+# Accuracy: group partials |d| <= 128*127*15 ~ 2^18 keep ~8 significant
+# bits in bf16 — gate behind an env for PPL validation.
+_BF16_SCALE_FMA = os.getenv("METAX_TPU_GEMM_BF16FMA", "0") == "1"
 
 # Pre-tiled packed-weight layout: a (K/2, N) nibble-packed weight becomes
 # (N/TILE_N, K/2, TILE_N) so each kernel block is one fully CONTIGUOUS run of

@@ -46,7 +46,10 @@ def quantize_linear(p: dict, qc: QuantizationConfig) -> dict:
     """Quantize one dense linear param dict {"w", ["b"]} in place of layout."""
     w = p["w"]
     out: dict = {}
-    if qc.method in ("gptq", "awq", "int4", "moe_wna16") and qc.bits == 4:
+    if (
+        qc.method in ("gptq", "awq", "int4", "moe_wna16")
+        or (qc.method == "compressed-tensors" and qc.ct_scheme == "wna16")
+    ) and qc.bits == 4:
         w_p4, s, zs = quantize_int4_grouped(w, qc.group_size, sym=qc.sym)
         out = {"w_p4": w_p4, "s": s, "zs": zs}
     elif qc.method in ("gptq", "awq", "int8", "moe_wna16") and qc.bits == 8:
