@@ -93,41 +93,44 @@ def _decode_kernel(
         # by the scratch refs — pull lse out so the unpacks below stay shared
         rest = list(rest)
         n_scratch = (
-            (7 if fused else 8) if quantized else (5 if single_kv else 6)
-        )  # kv bufs [+ scale bufs] + acc/m/l + sem
+            (8 if fused else 9) if quantized else (6 if single_kv else 7)
+        )  # kv bufs [+ scale bufs] + acc/m/l + sem + g_ref
         lse_ref = rest.pop(-n_scratch - 1)
     if quantized and fused:
         # fused [K‖V] pages: values in one pool/buffer, scales separate.
         # Deferred mode passes ONE kvcur (HKV, NR, 2D) row set.
         if deferred:
             (ks_hbm, vs_hbm, kcur_ref, out_ref, k_buf, ks_buf, vs_buf,
-             acc_ref, m_ref, l_ref, sem) = rest
+             acc_ref, m_ref, l_ref, sem, g_ref) = rest
         else:
             (ks_hbm, vs_hbm, out_ref, k_buf, ks_buf, vs_buf,
-             acc_ref, m_ref, l_ref, sem) = rest
+             acc_ref, m_ref, l_ref, sem, g_ref) = rest
         v_hbm = v_buf = None
     elif quantized:
         if deferred:
             (v_hbm, ks_hbm, vs_hbm, kcur_ref, vcur_ref, out_ref, k_buf,
-             v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref, sem) = rest
+             v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref, sem,
+             g_ref) = rest
         else:
             (v_hbm, ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
-             acc_ref, m_ref, l_ref, sem) = rest
+             acc_ref, m_ref, l_ref, sem, g_ref) = rest
     elif single_kv:
         # MLA latent MQA (pv_width: PV reads the first pv_width lanes of the
         # latent K buffer, ref: mla/common.py:1851) or fused [K‖V] pages
         # (K = [..., :D], V = [..., D:]) — either way ONE pool, ONE buffer
         if deferred:
-            (kcur_ref, out_ref, k_buf, acc_ref, m_ref, l_ref, sem) = rest
+            (kcur_ref, out_ref, k_buf, acc_ref, m_ref, l_ref, sem,
+             g_ref) = rest
         else:
-            (out_ref, k_buf, acc_ref, m_ref, l_ref, sem) = rest
+            (out_ref, k_buf, acc_ref, m_ref, l_ref, sem, g_ref) = rest
         v_hbm = v_buf = ks_hbm = vs_hbm = ks_buf = vs_buf = None
     else:
         if deferred:
             (v_hbm, kcur_ref, vcur_ref, out_ref, k_buf, v_buf, acc_ref,
-             m_ref, l_ref, sem) = rest
+             m_ref, l_ref, sem, g_ref) = rest
         else:
-            (v_hbm, out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, sem) = rest
+            (v_hbm, out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, sem,
+             g_ref) = rest
         ks_hbm = vs_hbm = ks_buf = vs_buf = None
     t_idx = pl.program_id(0)
     hkv = k_buf.shape[1]
@@ -145,16 +148,19 @@ def _decode_kernel(
 
     nb_total = k_hbm.shape[0]
 
-    def chunk_dma(c, slot, kind):
+    def chunk_dma_t(tile, c, slot, kind):
+        # tile-parametrized so a tile can PREFETCH the NEXT tile's first
+        # chunk (cross-tile pipelining): reach conditions read that tile's
+        # seq lens straight from the prefetched scalars
         for rr in range(NR):  # static unroll
-            base = (req0 + rr) * maxb + c * ppc
+            base = (tile * NR + rr) * maxb + c * ppc
             for p in range(ppc):
                 # page-level skip: only DMA pages the request's context
                 # actually reaches (chunk-level gating alone read the whole
                 # CKV span — up to ~45% wasted KV traffic at short contexts).
                 # DCP: non-local pages carry an out-of-range sentinel
                 # (parallel/dcp.py DCP_SENTINEL) — skip those too.
-                reach = c * ckv + p * bs < sls[rr]
+                reach = c * ckv + p * bs < seq_lens_ref[tile * NR + rr]
                 if dcp:
                     reach &= bt_ref[base + p] < nb_total
 
@@ -206,11 +212,32 @@ def _decode_kernel(
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
+    # Cross-tile pipelining: at 1 chunk/tile (the common decode shape) the
+    # old per-tile double buffer had nothing to overlap — every tile paid
+    # its full DMA latency serially (~7us/tile measured,
+    # tools/perf/decode_attn_probe.py). Chunks now stream through the two
+    # buffer slots by GLOBAL parity (g_ref, SMEM, carried across grid
+    # steps), and each tile's last chunk prefetches the NEXT tile's first
+    # chunk, so tile t+1's KV is in flight during tile t's compute.
+    nt_tiles = pl.num_programs(0)
+
+    @pl.when(t_idx == 0)
+    def _():
+        g_ref[0] = 0
+        chunk_dma_t(0, 0, 0, "start")
+
+    g0 = g_ref[0]
+
     @pl.when(num_chunks == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
         if return_lse:
             lse_ref[:] = jnp.full_like(lse_ref, _NEG_INF)
+
+        # keep the prefetch chain alive through all-pad tiles
+        @pl.when(t_idx + 1 < nt_tiles)
+        def _():
+            chunk_dma_t(t_idx + 1, 0, g0 % 2, "start")
 
     # per-row (NR*G,1) seq lens & per-column (1, NR*CKV) request slot
     row_sl = jnp.concatenate(
@@ -235,16 +262,19 @@ def _decode_kernel(
 
     @pl.when(num_chunks > 0)
     def _():
-        chunk_dma(0, 0, "start")
-
         def chunk_body(c, _):
-            slot = c % 2
+            slot = (g0 + c) % 2
+            nslot = (g0 + c + 1) % 2
 
             @pl.when(c + 1 < num_chunks)
             def _():
-                chunk_dma(c + 1, (c + 1) % 2, "start")
+                chunk_dma_t(t_idx, c + 1, nslot, "start")
 
-            chunk_dma(c, slot, "wait")
+            @pl.when((c + 1 == num_chunks) & (t_idx + 1 < nt_tiles))
+            def _():
+                chunk_dma_t(t_idx + 1, 0, nslot, "start")
+
+            chunk_dma_t(t_idx, c, slot, "wait")
 
             if deferred:
                 # Deferred KV write: the current token's K/V is NOT in the
@@ -423,6 +453,7 @@ def _decode_kernel(
             return 0
 
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+        g_ref[0] = (g0 + num_chunks) % 2
 
         out_ref[0] = (
             acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
@@ -530,6 +561,7 @@ def paged_decode_attention_pallas(
         pltpu.VMEM((hkv, NR * g, 1), jnp.float32),
         pltpu.VMEM((hkv, NR * g, 1), jnp.float32),
         pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, NR)),
+        pltpu.SMEM((1,), jnp.int32),
     ]
     out_specs = pl.BlockSpec(
         (1, hkv, NR * g, d_out), lambda i, *_: (i, 0, 0, 0)
