@@ -76,6 +76,99 @@ def _single_process_reference():
     return [acc[f"r{i}"] for i in range(len(prompts))]
 
 
+def _make_tiny_checkpoint(tmp_path):
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        vocab_size=32000,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(cfg).eval()
+    path = str(tmp_path / "tiny")
+    m.save_pretrained(path, safe_serialization=True)
+    from tests.test_api_server import _make_tiny_tokenizer
+
+    _make_tiny_tokenizer(path)
+    return path
+
+
+def test_two_host_serve(tmp_path):
+    """`serve --num-hosts 2 --host-rank k` starts: host 0 answers HTTP over
+    the 2-process global mesh; host 1 follows via the broadcast request
+    plane (the VERDICT r3 done-bar for the multi-host skeleton)."""
+    import json as _json
+    import time
+    import urllib.request
+
+    model = _make_tiny_checkpoint(tmp_path)
+    coord = _free_port()
+    http_port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(ROOT, "tests", "workers",
+                          "multihost_serve_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(r), str(http_port), str(coord),
+             model],
+            env=env,
+            cwd=ROOT,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    try:
+        deadline = time.time() + 420
+        out = None
+        while time.time() < deadline:
+            for p in procs:
+                if p.poll() is not None:
+                    _, err = p.communicate()
+                    raise AssertionError(
+                        f"serve worker died:\n{err[-3000:]}"
+                    )
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{http_port}/v1/completions",
+                    data=_json.dumps(
+                        {
+                            "prompt": "hello world",
+                            "max_tokens": 4,
+                            "temperature": 0.0,
+                        }
+                    ).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    out = _json.loads(resp.read())
+                break
+            except (ConnectionError, OSError):
+                time.sleep(1.0)
+        assert out is not None, "server never came up"
+        assert out["usage"]["completion_tokens"] == 4
+        assert out["choices"][0]["finish_reason"] in ("length", "stop")
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
 def test_two_host_tp8_token_exact():
     port = _free_port()
     env = dict(os.environ)

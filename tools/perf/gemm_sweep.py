@@ -1,0 +1,88 @@
+"""Sweep the PRODUCTION W4A8 kernel (int4a8_matmul_tiled_pallas) across
+TILE_N / KC / fused-act-quant, profiler-timed, at the flagship gate_up and
+down shapes. Run each config in a subprocess (TILE_N is import-time)."""
+
+import json
+import os
+import subprocess
+import sys
+
+CONFIGS = [
+    ("tile512_kc2048", {}),
+    ("tile1024", {"METAX_TPU_GEMM_TILE_N": "1024"}),
+    ("tile256", {"METAX_TPU_GEMM_TILE_N": "256"}),
+    ("kc1024", {"METAX_TPU_GEMM_KC": "1024"}),
+    ("kc512", {"METAX_TPU_GEMM_KC": "512"}),
+    ("tile1024_kc1024", {"METAX_TPU_GEMM_TILE_N": "1024",
+                         "METAX_TPU_GEMM_KC": "1024"}),
+]
+
+WORKER = r"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import jax, jax.numpy as jnp, numpy as np, functools
+from trace_time import device_time
+from vllm_metax_tpu.ops.pallas.quant_matmul import (
+    int4a8_matmul_tiled_pallas, tile_packed_weight, w4a8_repack, TILE_N,
+)
+
+T, GS, L = 128, 128, 8
+rng = np.random.default_rng(0)
+
+def measure(name, k, n):
+    w = rng.integers(0, 255, (L, k // 2, n)).astype(np.uint8)
+    wt = w4a8_repack(jnp.stack([
+        tile_packed_weight(jnp.asarray(w[l])) for l in range(L)
+    ]))
+    g = k // GS
+    s = jnp.asarray(rng.random((L, g, n)) + 0.5, jnp.float32) * 0.01
+    zs = jnp.asarray(rng.random((L, g, n)), jnp.float32) * 0.01
+    x = jnp.asarray(rng.standard_normal((T, k)), jnp.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("n_iter",))
+    def loop(x, n_iter):
+        def layer(carry, li):
+            out = int4a8_matmul_tiled_pallas(carry, wt, s, zs, li)
+            return (
+                carry + out[:, : 1].astype(jnp.bfloat16) * 1e-6, None
+            )
+        def it(i, c):
+            c2, _ = jax.lax.scan(layer, c, jnp.arange(L, dtype=jnp.int32))
+            return c2
+        return jax.lax.fori_loop(0, n_iter, it, x)
+
+    n_iter = 20
+    loop(x, n_iter).block_until_ready()
+    total = device_time(lambda: loop(x, n_iter).block_until_ready())
+    per_call = total / (n_iter * L)
+    gbps = (k // 2) * n / per_call / 1e6
+    sol = (k // 2) * n / 819e9 * 1e6
+    print(f"{name}: {per_call*1e3:8.1f} us/call  {gbps:6.0f} GB/s "
+          f"({per_call*1000/sol:4.2f}x SOL)", flush=True)
+
+measure("gate_up(4096->28672)", 4096, 28672)
+measure("down(14336->4096)", 14336, 4096)
+"""
+
+
+def main():
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "_gemm_sweep_worker.py"), "w") as f:
+        f.write(WORKER)
+    for name, env in CONFIGS:
+        full = dict(os.environ, **env)
+        print(f"=== {name} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "_gemm_sweep_worker.py")],
+            env=full, capture_output=True, text=True, timeout=900,
+        )
+        for line in out.stdout.splitlines():
+            if "GB/s" in line:
+                print("  " + line)
+        if out.returncode != 0:
+            print("  FAILED:", out.stderr.strip().splitlines()[-1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -685,7 +685,53 @@ def main(argv=None):
     parser.add_argument("--num-decode-steps", type=int, default=1)
     parser.add_argument("--dtype", default="auto")
     parser.add_argument("--load-format", default="auto")
+    # multi-host SPMD serving (parallel/multihost.py): host 0 serves HTTP
+    # and broadcasts the request stream; ranks > 0 run follower engines
+    parser.add_argument("--num-hosts", type=int, default=1)
+    parser.add_argument("--host-rank", type=int, default=0)
+    parser.add_argument("--coordinator-address", default="127.0.0.1:29500")
     args = parser.parse_args(argv)
+
+    if args.num_hosts > 1:
+        from vllm_metax_tpu.parallel import multihost
+
+        multihost.initialize(
+            args.coordinator_address, args.num_hosts, args.host_rank
+        )
+        if args.host_rank > 0:
+            # follower: same engine over the same global mesh; the engine
+            # loop's broadcast rendezvous drives it — no HTTP surface
+            import time as _time
+
+            from vllm_metax_tpu.entrypoints.async_engine import EnginePool
+
+            config = _build_engine_config(
+                args.model,
+                max_model_len=args.max_model_len,
+                max_num_seqs=args.max_num_seqs,
+                max_num_batched_tokens=args.max_num_batched_tokens,
+                block_size=args.block_size,
+                kv_cache_dtype=args.kv_cache_dtype,
+                quantization=args.quantization,
+                num_decode_steps=args.num_decode_steps,
+                tensor_parallel_size=args.tensor_parallel_size,
+                dtype=args.dtype,
+                load_format=args.load_format,
+                num_hosts=args.num_hosts,
+                host_rank=args.host_rank,
+                coordinator_address=args.coordinator_address,
+            )
+            pool = EnginePool(config, args.data_parallel_size)
+            logger.info(
+                "follower host %d/%d joined the mesh; engine loop running",
+                args.host_rank, args.num_hosts,
+            )
+            try:
+                while True:
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                pool.shutdown()
+            return
 
     server = build_server(
         args.host,
@@ -704,6 +750,9 @@ def main(argv=None):
         tensor_parallel_size=args.tensor_parallel_size,
         dtype=args.dtype,
         load_format=args.load_format,
+        num_hosts=args.num_hosts,
+        host_rank=args.host_rank,
+        coordinator_address=args.coordinator_address,
     )
     logger.info("serving %s on %s:%d", args.model, args.host, args.port)
     try:

@@ -139,6 +139,12 @@ class AsyncEngine:
         self._counter = Counter()
         self._shutdown = False
         self._wake = threading.Event()
+        # multi-host SPMD serving: host 0 broadcasts each loop tick's new
+        # requests/aborts; followers apply them and step in lockstep (the
+        # broadcast collective is the rendezvous — parallel/multihost.py)
+        self._multihost = config.parallel_config.num_hosts > 1
+        self._mh_new: list[dict] = []
+        self._mh_aborts: list[str] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -231,6 +237,17 @@ class AsyncEngine:
                     multi_modal_data=p.multi_modal_data,
                 )
                 self._streams[p.req_id] = p
+                if self._multihost:
+                    # mm data is host-0-encoded; the skeleton ships text
+                    # requests only (mm + multihost: future work)
+                    self._mh_new.append(
+                        {
+                            "req_id": p.req_id,
+                            "prompt_token_ids": p.prompt_token_ids,
+                            "sampling_params": p.sampling_params,
+                            "eos_token_id": getattr(p, "eos_token_id", None),
+                        }
+                    )
             except ValueError as e:
                 p.out_queue.put(
                     StreamItem([], True, finish_reason="error", stop_reason=str(e))
@@ -260,6 +277,29 @@ class AsyncEngine:
             except Exception as e:  # surface to the caller
                 out.put(e)
 
+    def _multihost_sync(self) -> None:
+        """Rendezvous with the other hosts: host 0 ships this tick's intake;
+        followers apply it so every host's scheduler sees the identical
+        request stream (the deterministic-SPMD serving contract)."""
+        from vllm_metax_tpu.parallel import multihost
+
+        if multihost.is_primary():
+            payload = {"reqs": self._mh_new, "aborts": self._mh_aborts}
+            self._mh_new, self._mh_aborts = [], []
+            multihost.broadcast_pyobj(payload)
+        else:
+            payload = multihost.broadcast_pyobj()
+            for r in payload["reqs"]:
+                try:
+                    self.engine.add_request(
+                        r["req_id"], r["prompt_token_ids"],
+                        r["sampling_params"], r.get("eos_token_id"),
+                    )
+                except ValueError:
+                    pass  # host 0 already rejected/errored it
+            for rid in payload["aborts"]:
+                self.engine.abort_request(rid)
+
     def _loop(self) -> None:
         while not self._shutdown:
             self._drain_intake()
@@ -270,7 +310,13 @@ class AsyncEngine:
                 p = self._streams.pop(rid, None)
                 if p:
                     p.out_queue.put(StreamItem([], True, finish_reason="abort"))
+                if self._multihost:
+                    self._mh_aborts.append(rid)
+            if self._multihost:
+                self._multihost_sync()
             if not self.engine.has_unfinished_requests():
+                if self._multihost:
+                    continue  # the broadcast collective paces the idle loop
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue

@@ -68,6 +68,9 @@ def cmd_serve(args) -> int:
         ("--tensor-parallel-size", args.tensor_parallel_size),
         ("--num-decode-steps", args.num_decode_steps),
         ("--load-format", args.load_format),
+        ("--num-hosts", args.num_hosts),
+        ("--host-rank", args.host_rank),
+        ("--coordinator-address", args.coordinator_address),
     ]:
         if val is not None:
             argv += [flag, str(val)]
@@ -240,6 +243,9 @@ def main(argv=None) -> int:
     _add_engine_args(p_serve)
     p_serve.add_argument("--host", default="0.0.0.0")
     p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--num-hosts", type=int, default=1)
+    p_serve.add_argument("--host-rank", type=int, default=0)
+    p_serve.add_argument("--coordinator-address", default="127.0.0.1:29500")
     p_serve.set_defaults(fn=cmd_serve)
 
     p_bench = sub.add_parser("bench", help="benchmarks")

@@ -36,6 +36,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # KV-page prefix once per step and LSE-merge with per-request suffixes
     # (ref: flash_attn.py:1013 cascade_attention)
     "METAX_TPU_CASCADE": lambda: os.getenv("METAX_TPU_CASCADE", "1") == "1",
+    # Decode KV write mode: eager per-layer slab-bounce writes instead of
+    # deferred current-token blending + one all-layer commit
+    "METAX_TPU_DECODE_EAGER": lambda: os.getenv(
+        "METAX_TPU_DECODE_EAGER", "0"
+    ) == "1",
     # batched all-layer KV commit form: "block" (gather→blend→scatter of
     # Decode-step KV commit lowering: "pallas" (default — slab-bounce DMA
     # kernel, ops/pallas/kv_commit.py), "rows" (token-row scatter), "dus",

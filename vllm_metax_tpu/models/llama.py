@@ -164,7 +164,10 @@ def run_layers(
                 k_cur=k, v_cur=v,
             )
         else:
-            kv = write_to_kv_cache(kv, k, v, md_l.slot_mapping)
+            kv = write_to_kv_cache(
+                kv, k, v, md_l.slot_mapping,
+                unique_pages=md.decode_only,
+            )
             attn = ragged_paged_attention(
                 q, kv, md_l, sm_scale, sliding_window=cfg.sliding_window
             )

@@ -123,6 +123,11 @@ def defer_kv_supported(
     the XLA reference. DCP keeps eager writes (rank-local page ownership)."""
     if not metadata.decode_only or metadata.dcp_axis is not None:
         return False
+    if envs.METAX_TPU_DECODE_EAGER:
+        # experiment knob: write KV eagerly per layer (slab-bounce kernel)
+        # and skip the in-kernel current-token blend (~25us/call cheaper,
+        # tools/perf/decode_attn_probe.py eager vs deferred)
+        return False
     impl = envs.METAX_TPU_ATTN_IMPL
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"

@@ -156,6 +156,7 @@ def write_to_kv_cache(
     k: jnp.ndarray,
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,
+    unique_pages: bool = False,
 ) -> KVCache:
     """Scatter new K/V (T, H, D) into cache slots (ref: reshape_and_cache_flash,
     csrc/cache_kernels.cu:450).
@@ -174,6 +175,27 @@ def write_to_kv_cache(
         and kv_cache.v.shape[-1] == 0
         and d == k.shape[-1] + v.shape[-1]
     )
+    import jax as _jax
+
+    from vllm_metax_tpu import envs
+
+    if (
+        unique_pages  # the slab RMW races if two tokens share a page —
+        # only pure-decode steps (one token per request, exclusive last
+        # pages) may set this
+        and envs.METAX_TPU_KV_COMMIT == "pallas"
+        and _jax.devices()[0].platform not in ("cpu", "gpu")
+        and bs % 8 == 0
+        and d % 128 == 0
+        and k.shape[0] <= 256
+    ):
+        # decode-shaped writes ride the slab-bounce commit kernel as a
+        # single-layer commit — the XLA row scatter costs ~70ns per
+        # (token, head) ROW (ops/pallas/kv_commit.py); slot_mapping here is
+        # already GLOBAL, so nb_layer = the whole pool
+        return _write_all_layers_pallas(
+            kv_cache, k[None], v[None], slot_mapping, nb, 0, fused
+        )
     block_idx = slot_mapping // bs
     off_idx = slot_mapping % bs
     # flat row addressing: row(t, head) = (block*H + head)*BS + off. A plain

@@ -365,7 +365,6 @@ def _int4a8_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = acc + d_lo.astype(jnp.float32) * s_ref[g0 + gi, :][None, :]
             d_hi = jax.lax.dot_general(
                 xq_ref[
                     :, k_half + c * kc + gi * gs : k_half + c * kc + (gi + 1) * gs
@@ -374,9 +373,28 @@ def _int4a8_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = acc + d_hi.astype(jnp.float32) * (
-                s_ref[g_half + g0 + gi, :][None, :] * (1.0 / 16.0)
-            )
+            if _BF16_SCALE_FMA:
+                # bf16 scale multiplies at 2x VPU rate; the f32 adds keep
+                # the running sum exact-ish. Group partials are <= 2^18, so
+                # the bf16 product keeps 8 significant bits — PPL-gated.
+                acc = acc + (
+                    d_lo.astype(jnp.bfloat16)
+                    * s_ref[g0 + gi, :][None, :].astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                acc = acc + (
+                    d_hi.astype(jnp.bfloat16)
+                    * (
+                        s_ref[g_half + g0 + gi, :][None, :]
+                        * (1.0 / 16.0)
+                    ).astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+            else:
+                acc = acc + d_lo.astype(jnp.float32) * s_ref[g0 + gi, :][
+                    None, :
+                ]
+                acc = acc + d_hi.astype(jnp.float32) * (
+                    s_ref[g_half + g0 + gi, :][None, :] * (1.0 / 16.0)
+                )
 
     # zero-point term, plus the high plane's -8 offset correction
     z = jnp.dot(
