@@ -377,13 +377,14 @@ def test_gguf_e2e_greedy(gguf_llama):
 
 def test_unsupported_quant_type_raises(tmp_path):
     path = str(tmp_path / "bad.gguf")
+    iq2_xxs = 16  # IQ codebook types remain unsupported
     write_gguf(
         path,
         {"general.architecture": "llama"},
-        {"x.weight": (G.Q3_K, (256,), b"\0" * 110)},
+        {"x.weight": (iq2_xxs, (256,), b"\0" * 66)},
     )
     g = G.GGUFFile(path)
-    with pytest.raises(NotImplementedError, match="Q3_K"):
+    with pytest.raises(NotImplementedError, match="IQ2_XXS|16"):
         g.get("x.weight")
 
 
@@ -408,3 +409,167 @@ def test_parser_robust_to_garbage(tmp_path):
         with pytest.raises((ValueError, EOFError, OSError, struct.error,
                             UnicodeDecodeError, MemoryError)):
             G.GGUFFile(str(p))
+
+
+def test_q2_k_dequant_scalar_ref():
+    """Synthetic Q2_K superblocks vs a scalar reference of the ggml layout
+    (ggml-quants.c dequantize_row_q2_K)."""
+    import struct
+
+    import vllm_metax_tpu.weights.gguf as G
+
+    rng = np.random.default_rng(5)
+    nb = 3
+    raw = b""
+    for _ in range(nb):
+        scales = rng.integers(0, 256, 16).astype(np.uint8)
+        qs = rng.integers(0, 256, 64).astype(np.uint8)
+        d, dmin = np.float16(0.03), np.float16(0.01)
+        raw += scales.tobytes() + qs.tobytes() + d.tobytes() + dmin.tobytes()
+    got = G._dequant(G.Q2_K, raw, nb * 256)
+    exp = np.empty(nb * 256, np.float32)
+    for i in range(nb):
+        blk = raw[i * 84 : (i + 1) * 84]
+        scales = np.frombuffer(blk[:16], np.uint8)
+        qs = np.frombuffer(blk[16:80], np.uint8)
+        d = np.float32(np.frombuffer(blk[80:82], np.float16)[0])
+        dmin = np.float32(np.frombuffer(blk[82:84], np.float16)[0])
+        y = 0
+        is_ = 0
+        for j in (0, 128):  # two halves, each from a 32-byte q chunk
+            shift = 0
+            q = qs[j // 4 : j // 4 + 32]
+            for _k in range(4):
+                for sub in range(2):
+                    s = scales[is_]
+                    is_ += 1
+                    dl = d * (s & 0xF)
+                    ml = dmin * (s >> 4)
+                    for l in range(16):
+                        exp[i * 256 + y] = (
+                            dl * ((q[16 * sub + l] >> shift) & 3) - ml
+                        )
+                        y += 1
+                shift += 2
+    np.testing.assert_allclose(got, exp)
+
+
+def test_q3_k_dequant_scalar_ref():
+    """Synthetic Q3_K superblocks vs a scalar reference of the ggml layout
+    (ggml-quants.c dequantize_row_q3_K)."""
+    import vllm_metax_tpu.weights.gguf as G
+
+    rng = np.random.default_rng(6)
+    nb = 3
+    raw = b""
+    for _ in range(nb):
+        hmask = rng.integers(0, 256, 32).astype(np.uint8)
+        qs = rng.integers(0, 256, 64).astype(np.uint8)
+        scales = rng.integers(0, 256, 12).astype(np.uint8)
+        d = np.float16(0.04)
+        raw += hmask.tobytes() + qs.tobytes() + scales.tobytes() + d.tobytes()
+    got = G._dequant(G.Q3_K, raw, nb * 256)
+    exp = np.empty(nb * 256, np.float32)
+    km1, km2 = 0x03030303, 0x0F0F0F0F
+    for i in range(nb):
+        blk = raw[i * 110 : (i + 1) * 110]
+        hmask = np.frombuffer(blk[:32], np.uint8)
+        qs = np.frombuffer(blk[32:96], np.uint8)
+        aux = list(np.frombuffer(blk[96:108], np.uint32))
+        d = np.float32(np.frombuffer(blk[108:110], np.float16)[0])
+        tmp = aux[2]
+        a = [
+            (aux[0] & km2) | (((tmp >> 0) & km1) << 4),
+            (aux[1] & km2) | (((tmp >> 2) & km1) << 4),
+            ((aux[0] >> 4) & km2) | (((tmp >> 4) & km1) << 4),
+            ((aux[1] >> 4) & km2) | (((tmp >> 6) & km1) << 4),
+        ]
+        sc16 = (
+            np.array(a, np.uint32).view(np.uint8).view(np.int8).astype(
+                np.float32
+            )
+            - 32.0
+        )
+        y = 0
+        is_ = 0
+        m = 1
+        for j in (0, 128):
+            shift = 0
+            q = qs[j // 4 : j // 4 + 32]
+            hm = hmask
+            for _k in range(4):
+                for sub in range(2):
+                    dl = d * sc16[is_]
+                    is_ += 1
+                    for l in range(16):
+                        ll = 16 * sub + l
+                        hb = 0 if (hm[ll] & m) else -4
+                        exp[i * 256 + y] = dl * (
+                            int((q[ll] >> shift) & 3) + hb
+                        )
+                        y += 1
+                shift += 2
+                m <<= 1
+    np.testing.assert_allclose(got, exp)
+
+
+def test_q5_k_dequant_scalar_ref():
+    """Synthetic Q5_K superblocks vs a scalar reference of the ggml layout
+    (ggml-quants.c dequantize_row_q5_K)."""
+    import vllm_metax_tpu.weights.gguf as G
+
+    rng = np.random.default_rng(7)
+    nb = 2
+    raw = b""
+    for _ in range(nb):
+        d, dmin = np.float16(0.05), np.float16(0.02)
+        sc = rng.integers(0, 64, 8).astype(np.uint8)
+        mn = rng.integers(0, 64, 8).astype(np.uint8)
+        scales = np.zeros(12, np.uint8)
+        for j in range(4):
+            scales[j] = sc[j] | ((sc[j + 4] >> 4) << 6)
+            scales[j + 4] = mn[j] | ((mn[j + 4] >> 4) << 6)
+            scales[j + 8] = (sc[j + 4] & 0xF) | ((mn[j + 4] & 0xF) << 4)
+        qh = rng.integers(0, 256, 32).astype(np.uint8)
+        qs = rng.integers(0, 256, 128).astype(np.uint8)
+        raw += (
+            d.tobytes() + dmin.tobytes() + scales.tobytes() + qh.tobytes()
+            + qs.tobytes()
+        )
+    got = G._dequant(G.Q5_K, raw, nb * 256)
+    exp = np.empty(nb * 256, np.float32)
+    for i in range(nb):
+        blk = raw[i * 176 : (i + 1) * 176]
+        d = np.float32(np.frombuffer(blk[0:2], np.float16)[0])
+        dmin = np.float32(np.frombuffer(blk[2:4], np.float16)[0])
+        scales = np.frombuffer(blk[4:16], np.uint8)
+        qh = np.frombuffer(blk[16:48], np.uint8)
+        qs = np.frombuffer(blk[48:176], np.uint8)
+        # 6-bit (sc, mn) pairs, Q4_K packing
+        sc = np.empty(8, np.float32)
+        mn = np.empty(8, np.float32)
+        for j in range(4):
+            sc[j] = scales[j] & 63
+            mn[j] = scales[j + 4] & 63
+        for j in range(4, 8):
+            sc[j] = (scales[j + 4] & 0xF) | ((scales[j - 4] >> 6) << 4)
+            mn[j] = (scales[j + 4] >> 4) | ((scales[j] >> 6) << 4)
+        y = 0
+        u1, u2 = 1, 2
+        for j in range(4):
+            ql = qs[32 * j : 32 * (j + 1)]
+            for l in range(32):
+                exp[i * 256 + y + l] = (
+                    d * sc[2 * j] * ((ql[l] & 0xF) + (16 if qh[l] & u1 else 0))
+                    - dmin * mn[2 * j]
+                )
+                exp[i * 256 + y + 32 + l] = (
+                    d
+                    * sc[2 * j + 1]
+                    * ((ql[l] >> 4) + (16 if qh[l] & u2 else 0))
+                    - dmin * mn[2 * j + 1]
+                )
+            y += 64
+            u1 <<= 2
+            u2 <<= 2
+    np.testing.assert_allclose(got, exp)

@@ -46,6 +46,9 @@ BLOCK_INFO = {
     Q4_0: (32, 18),
     Q4_1: (32, 20),
     Q5_0: (32, 22),
+    Q2_K: (256, 84),
+    Q3_K: (256, 110),
+    Q5_K: (256, 176),
     Q5_1: (32, 24),
     Q8_0: (32, 34),
     Q4_K: (256, 144),
@@ -163,6 +166,104 @@ def _dequant(ggml_type: int, raw: bytes, n: int) -> np.ndarray:
             )
             out[:, 64 * j + 32 : 64 * j + 64] = (
                 d * sc[:, 2 * j + 1 : 2 * j + 2] * (chunk >> 4)
+                - dmin * mn[:, 2 * j + 1 : 2 * j + 2]
+            )
+        return out.reshape(-1)
+
+    if ggml_type == Q2_K:
+        # block_q2_K: scales[16] (4-bit sc | 4-bit min), qs[64] (2-bit),
+        # d, dmin (ggml-quants.c dequantize_row_q2_K). Value v of 256:
+        # q byte qs[32*(v//128) + v%32], plane shift 2*((v%128)//32);
+        # scale byte v//16.
+        scales8 = b[:, :16]
+        qs = b[:, 16:80]
+        d = _f16(b[:, 80:82].reshape(-1))[:, None]
+        dmin = _f16(b[:, 82:84].reshape(-1))[:, None]
+        out = np.empty((nb, 256), np.float32)
+        for half in range(2):
+            q = qs[:, 32 * half : 32 * half + 32]
+            for plane in range(4):
+                vals = ((q >> (2 * plane)) & 3).astype(np.float32)
+                v0 = half * 128 + plane * 32
+                for sub in range(2):
+                    sc = scales8[:, v0 // 16 + sub]
+                    out[:, v0 + 16 * sub : v0 + 16 * (sub + 1)] = (
+                        d * (sc & 0xF)[:, None] * vals[:, 16 * sub : 16 * (sub + 1)]
+                        - dmin * (sc >> 4)[:, None]
+                    )
+        return out.reshape(-1)
+
+    if ggml_type == Q3_K:
+        # block_q3_K: hmask[32], qs[64] (2-bit), scales[12] (16 packed
+        # 6-bit signed, -32 offset), d. Value = dl * ((2bit | hbit<<2) - 4).
+        hmask = b[:, :32]
+        qs = b[:, 32:96]
+        aux = b[:, 96:108].copy().view(np.uint32)  # (nb, 3)
+        a0, a1, tmp = aux[:, 0], aux[:, 1], aux[:, 2]
+        km1, km2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+        packed = np.stack(
+            [
+                (a0 & km2) | (((tmp >> 0) & km1) << 4),
+                (a1 & km2) | (((tmp >> 2) & km1) << 4),
+                ((a0 >> 4) & km2) | (((tmp >> 4) & km1) << 4),
+                ((a1 >> 4) & km2) | (((tmp >> 6) & km1) << 4),
+            ],
+            axis=1,
+        ).astype(np.uint32)
+        sc16 = (
+            packed.view(np.uint8).reshape(nb, 16).view(np.int8).astype(
+                np.float32
+            )
+            - 32.0
+        )
+        d = _f16(b[:, 108:110].reshape(-1))[:, None]
+        out = np.empty((nb, 256), np.float32)
+        for half in range(2):
+            q = qs[:, 32 * half : 32 * half + 32]
+            for plane in range(4):
+                bit = half * 4 + plane
+                hb = ((hmask >> bit) & 1).astype(np.float32)  # (nb, 32)
+                vals = ((q >> (2 * plane)) & 3).astype(np.float32)
+                vals = vals + 4.0 * hb - 4.0
+                v0 = half * 128 + plane * 32
+                for sub in range(2):
+                    dl = d[:, 0] * sc16[:, v0 // 16 + sub]
+                    out[:, v0 + 16 * sub : v0 + 16 * (sub + 1)] = (
+                        dl[:, None] * vals[:, 16 * sub : 16 * (sub + 1)]
+                    )
+        return out.reshape(-1)
+
+    if ggml_type == Q5_K:
+        # block_q5_K: d, dmin, scales[12] (Q4_K 6-bit sc/min packing),
+        # qh[32] (5th bits), qs[128] (4-bit)
+        d = _f16(b[:, 0:2].reshape(-1))[:, None]
+        dmin = _f16(b[:, 2:4].reshape(-1))[:, None]
+        sc_b = b[:, 4:16].astype(np.uint16)
+        sc = np.empty((nb, 8), np.float32)
+        mn = np.empty((nb, 8), np.float32)
+        for j in range(4):
+            sc[:, j] = (sc_b[:, j] & 63).astype(np.float32)
+            mn[:, j] = (sc_b[:, j + 4] & 63).astype(np.float32)
+        for j in range(4, 8):
+            sc[:, j] = (
+                (sc_b[:, j + 4] & 0xF) | ((sc_b[:, j - 4] >> 6) << 4)
+            ).astype(np.float32)
+            mn[:, j] = (
+                (sc_b[:, j + 4] >> 4) | ((sc_b[:, j] >> 6) << 4)
+            ).astype(np.float32)
+        qh = b[:, 16:48]
+        qs = b[:, 48:176]
+        out = np.empty((nb, 256), np.float32)
+        for j in range(4):
+            ql = qs[:, 32 * j : 32 * (j + 1)]
+            h1 = ((qh >> (2 * j)) & 1).astype(np.float32) * 16.0
+            h2 = ((qh >> (2 * j + 1)) & 1).astype(np.float32) * 16.0
+            out[:, 64 * j : 64 * j + 32] = (
+                d * sc[:, 2 * j : 2 * j + 1] * ((ql & 0xF) + h1)
+                - dmin * mn[:, 2 * j : 2 * j + 1]
+            )
+            out[:, 64 * j + 32 : 64 * j + 64] = (
+                d * sc[:, 2 * j + 1 : 2 * j + 2] * ((ql >> 4) + h2)
                 - dmin * mn[:, 2 * j + 1 : 2 * j + 2]
             )
         return out.reshape(-1)
