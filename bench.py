@@ -141,7 +141,11 @@ def _build_engine(on_tpu: bool):
         # caps the window by each request's remaining token room.
         sched = SchedulerConfig(
             max_num_seqs=num_reqs,
-            max_num_batched_tokens=2048,
+            # bigger prefill chunks amortize the per-step host/tunnel RTT
+            # (~260ms through remote-attached TPUs) — the dominant TTFT term
+            max_num_batched_tokens=int(
+                os.environ.get("BENCH_MAX_BATCHED_TOKENS", "4096")
+            ),
             num_decode_steps=int(os.environ.get("BENCH_DECODE_STEPS", "128")),
         )
     else:
@@ -210,10 +214,13 @@ def _run_wave(engine, num_reqs, prompt_len, decode_len, rng):
     first_tok = {}
     decode_t0 = None
     decode_tokens = 0
+    last_error = None
     while engine.has_unfinished_requests():
         outs = engine.step()
         now = time.perf_counter()
         for o in outs:
+            if o.finish_reason == "error":
+                last_error = o.stop_reason
             if o.new_token_ids and o.req_id not in first_tok:
                 first_tok[o.req_id] = now - t_add
         if decode_t0 is not None:
@@ -221,6 +228,10 @@ def _run_wave(engine, num_reqs, prompt_len, decode_len, rng):
         if decode_t0 is None and len(first_tok) == num_reqs:
             decode_t0 = now  # prefill done; pure-decode phase begins
     decode_time = time.perf_counter() - decode_t0 if decode_t0 else float("nan")
+    if not first_tok:
+        raise RuntimeError(
+            f"no request produced a token; last engine error: {last_error}"
+        )
     ttft = sorted(first_tok.values())
     return {
         "decode_tok_s": decode_tokens / decode_time if decode_tokens else 0.0,

@@ -27,17 +27,23 @@ from vllm_metax_tpu.ops.pallas.quant_matmul import (
     int4a8_matmul_tiled_pallas, tile_packed_weight, w4a8_repack, TILE_N,
 )
 
-T, GS, L = 128, 128, 8
+T, GS, L = 128, 128, 2
 rng = np.random.default_rng(0)
 
 def measure(name, k, n):
-    w = rng.integers(0, 255, (L, k // 2, n)).astype(np.uint8)
+    # weights generated ON DEVICE — host->device of GB-scale banks crawls
+    # through the remote-TPU tunnel
+    key = jax.random.PRNGKey(0)
+    w = jax.random.randint(
+        key, (L, k // 2, n), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
     wt = w4a8_repack(jnp.stack([
-        tile_packed_weight(jnp.asarray(w[l])) for l in range(L)
+        tile_packed_weight(w[l]) for l in range(L)
     ]))
     g = k // GS
-    s = jnp.asarray(rng.random((L, g, n)) + 0.5, jnp.float32) * 0.01
-    zs = jnp.asarray(rng.random((L, g, n)), jnp.float32) * 0.01
+    k1, k2 = jax.random.split(key)
+    s = jax.random.uniform(k1, (L, g, n), jnp.float32, 0.005, 0.015)
+    zs = jax.random.uniform(k2, (L, g, n), jnp.float32, 0.0, 0.01)
     x = jnp.asarray(rng.standard_normal((T, k)), jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -52,7 +58,7 @@ def measure(name, k, n):
             return c2
         return jax.lax.fori_loop(0, n_iter, it, x)
 
-    n_iter = 20
+    n_iter = 10
     loop(x, n_iter).block_until_ready()
     total = device_time(lambda: loop(x, n_iter).block_until_ready())
     per_call = total / (n_iter * L)

@@ -383,14 +383,23 @@ class ModelRunner:
         from vllm_metax_tpu.lora import empty_banks
 
         layers = params.get("layers")
-        if layers is None or "qkv" not in layers:
+        if layers is None or "qkv" not in layers or "o" not in layers:
             raise NotImplementedError(
-                f"LoRA is supported for llama-family models; "
-                f"{self.model_cfg.architecture} has no fused qkv layout"
+                f"LoRA needs the fused qkv/o attention layout; "
+                f"{self.model_cfg.architecture} does not expose it"
             )
-        banks = empty_banks(self.model_cfg, self.lora_cfg, self.model_cfg.dtype)
+        # dense families (llama/qwen/gemma) adapt all four fused targets;
+        # MoE families (mixtral et al.) adapt attention only — the expert
+        # banks are not LoRA targets (matches vLLM's MoE LoRA surface)
+        self._lora_targets = tuple(
+            n for n in ("qkv", "o", "gate_up", "down") if n in layers
+        )
+        banks = empty_banks(
+            self.model_cfg, self.lora_cfg, self.model_cfg.dtype,
+            targets=self._lora_targets,
+        )
         layers = dict(layers)
-        for name in ("qkv", "o", "gate_up", "down"):
+        for name in self._lora_targets:
             tgt = dict(layers[name])
             tgt["lora_A"] = banks[name]["lora_A"]
             tgt["lora_B"] = banks[name]["lora_B"]
@@ -415,6 +424,12 @@ class ModelRunner:
         cfg = self.model_cfg
         layers = dict(self.params["layers"])
         for tgt_name, ab in banks.items():
+            if tgt_name not in self._lora_targets:
+                logger.warning(
+                    "adapter targets %s which %s does not adapt; skipping",
+                    tgt_name, cfg.architecture,
+                )
+                continue
             a, b = ab["A"], ab["B"]
             if self.tp_size > 1 and tgt_name in ("qkv", "gate_up"):
                 # B columns follow the base weights' rank-major column order
@@ -437,7 +452,7 @@ class ModelRunner:
             layers[tgt_name] = tgt
         # targets the adapter does not touch still need the slot scale set
         # (their A/B stay zero, so the delta stays zero)
-        for tgt_name in ("qkv", "o", "gate_up", "down"):
+        for tgt_name in self._lora_targets:
             if tgt_name not in banks:
                 tgt = dict(layers[tgt_name])
                 tgt["lora_s"] = tgt["lora_s"].at[slot].set(scaling)

@@ -25,7 +25,7 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # fuse the W4A8 activation quant + per-group sums into one Pallas pass
     # (replaces 3-4 XLA fusions per linear; validate on hardware first)
     "METAX_TPU_FUSED_ACT_QUANT": lambda: os.getenv(
-        "METAX_TPU_FUSED_ACT_QUANT", "0"
+        "METAX_TPU_FUSED_ACT_QUANT", "1"
     ) == "1",
     # fused [K‖V] page pools for standard attention: K and V side by side in
     # one (NB, H, BS, 2D) array — ONE scatter row per (layer, token, head)
@@ -40,6 +40,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # deferred current-token blending + one all-layer commit
     "METAX_TPU_DECODE_EAGER": lambda: os.getenv(
         "METAX_TPU_DECODE_EAGER", "0"
+    ) == "1",
+    # Quantized lm_head apply: W8A8 on the int8 MXU (default) vs int8
+    # weight-only with VPU dequant
+    "METAX_TPU_LMHEAD_W8A8": lambda: os.getenv(
+        "METAX_TPU_LMHEAD_W8A8", "1"
     ) == "1",
     # batched all-layer KV commit form: "block" (gather→blend→scatter of
     # Decode-step KV commit lowering: "pallas" (default — slab-bounce DMA

@@ -73,14 +73,16 @@ def bank_shapes(cfg, lora_cfg: LoRAConfig) -> dict:
     }
 
 
-def empty_banks(cfg, lora_cfg: LoRAConfig, dtype) -> dict:
-    """Zero adapter banks for every supported target, stacked over layers."""
+def empty_banks(cfg, lora_cfg: LoRAConfig, dtype, targets=None) -> dict:
+    """Zero adapter banks for the requested targets, stacked over layers."""
     import jax.numpy as jnp
 
     n = lora_cfg.num_slots
     nl = cfg.num_hidden_layers
     out = {}
     for name, (k, rt, nn) in bank_shapes(cfg, lora_cfg).items():
+        if targets is not None and name not in targets:
+            continue
         out[name] = {
             "lora_A": jnp.zeros((nl, n, k, rt), dtype),
             "lora_B": jnp.zeros((nl, n, rt, nn), dtype),

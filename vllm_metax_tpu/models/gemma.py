@@ -126,7 +126,8 @@ def run_layers(
 
         # --- attention
         normed = rms_norm(x, layers["ln1"][l], eps)
-        qkv = apply_linear(layers["qkv"], normed, layer_idx=l)
+        qkv = apply_linear(layers["qkv"], normed, layer_idx=l,
+                           lora_idx=md.lora_idx)
         t = qkv.shape[0]
         q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
         q = q.reshape(t, hq, d)
@@ -150,6 +151,7 @@ def run_layers(
             attn = attend(q, kv, md_l, cfg.sliding_window, kc, vc)
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         lora_idx=md.lora_idx,
                          gather_axis=axis_name)
         )
         if sandwich:
@@ -158,9 +160,11 @@ def run_layers(
 
         # --- mlp
         normed = rms_norm(x, layers["ln2"][l], eps)
-        gate_up = apply_linear(layers["gate_up"], normed, layer_idx=l)
+        gate_up = apply_linear(layers["gate_up"], normed, layer_idx=l,
+                               lora_idx=md.lora_idx)
         mlp_out = maybe_psum(
             apply_linear(layers["down"], act_fn(gate_up), layer_idx=l,
+                         lora_idx=md.lora_idx,
                          gather_axis=axis_name)
         )
         if sandwich:

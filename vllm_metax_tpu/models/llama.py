@@ -257,8 +257,29 @@ def compute_logits(
             # quantized lm_head (qc.lm_head_quantized, e.g. GPTQ checkpoints
             # with quantize_config "lm_head": true): int8 weight-only halves
             # the per-step vocab-matrix HBM read — the single largest
-            # unquantized weight at decode (E*V bf16)
-            logits = apply_linear(head, normed).astype(jnp.float32)
+            # unquantized weight at decode (E*V bf16). On TPU the apply runs
+            # W8A8 on the int8 MXU: the weight-only form dequantizes V*E
+            # elements on the VPU (~270us at 8B shapes); int8 acts cost one
+            # (T, K) quant + a scale epilogue instead.
+            from vllm_metax_tpu import envs as _envs
+
+            if (
+                _envs.METAX_TPU_LMHEAD_W8A8
+                and "w_i8" in head
+                and head["s"].shape[0] == 1
+                and jax.devices()[0].platform not in ("cpu", "gpu")
+                and head["w_i8"].shape[1] % 128 == 0
+                and normed.shape[0] % 8 == 0
+            ):
+                from vllm_metax_tpu.ops.pallas.quant_matmul import (
+                    int8a8_matmul_pallas,
+                )
+
+                logits = int8a8_matmul_pallas(
+                    normed, head["w_i8"], head["s"]
+                ).astype(jnp.float32)
+            else:
+                logits = apply_linear(head, normed).astype(jnp.float32)
         else:
             logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
         if axis_name:

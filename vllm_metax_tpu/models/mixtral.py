@@ -160,7 +160,8 @@ def run_layers(
 
         normed, residual = fused_add_rms_norm(hidden, residual,
                                               layers["ln1"][l], eps)
-        qkv = apply_linear(layers["qkv"], normed, layer_idx=l)
+        qkv = apply_linear(layers["qkv"], normed, layer_idx=l,
+                           lora_idx=md.lora_idx)
         t = qkv.shape[0]
         q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
         q = q.reshape(t, hq, d)
@@ -185,6 +186,7 @@ def run_layers(
             )
         attn_out = maybe_psum(
             apply_linear(layers["o"], attn.reshape(t, hq * d), layer_idx=l,
+                         lora_idx=md.lora_idx,
                          gather_axis=axis_name)
         )
 

@@ -450,7 +450,12 @@ def act_quant_pallas(x: jnp.ndarray, gs: int, interpret: bool = False):
     """
     t, k = x.shape
     g = k // gs
-    tt = _choose_tile(t, (256, 128, 64, 32, 16, 8))
+    # cap the row tile so the (TT, K) bf16-in + f32-math block stays inside
+    # scoped VMEM (prefill tiles at K=14336 OOM'd the 20MB budget at TT=256)
+    cands = tuple(
+        c for c in (256, 128, 64, 32, 16, 8) if c * k * 6 <= 8 * 1024 * 1024
+    ) or (8,)
+    tt = _choose_tile(t, cands)
     grid_spec = pl.GridSpec(
         grid=(t // tt,),
         in_specs=[pl.BlockSpec((tt, k), lambda i: (i, 0))],
@@ -532,6 +537,67 @@ def int4a8_matmul_tiled_pallas(
         ),
         interpret=interpret,
     )(lidx, xq, xs, sxq, w_p4t, s, zs)
+
+
+def _int8a8_kernel(xq_ref, xs_ref, w_ref, s_ref, out_ref, *, kc):
+    """W8A8 int8-MXU tile: int8 activations x int8 per-channel weights.
+
+    The weight-only int8 kernel dequantizes W on the VPU (2 ops per weight
+    element — ~270us at lm_head shapes, the gap from 65% to ~SOL). Here the
+    dot runs int8xint8→int32 on the MXU and the only VPU work is the
+    (T,1)x(1,N) scale epilogue. Replaces the reference's
+    cutlass_scaled_mm int8 path (csrc/quantization/cutlass_w8a8) for the
+    quantized lm_head."""
+    k = w_ref.shape[0]
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for c in range(k // kc):
+        acc = acc + jax.lax.dot_general(
+            xq_ref[:, c * kc : (c + 1) * kc],
+            w_ref[c * kc : (c + 1) * kc, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[:] = (
+        acc.astype(jnp.float32) * xs_ref[:] * s_ref[0:1, :].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8a8_matmul_pallas(
+    x: jnp.ndarray,  # (T, K) bf16/f32
+    w_i8: jnp.ndarray,  # (K, N) int8 per-channel
+    s: jnp.ndarray,  # (1, N) f32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    t, k = x.shape
+    n = w_i8.shape[-1]
+    tt = _choose_tile(t, (128, 64, 32, 16, 8))
+    tn = _choose_tile(n, (512, 256, 128))
+    if t % tt or n % tn or n % 128:
+        raise ValueError(f"bad tiling: T={t} N={n}")
+    kc = _choose_chunk(k, -1)
+    xq, xs = quantize_activations_int8(x)
+    return pl.pallas_call(
+        functools.partial(_int8a8_kernel, kc=kc),
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        grid=(t // tt, n // tn),
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((tt, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j: (i, j)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * k * n,
+            bytes_accessed=k * n + t * k + t * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xs, w_i8, s)
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):

@@ -165,7 +165,12 @@ def sample(
         temp = jnp.maximum(st.temperature, 1e-6)[:, None]
         scaled = logits / temp
         if plain:
-            probs = jax.nn.softmax(scaled, axis=-1)
+            # _categorical consumes UNNORMALIZED row probs — exp(x - max)
+            # skips softmax's full-vocab sum+divide pass (one fewer (R, V)
+            # f32 read/write per decode step)
+            probs = jnp.exp(
+                scaled - jnp.max(scaled, axis=-1, keepdims=True)
+            )
         else:
             # top-k via the k-th value threshold (partial top-k, no full sort)
             cap = min(TOP_K_CAP, v)
