@@ -85,6 +85,14 @@ class EngineCore:
 
     # ----------------------------------------------------------- sleep/wake
 
+    def scale_ep(self, new_ep_size: int) -> None:
+        """Elastic EP: change the expert-parallel world size live between
+        serving bursts (ref: examples/online_serving/elastic_ep/scale.py).
+        Outputs are invariant — placement is physical only."""
+        if self.has_unfinished_requests():
+            raise RuntimeError("cannot rescale EP with unfinished requests")
+        self.runner.rescale_ep(new_ep_size)
+
     def rebalance_experts(self, loads) -> None:
         """EPLB: re-permute expert placement to balance EP rank load
         (parallel/eplb.py; ref: fused_moe.py:1273). loads: (E,) or

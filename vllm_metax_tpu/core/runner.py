@@ -1920,6 +1920,67 @@ class ModelRunner:
             jnp.asarray(c * bs, jnp.int32),
         )
 
+    def rescale_ep(self, new_ep_size: int) -> None:
+        """Elastic expert parallelism: change the EP world size LIVE by
+        re-meshing and re-sharding the parameter tree (expert banks
+        redistribute over the new "ep" axis; XLA moves only the shards that
+        change owners). Ref: examples/online_serving/elastic_ep/scale.py —
+        the reference scales EP engines up/down between serving bursts.
+
+        Requires an idle runner (the engine gates on no unfinished
+        requests); compiled step programs are dropped and rebuilt lazily
+        against the new mesh."""
+        import jax as _jax
+
+        from vllm_metax_tpu.parallel.mesh import make_tp_mesh, shard_params
+
+        if new_ep_size == self.ep_size:
+            return
+        if self.model_cfg.num_experts % max(new_ep_size, 1):
+            raise ValueError(
+                f"num_experts={self.model_cfg.num_experts} must divide "
+                f"expert_parallel_size={new_ep_size}"
+            )
+        pc = self.config.parallel_config
+        need = (
+            pc.tensor_parallel_size
+            * max(new_ep_size, 1)
+            * pc.pipeline_parallel_size
+            * pc.decode_context_parallel_size
+        )
+        if need > len(_jax.devices()):
+            raise ValueError(
+                f"ep={new_ep_size} needs {need} devices, have "
+                f"{len(_jax.devices())}"
+            )
+        new_mesh = make_tp_mesh(
+            pc.tensor_parallel_size,
+            max(new_ep_size, 1),
+            pp_size=pc.pipeline_parallel_size,
+            dcp_size=pc.decode_context_parallel_size,
+        )
+        self.mesh = new_mesh
+        self.ep_size = new_ep_size
+        pc.expert_parallel_size = new_ep_size
+        specs = self._param_spec_tree()
+        self.params = shard_params(self.params, specs, new_mesh)
+        # KV pages re-placed on the new mesh (same tp/dcp layout)
+        from vllm_metax_tpu.parallel.mesh import sanitize_specs
+
+        kv_specs = self._kv_specs()
+        from jax.sharding import NamedSharding
+
+        kv_specs = sanitize_specs(kv_specs, self.kv_cache, new_mesh)
+        self.kv_cache = _jax.tree_util.tree_map(
+            lambda a, s: _jax.device_put(a, NamedSharding(new_mesh, s)),
+            self.kv_cache,
+            kv_specs,
+        )
+        self._step_fns.clear()
+        self._multi_step_fns.clear()
+        self._msd_cache = None
+        logger.info("EP world size rescaled to %d", new_ep_size)
+
     def _needs_per_step_host_state(self, so: SchedulerOutput) -> bool:
         """Features whose per-step state can't ride the on-device window
         (FSM constraints, logit bias/bans, LoRA rows, live min_tokens)
