@@ -8,7 +8,7 @@ from vllm_metax_tpu.ops.pallas.quant_matmul import (
     int4a8_matmul_tiled_pallas, tile_packed_weight, w4a8_repack, TILE_N,
 )
 
-T, GS, L = 128, 128, 2
+T, GS, L = int(os.environ.get("SWEEP_T", "128")), 128, 2
 rng = np.random.default_rng(0)
 
 def measure(name, k, n):

@@ -56,8 +56,9 @@ def _attn_kernel(
     seq_lens_ref,  # (R,) i32
     rs_ref,  # (R,) i32 scheduled-region start (seq_len - n_scheduled)
     bt_ref,  # (R*MAXB,) i32 flat block tables
+    tok0_ref,  # (NT,) i32 first token row of each tile (contiguous run)
     # array inputs
-    q_ref,  # (1, HKV, TQ*G, D) VMEM
+    q_hbm,  # (HKV, T+TQ, G, D) ANY — the kernel DMAs its tile's rows
     pos_ref,  # (1, TQ*G, 1) i32 VMEM; -1 on invalid rows
     *rest,  # [bits_ref if tree], k_hbm, v_hbm,
     #         [k_scale_hbm, v_scale_hbm (NB, HKV, BS) ANY,] out, scratch...
@@ -69,6 +70,7 @@ def _attn_kernel(
     quantized,
     tree,
     fused,
+    tq,
 ):
     bits_ref = None
     rest = list(rest)
@@ -80,23 +82,24 @@ def _attn_kernel(
     v_hbm = None if fused else rest.pop(0)
     if quantized and fused:
         (ks_hbm, vs_hbm, out_ref, k_buf, ks_buf, vs_buf,
-         acc_ref, m_ref, l_ref, state_ref, sem) = rest
+         acc_ref, m_ref, l_ref, state_ref, sem, q_buf, q_sem) = rest
         v_buf = None
     elif quantized:
         (ks_hbm, vs_hbm, out_ref, k_buf, v_buf, ks_buf, vs_buf,
-         acc_ref, m_ref, l_ref, state_ref, sem) = rest
+         acc_ref, m_ref, l_ref, state_ref, sem, q_buf, q_sem) = rest
     elif fused:
-        (out_ref, k_buf, acc_ref, m_ref, l_ref, state_ref, sem) = rest
+        (out_ref, k_buf, acc_ref, m_ref, l_ref, state_ref, sem,
+         q_buf, q_sem) = rest
         ks_hbm = vs_hbm = ks_buf = vs_buf = v_buf = None
     else:
         (out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref, state_ref,
-         sem) = rest
+         sem, q_buf, q_sem) = rest
         ks_hbm = vs_hbm = ks_buf = vs_buf = None
     t_idx = pl.program_id(0)
     req = tile_req_ref[t_idx]
     hkv = k_buf.shape[1]
-    rows = q_ref.shape[2]  # TQ*G
-    d = q_ref.shape[3]
+    rows = out_ref.shape[2]  # TQ*G
+    d = out_ref.shape[3]
     bs = k_hbm.shape[2]
     ppc = ckv // bs
 
@@ -112,6 +115,12 @@ def _attn_kernel(
 
     @pl.when(valid_tile)
     def _():
+        # each tile's q rows are one CONTIGUOUS run of the token batch —
+        # fetched here instead of a host-side gather+retile
+        q_dma = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(tok0_ref[t_idx], tq)], q_buf, q_sem
+        )
+        q_dma.start()
         seq_len = seq_lens_ref[jnp.maximum(req, 0)]
         qp = pos_ref[0]  # (TQ*G, 1); -1 on invalid rows
         # last valid q position in this tile bounds the causal KV range
@@ -184,6 +193,8 @@ def _attn_kernel(
         def _():
             chunk_dma(0, 0, "start")
 
+        q_dma.wait()
+
         def chunk_body(c, _):
             slot = (slot0 + c) % 2
 
@@ -221,7 +232,9 @@ def _attn_kernel(
             # all kv heads in one batched pass (HKV as the batch dim): one
             # matmul + one softmax-update op sequence instead of HKV small
             # ones — per-op overhead dominated the decode path otherwise
-            q_all = q_ref[0]  # (HKV, TQ*G, D)
+            # (HKV, TQ, G, D) staged rows → (HKV, TQ*G, D): adjacent-dim
+            # merge, layout-free
+            q_all = q_buf[...].reshape(hkv, rows, d)
             if fused:
                 k_full = k_buf[slot]  # (HKV, CKV, 2D) = [K‖V]
                 k_all = k_full[:, :, :d]
@@ -293,7 +306,7 @@ def _attn_kernel(
         def _():
             state_ref[0] = -1
 
-        out_ref[0] = (
+        out_ref[:, 0] = (
             acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
         ).astype(out_ref.dtype)
 
@@ -344,13 +357,20 @@ def ragged_paged_attention_pallas(
     row_off = (row_tile - tile_off[jnp.maximum(row_req, 0)]) * tq + row_in_tile
     row_valid = (row_req >= 0) & (row_off < qlen[jnp.maximum(row_req, 0)])
     row_tok = jnp.where(row_valid, qsl[jnp.maximum(row_req, 0)] + row_off, 0)
-    q_tiled = jnp.where(row_valid[:, None, None], q[row_tok], 0)
-    # (NT*TQ, HQ, D) → (NT, HKV, TQ*G, D): head-major grouped-q layout
-    q_tiled = (
-        q_tiled.reshape(nt, tq, hkv, g, d)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(nt, hkv, tq * g, d)
-    )
+    # head-major relayout ONLY (tq-row tail pad keeps the kernel's
+    # contiguous tile DMA in bounds); the kernel fetches each tile's rows
+    # itself — no host-side gather/retile at all (the XLA gather cost
+    # ~1ms/layer-call at 4096-token prefill chunks, profile_prefill.py).
+    # The token dim stays MAJOR (dim 1) so the slice needs no sublane
+    # alignment (tok0 is an arbitrary qsl offset).
+    q_pad = jnp.pad(q, ((0, tq), (0, 0), (0, 0)))
+    q_t = q_pad.reshape(t + tq, hkv, g, d).transpose(1, 0, 2, 3)
+    tile_tok0 = jnp.where(
+        tile_req >= 0,
+        qsl[jnp.maximum(tile_req, 0)]
+        + (slots - tile_off[jnp.maximum(tile_req, 0)]) * tq,
+        0,
+    ).astype(jnp.int32)
     pos_rows = jnp.where(row_valid, metadata.positions[row_tok], -1).astype(
         jnp.int32
     )
@@ -362,7 +382,7 @@ def ragged_paged_attention_pallas(
 
     quantized = kv_cache.quantized
     in_specs = [
-        pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, tq * g, 1), lambda i, *_: (i, 0, 0)),
     ]
     inputs = [
@@ -370,7 +390,8 @@ def ragged_paged_attention_pallas(
         metadata.seq_lens,
         region_start,
         metadata.block_tables.reshape(-1),
-        q_tiled,
+        tile_tok0,
+        q_t,
         pos_tiled,
     ]
     if tree:
@@ -412,12 +433,16 @@ def ragged_paged_attention_pallas(
         pltpu.VMEM((hkv, tq * g, 1), jnp.float32),
         pltpu.SMEM((2,), jnp.int32),  # cross-tile prefetch state
         pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, ckv // bs)),
+        pltpu.VMEM((hkv, tq, g, d), q.dtype),  # in-kernel q staging
+        pltpu.SemaphoreType.DMA(()),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hkv, tq * g, d), lambda i, *_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (hkv, 1, tq * g, d), lambda i, *_: (0, i, 0, 0)
+        ),
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
@@ -430,10 +455,11 @@ def ragged_paged_attention_pallas(
         quantized=quantized,
         tree=tree,
         fused=fused,
+        tq=tq,
     )
     out_tiled = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, hkv, tq * g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((hkv, nt, tq * g, d), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -441,16 +467,14 @@ def ragged_paged_attention_pallas(
         interpret=interpret,
     )(*inputs)
 
-    # back to token-major: (NT, HKV, TQ*G, D) → (NT*TQ, HQ, D) → gather rows
-    out_rows = (
-        out_tiled.reshape(nt, hkv, tq, g, d)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(nt * tq, hq, d)
-    )
+    # back to token-major: layout-preserving row gather along the token
+    # dim, then ONE (T, HQ, D) relayout at the end
+    out_rows = out_tiled.reshape(hkv, nt * tq, g, d)
     tok = jnp.arange(t, dtype=jnp.int32)
     tok_req = metadata.req_idx  # (T,)
     tok_off = tok - qsl[tok_req]
     tok_slot = (tile_off[tok_req] + tok_off // tq) * tq + tok_off % tq
     # padding tokens may compute bogus slots; clamp (their output is unused)
     tok_slot = jnp.clip(tok_slot, 0, nt * tq - 1)
-    return out_rows[tok_slot]
+    out = out_rows[:, tok_slot]  # (HKV, T, G, D)
+    return out.transpose(1, 0, 2, 3).reshape(t, hq, d)
