@@ -123,8 +123,26 @@ def measure(cascade_on):
 
 
 def main():
-    off = measure(False)
-    on = measure(True)
+    if len(sys.argv) > 1:  # child: one mode, print the number
+        print("RESULT", measure(sys.argv[1] == "on"))
+        return
+    # parent: one subprocess per mode — the 8B engine's HBM must be freed
+    # between modes, and the cleanest release is process exit
+    import subprocess
+
+    def child(mode):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            capture_output=True, text=True, timeout=1500,
+            env=dict(os.environ),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT"):
+                return float(line.split()[1])
+        raise RuntimeError(out.stderr[-1500:])
+
+    off = child("off")
+    on = child("on")
     print(
         json.dumps(
             {
