@@ -127,3 +127,31 @@ def test_prompt_logprobs_mixed_batch(small_model_config):
                 got[out.req_id] = out.prompt_logprobs
     assert "a" in got and len(got["a"]) == 4
     assert "b" not in got
+
+
+def test_prompt_logprobs_with_prefix_cache(small_model_config):
+    """A prefix-cache hit must not leave holes in prompt_logprobs: such
+    requests bypass cache reuse (vLLM's trade)."""
+    from vllm_metax_tpu.config import CacheConfig
+
+    cfg = EngineConfig(
+        model_config=small_model_config,
+        cache_config=CacheConfig(
+            block_size=16, num_blocks=64, enable_prefix_caching=True
+        ),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=4, max_num_batched_tokens=64
+        ),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+        quant_config=QuantizationConfig(),
+    )
+    engine = EngineCore(cfg)
+    prompt = [int(x) for x in np.random.default_rng(4).integers(1, 200, 40)]
+    # prime the cache with the same prompt
+    engine.add_request("prime", list(prompt), SamplingParams(max_tokens=1))
+    while engine.has_unfinished_requests():
+        engine.step()
+    plp, _ = _collect_plp(engine, prompt, k=2)
+    assert plp is not None
+    assert len(plp) == len(prompt)  # no holes from cached blocks
+    assert plp[0] is None and all(d is not None for d in plp[1:])

@@ -289,9 +289,16 @@ class Scheduler:
             req = self.waiting[0]
             resumed = req.status == RequestStatus.PREEMPTED
 
-            if resumed or not self.kv_manager.enable_caching:
+            skip_cache = (
+                req.sampling_params is not None
+                and req.sampling_params.prompt_logprobs is not None
+            )
+            if resumed or skip_cache or not self.kv_manager.enable_caching:
                 # mm requests participate too: their hash chains are seeded
-                # with a pixel-content digest (kv_cache_manager.mm_hash_seed)
+                # with a pixel-content digest (kv_cache_manager.mm_hash_seed).
+                # prompt_logprobs requests bypass prefix-cache hits: cached
+                # positions would never be forwarded, leaving holes in the
+                # per-position logprob list (vLLM makes the same trade)
                 computed_blocks, num_computed = None, req.num_computed_tokens
             else:
                 computed_blocks, num_computed = self.kv_manager.get_computed_blocks(
