@@ -1892,6 +1892,7 @@ class ModelRunner:
             not envs.METAX_TPU_CASCADE
             or len(req_ids) < 2
             or self.dcp_size > 1
+            or self.pp_size > 1  # microbatch md slicing: keep cascade off
         ):
             return None
         bs = self.cache_cfg.block_size
