@@ -39,7 +39,7 @@ class MD(NamedTuple):
 
 
 def build(ctx, quantized=True, fused=True):
-    R, HKV, G, D, BS = 128, 8, 4, 128, 128
+    R, HKV, G, D, BS = int(os.getenv("PROBE_R", "128")), 8, 4, 128, 128
     NB = 1280
     rng = np.random.default_rng(0)
     maxb = 4
