@@ -281,6 +281,10 @@ def main():
         max_len=min(1024, engine.config.model_config.max_model_len - decode_len - 1),
         budget=int(slots_per_layer * 0.8) - num_reqs * decode_len,
     )
+    # warm with the SAME length mix first — the mixed wave hits token
+    # buckets the uniform wave never compiled, and a cold wave reports
+    # bucket compilation inside TTFT
+    _run_wave(engine, num_reqs, mixed_lens, decode_len, rng)
     mixed = _run_wave(engine, num_reqs, mixed_lens, decode_len, rng)
 
     roofline = _roofline_tokens_s(engine, num_reqs, prompt_len + decode_len // 2)
