@@ -63,8 +63,8 @@ def build(ctx, quantized=True, fused=True):
     return q, cache, md, kcur, vcur
 
 
-@functools.partial(jax.jit, static_argnames=("n", "deferred"))
-def loop(q, cache, seq_lens, bt, kcur, vcur, n, deferred):
+@functools.partial(jax.jit, static_argnames=("n", "deferred", "noscale"))
+def loop(q, cache, seq_lens, bt, kcur, vcur, n, deferred, noscale=False):
     md = MD(seq_lens, bt)
 
     def it(i, acc):
@@ -72,21 +72,23 @@ def loop(q, cache, seq_lens, bt, kcur, vcur, n, deferred):
             q + acc[0, 0, 0].astype(q.dtype) * 0, cache, md, 0.088,
             k_cur=kcur if deferred else None,
             v_cur=vcur if deferred else None,
+            _probe_skip_scale_dma=noscale,
         )
         return out
 
     return jax.lax.fori_loop(0, n, it, jnp.zeros_like(q))
 
 
-def run(name, ctx, quantized=True, fused=True, deferred=True, n=50):
+def run(name, ctx, quantized=True, fused=True, deferred=True, n=50,
+        noscale=False):
     q, cache, md, kcur, vcur = build(ctx, quantized, fused)
     out = loop(q, cache, md.seq_lens, md.block_tables, kcur, vcur, n,
-               deferred)
+               deferred, noscale)
     out.block_until_ready()
 
     def thunk():
         loop(q, cache, md.seq_lens, md.block_tables, kcur, vcur, n,
-             deferred).block_until_ready()
+             deferred, noscale).block_until_ready()
 
     total, ops = device_time(thunk, by_op=True)
     per = total / n
@@ -100,3 +102,5 @@ if __name__ == "__main__":
     run(f"NR={nr} ctx={ctx} int8 deferred", ctx)
     run(f"NR={nr} ctx={ctx} int8 eager", ctx, deferred=False)
     run(f"NR={nr} ctx={ctx} bf16 deferred", ctx, quantized=False)
+    # numerically WRONG — quantifies the scale-DMA descriptor cost only
+    run(f"NR={nr} ctx={ctx} int8 NOSCALE(probe)", ctx, noscale=True)

@@ -56,8 +56,11 @@ class EngineCore:
         if not prompt_token_ids:
             raise ValueError("empty prompt")
         vocab = self.config.model_config.vocab_size
-        bad = [t for t in prompt_token_ids if not 0 <= t < vocab]
-        if bad:
+        # cheap min/max check first — a full list scan per add_request costs
+        # measurable host latency on 100k+-token prompts; only collect the
+        # offending ids (for the message) once the gate trips
+        if not (0 <= min(prompt_token_ids) and max(prompt_token_ids) < vocab):
+            bad = [t for t in prompt_token_ids if not 0 <= t < vocab]
             # reject poisoned requests at the door — a bad id must error ONE
             # request, never the engine (ref: tests/v1/shutdown/
             # test_forward_error.py engine-robustness bar)

@@ -305,6 +305,54 @@ class ModelRunner:
             self.kv_cache, jnp.asarray(src), jnp.asarray(dst)
         )
 
+    def _build_prefill_requant(self, params):
+        """Prefill int8-requant bank (envs.METAX_TPU_PREFILL_REQUANT): for
+        every stacked packed-int4 linear, dequantize each layer and
+        requantize per-output-channel int8 (w8p (L,K,N) int8 + s8p (L,1,N)).
+        Prefill-sized GEMMs (T >= METAX_TPU_PREFILL_MIN_T) then run W8A8 on
+        the int8 MXU with a single per-channel epilogue instead of the W4A8
+        per-group VPU epilogue (layers/linear.py). Decode keeps the int4
+        bank — half the weight bytes on the memory-bound path. Runs BEFORE
+        tiling/TP repack, so w_p4 is still globally split-halves packed.
+        Per-layer jit keeps the f32 dequant workspace to one layer (~0.5GB
+        at 8B shapes). Ref analog: shape-keyed GEMM dispatch,
+        csrc/quantization/gptq/q_gemm.cu:2373 region."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from vllm_metax_tpu.ops.quant import (
+            dequant_int4,
+            quantize_int8_channel,
+        )
+
+        @_jax.jit
+        def _requant_layer(wl, sl, zl):
+            return quantize_int8_channel(dequant_int4(wl, sl, zl, _jnp.float32))
+
+        def walk(node):
+            if not isinstance(node, dict):
+                return node
+            out = {k: walk(v) for k, v in node.items()}
+            if (
+                "w_p4" in out
+                and not isinstance(out["w_p4"], dict)
+                and out["w_p4"].ndim == 3
+                and "s" in out
+                and "zs" in out
+            ):
+                w8_l, s8_l = [], []
+                for li in range(out["w_p4"].shape[0]):
+                    w8, s8 = _requant_layer(
+                        out["w_p4"][li], out["s"][li], out["zs"][li]
+                    )
+                    w8_l.append(w8)
+                    s8_l.append(s8)
+                out["w8p"] = _jnp.stack(w8_l)
+                out["s8p"] = _jnp.stack(s8_l)
+            return out
+
+        return walk(params)
+
     def _finalize_quant_layout(self, params):
         """Convert stacked packed-int4 linears to the pre-tiled contiguous
         layout the Pallas kernel streams at full HBM bandwidth (see
@@ -317,6 +365,8 @@ class ModelRunner:
 
         impl = envs.METAX_TPU_QUANT_IMPL
         on_tpu = _jax.devices()[0].platform not in ("cpu", "gpu")
+        if envs.METAX_TPU_PREFILL_REQUANT:
+            params = self._build_prefill_requant(params)
         if impl == "xla" or (impl == "auto" and not on_tpu):
             return params
         from vllm_metax_tpu.ops.pallas.moe_gmm import tile_expert_bank
@@ -1009,6 +1059,10 @@ class ModelRunner:
             if cr.resumed_from_preemption:
                 st.block_ids = list(cr.new_block_ids)
                 st.num_computed_tokens = cr.num_computed_tokens
+                # recompute restarts prefill from position 0 — drop any
+                # partially-accumulated prompt logprobs so the re-run rebuilds
+                # the list without duplicated positions
+                st.prompt_lp_acc = None
             else:
                 st.block_ids.extend(cr.new_block_ids)
                 st.num_computed_tokens = cr.num_computed_tokens
@@ -1224,6 +1278,16 @@ class ModelRunner:
         return outer
 
     def _execute_multi_step(self, so: SchedulerOutput) -> ModelRunnerOutput:
+        return self._resolve_multi_step(self._launch_multi_step(so))
+
+    def _launch_multi_step(self, so: SchedulerOutput) -> dict:
+        """Dispatch one multi-step decode window WITHOUT fetching results.
+
+        JAX dispatch is asynchronous: fn() returns unfinished arrays, so the
+        host is free to schedule + launch the NEXT window while the device
+        runs this one (the async-scheduling overlap the reference pins in
+        tests/v1/core/test_async_scheduler.py). _resolve_multi_step()
+        performs the blocking device→host fetch."""
         req_ids = list(so.num_scheduled_tokens.keys())
         num_reqs = len(req_ids)
         m = so.num_decode_steps
@@ -1465,6 +1529,15 @@ class ModelRunner:
             "counts": counts_next if use_penalties else None,
             "cascade": cascade,
         }
+        return {"ys": ys, "req_ids": req_ids, "m": m, "need_lp": need_lp}
+
+    def _resolve_multi_step(self, handle: dict) -> ModelRunnerOutput:
+        """Blocking half of a multi-step window: fetch sampled tokens (and
+        logprobs) and assemble the ModelRunnerOutput."""
+        ys = handle["ys"]
+        req_ids = handle["req_ids"]
+        m = handle["m"]
+        need_lp = handle["need_lp"]
         # fetch only what's needed: each device→host read costs a full
         # round trip on remote-attached TPUs
         tok_steps = np.asarray(ys[0])  # (M, RB)
@@ -1496,6 +1569,29 @@ class ModelRunner:
         return result
 
     # ------------------------------------------------------------ execute
+
+    def can_execute_async(self, so: SchedulerOutput) -> bool:
+        """True when this scheduler output is a steady multi-step decode
+        window that can launch without blocking (async-scheduling overlap)."""
+        return (
+            so.num_decode_steps > 1
+            and so.total_num_scheduled_tokens > 0
+            and not so.scheduled_new_reqs
+            and not so.preempted_req_ids
+            and not any(
+                cr.resumed_from_preemption for cr in so.scheduled_cached_reqs
+            )
+            and not self._needs_per_step_host_state(so)
+        )
+
+    def execute_model_async(self, so: SchedulerOutput) -> dict:
+        """Launch a steady decode window without fetching results; pair with
+        resolve_async(). Caller must have checked can_execute_async(so)."""
+        self._update_states(so)
+        return self._launch_multi_step(so)
+
+    def resolve_async(self, handle: dict) -> ModelRunnerOutput:
+        return self._resolve_multi_step(handle)
 
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
         self._update_states(so)

@@ -7,8 +7,10 @@ PROCESSES — the toy-proxy topology the reference tests
 each prompt to a prefill instance, then a decode instance continues from
 the transferred KV).
 
-Wire format: length-prefixed pickle (trusted-network only, like the
-reference's toy proxy; a production deployment would ride RDMA/ICI).
+Wire format: length-prefixed JSON header + raw ndarray payload bytes —
+deliberately NON-EXECUTABLE (no pickle), so a hostile peer can at worst
+feed bad KV pages, never run code. A production deployment would ride
+RDMA/ICI.
 
   prefill host:  PrefillServer(engine, port).serve_forever()
   decode host:   handoff = fetch_prefill(("host", port), prompt_ids)
@@ -18,12 +20,14 @@ reference's toy proxy; a production deployment would ride RDMA/ICI).
 
 from __future__ import annotations
 
-import pickle
+import json
 import socket
 import socketserver
 import struct
 import threading
 from typing import Optional
+
+import numpy as np
 
 from vllm_metax_tpu.distributed.kv_transfer import (
     KVHandoff,
@@ -34,16 +38,109 @@ from vllm_metax_tpu.sample.params import SamplingParams
 
 logger = init_logger(__name__)
 
+# dtypes a KV page may legitimately carry; the decoder refuses anything else
+# (in particular object dtypes, which would re-open the code-execution hole)
+_WIRE_DTYPES = frozenset(
+    {"float32", "bfloat16", "float16", "int8", "uint8", "int32", "float8_e4m3fn"}
+)
+
+
+def _encode(obj) -> bytes:
+    """JSON header + concatenated raw ndarray buffers. Understands None,
+    JSON scalars/lists/dicts, numpy arrays, and KVHandoff."""
+    buffers: list[bytes] = []
+
+    def enc(x):
+        if isinstance(x, KVHandoff):
+            return {
+                "__kvhandoff__": {
+                    "block_size": x.block_size,
+                    "num_layers": x.num_layers,
+                    "hashes": [int(h) for h in x.hashes],
+                    "k": enc(x.k),
+                    "v": enc(x.v),
+                    "k_scale": enc(x.k_scale),
+                    "v_scale": enc(x.v_scale),
+                    "meta": x.meta,
+                }
+            }
+        if isinstance(x, np.ndarray):
+            name = x.dtype.name
+            if name not in _WIRE_DTYPES:
+                raise TypeError(f"refusing to serialize dtype {name}")
+            buffers.append(np.ascontiguousarray(x).tobytes())
+            return {"__nd__": len(buffers) - 1, "dtype": name,
+                    "shape": list(x.shape)}
+        if isinstance(x, dict):
+            return {str(k): enc(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [enc(v) for v in x]
+        return x  # None / str / int / float / bool
+
+    header = json.dumps(enc(obj)).encode()
+    return struct.pack("!I", len(header)) + header + b"".join(buffers)
+
+
+def _decode(payload: bytes):
+    (hlen,) = struct.unpack("!I", payload[:4])
+    header = json.loads(payload[4 : 4 + hlen])
+    body = memoryview(payload)[4 + hlen :]
+    # pre-scan buffer extents in order of __nd__ index
+    offsets: dict[int, tuple[int, int]] = {}
+
+    def scan(x):
+        if isinstance(x, dict):
+            if "__nd__" in x:
+                name = x["dtype"]
+                if name not in _WIRE_DTYPES:
+                    raise ValueError(f"refusing wire dtype {name}")
+                import jax.numpy as jnp  # bfloat16/fp8 dtypes live here
+
+                n = int(np.prod(x["shape"], dtype=np.int64)) * jnp.dtype(name).itemsize
+                offsets[x["__nd__"]] = (n, 0)
+            else:
+                for v in x.values():
+                    scan(v)
+        elif isinstance(x, list):
+            for v in x:
+                scan(v)
+
+    scan(header)
+    pos = 0
+    starts: dict[int, int] = {}
+    for idx in sorted(offsets):
+        starts[idx] = pos
+        pos += offsets[idx][0]
+
+    def dec(x):
+        if isinstance(x, dict):
+            if "__nd__" in x:
+                import jax.numpy as jnp
+
+                dt = jnp.dtype(x["dtype"])
+                n, s = offsets[x["__nd__"]][0], starts[x["__nd__"]]
+                flat = np.frombuffer(body[s : s + n], dtype=np.uint8)
+                return flat.view(dt).reshape(x["shape"])
+            if "__kvhandoff__" in x:
+                f = {k: dec(v) for k, v in x["__kvhandoff__"].items()}
+                return KVHandoff(**f)
+            return {k: dec(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [dec(v) for v in x]
+        return x
+
+    return dec(header)
+
 
 def send_msg(sock: socket.socket, obj) -> None:
-    payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    payload = _encode(obj)
     sock.sendall(struct.pack("!Q", len(payload)) + payload)
 
 
 def recv_msg(sock: socket.socket):
     header = _recv_exact(sock, 8)
     (n,) = struct.unpack("!Q", header)
-    return pickle.loads(_recv_exact(sock, n))
+    return _decode(_recv_exact(sock, n))
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:

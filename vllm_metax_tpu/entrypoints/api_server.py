@@ -89,6 +89,12 @@ def _validate_request(body: dict) -> None:
         raise RequestValidationError("'stop' must be a string or array")
 
 
+def _is_int(x) -> bool:
+    # bool is an int subclass: a chat-style `"logprobs": true` must NOT be
+    # read as the integer 1 by the completions endpoint
+    return isinstance(x, int) and not isinstance(x, bool)
+
+
 def _sampling_from_request(body: dict) -> SamplingParams:
     _validate_request(body)
     return SamplingParams(
@@ -113,19 +119,19 @@ def _sampling_from_request(body: dict) -> SamplingParams:
         ),
         logprobs=(
             body.get("logprobs")
-            if isinstance(body.get("logprobs"), int)
+            if _is_int(body.get("logprobs"))
             else (body.get("top_logprobs") if body.get("logprobs") else None)
         ),
         # completions `echo` + logprobs returns prompt-token logprobs too
         # (ref: tests/v1/engine/test_output_processor.py:119-133)
         prompt_logprobs=(
             body.get("prompt_logprobs")
-            if isinstance(body.get("prompt_logprobs"), int)
+            if _is_int(body.get("prompt_logprobs"))
             else (body.get("extra_body") or {}).get("prompt_logprobs")
-            if isinstance((body.get("extra_body") or {}).get("prompt_logprobs"), int)
+            if _is_int((body.get("extra_body") or {}).get("prompt_logprobs"))
             else (
                 body.get("logprobs")
-                if body.get("echo") and isinstance(body.get("logprobs"), int)
+                if body.get("echo") and _is_int(body.get("logprobs"))
                 else None
             )
         ),

@@ -41,6 +41,21 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "METAX_TPU_DECODE_EAGER": lambda: os.getenv(
         "METAX_TPU_DECODE_EAGER", "0"
     ) == "1",
+    # Prefill int8 requant: at load, dequantize each stacked int4 linear and
+    # requantize per-channel int8; GEMMs with T >= METAX_TPU_PREFILL_MIN_T
+    # tokens (prefill chunks) run W8A8 on the int8 MXU with a single
+    # per-channel epilogue instead of the W4A8 per-group epilogue. Costs one
+    # extra int8-resident weight copy; decode keeps the int4 bank. Numerics
+    # gated via tools/ppl_gate.py (int8 per-channel measured −0.38% PPL).
+    "METAX_TPU_PREFILL_REQUANT": lambda: os.getenv(
+        "METAX_TPU_PREFILL_REQUANT", "0"
+    ) == "1",
+    # Token-count threshold above which requant-int8 prefill GEMMs kick in
+    # (default 512: prefill chunks are >=512 tokens in practice, while decode
+    # windows bucket at num_reqs — keeps huge decode batches on the int4 bank)
+    "METAX_TPU_PREFILL_MIN_T": lambda: int(
+        os.getenv("METAX_TPU_PREFILL_MIN_T", "512")
+    ),
     # Quantized lm_head apply: W8A8 on the int8 MXU (default) vs int8
     # weight-only with VPU dequant
     "METAX_TPU_LMHEAD_W8A8": lambda: os.getenv(

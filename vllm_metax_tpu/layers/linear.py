@@ -35,6 +35,15 @@ def _idx(arr, layer_idx):
     return jax.lax.dynamic_index_in_dim(arr, layer_idx, keepdims=False)
 
 
+def _prefill_requant_hit(p: dict, x) -> bool:
+    """True when this call should use the int8 prefill-requant bank: the
+    token count (static under jit — the runner's bucket size) is at or above
+    the prefill threshold."""
+    from vllm_metax_tpu import envs
+
+    return x.shape[0] >= envs.METAX_TPU_PREFILL_MIN_T
+
+
 def apply_linear(
     p: dict, x: jnp.ndarray, layer_idx=None, lora_idx=None,
     gather_axis: Optional[str] = None,
@@ -74,6 +83,17 @@ def apply_linear(
         y = jnp.dot(x, leaf("w"), preferred_element_type=jnp.float32).astype(
             x.dtype
         )
+    elif "w8p" in p and _prefill_requant_hit(p, x):
+        # prefill-requant fast path: load-time int8-per-channel copy of the
+        # int4 bank; compute-bound prefill chunks run the int8 MXU with one
+        # per-channel epilogue (ref analog: shape-keyed kernel dispatch,
+        # csrc/quantization/gptq/q_gemm.cu:2373 region). Decode buckets
+        # (small T) fall through to the int4 branches below.
+        from vllm_metax_tpu.ops.quant import w8a8_stacked_matmul
+
+        if "perm" in p:  # same activation reorder as the int4 path
+            x = jnp.take(x, leaf("perm"), axis=1)
+        y = w8a8_stacked_matmul(x, p["w8p"], p["s8p"], layer_idx)
     elif "w_p4t" in p:
         from vllm_metax_tpu.ops.quant import int4_matmul_tiled
 

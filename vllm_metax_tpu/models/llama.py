@@ -651,6 +651,11 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
             "w_p4t": p4t,
             "s": col,
             "zs": col,
+            # prefill-requant bank: (L, K, N) int8 shards like w_i8; the
+            # (L, 1, N) per-channel scales shard with N (col) or replicate
+            # (row — sanitize drops the size-1 axis anyway)
+            "w8p": col,
+            "s8p": P(None, None, "tp") if shard_axis == 1 else P(None, None, None),
             "a8": P(),
             "act_s": P(None),
             "perm": P(None, "tp") if shard_axis == 0 else P(None, None),

@@ -41,9 +41,6 @@ _NEG_INF = -1e30
 import os
 
 NR = int(os.getenv("METAX_TPU_DECODE_NR", "8"))
-# perf-probe ONLY: skip the per-page scale DMAs (results are numerically
-# wrong; quantifies the descriptor cost of the 2-per-page scale fetches)
-_PROBE_SKIP_SCALE_DMA = os.getenv("METAX_TPU_PROBE_NOSCALE", "0") == "1"
 
 
 def decode_attention_supported(q, kv_cache: KVCache, md, mla: bool = False) -> bool:
@@ -84,6 +81,9 @@ def _decode_kernel(
     deferred,
     dcp,
     return_lse,
+    skip_scale_dma=False,  # perf-probe ONLY (tools/perf/decode_attn_probe.py):
+    # skips the per-page scale DMAs — numerically WRONG output; never set in
+    # production (no env knob; must be passed explicitly by the probe)
 ):
     kcur_ref = vcur_ref = None
     lse_ref = None
@@ -141,9 +141,16 @@ def _decode_kernel(
 
     req0 = t_idx * NR
     sls = [seq_lens_ref[req0 + rr] for rr in range(NR)]
-    max_sl = sls[0]
+    # Deferred mode: the current token (position sl-1) is NOT read from the
+    # pool — it gets a closed-form rank-1 online-softmax update after the
+    # chunk loop (cheaper than blending the fresh row into the KV buffer:
+    # the per-request slab RMW blends cost ~25us/call measured,
+    # tools/perf/decode_attn_probe.py). Buffer masks/DMA reach therefore use
+    # the context length EXCLUDING the current token.
+    ctxs = [jnp.maximum(sl - 1, 0) for sl in sls] if deferred else sls
+    max_sl = ctxs[0]
     for rr in range(1, NR):
-        max_sl = jnp.maximum(max_sl, sls[rr])
+        max_sl = jnp.maximum(max_sl, ctxs[rr])
     num_chunks = (max_sl + ckv - 1) // ckv
 
     nb_total = k_hbm.shape[0]
@@ -160,7 +167,10 @@ def _decode_kernel(
                 # CKV span — up to ~45% wasted KV traffic at short contexts).
                 # DCP: non-local pages carry an out-of-range sentinel
                 # (parallel/dcp.py DCP_SENTINEL) — skip those too.
-                reach = c * ckv + p * bs < seq_lens_ref[tile * NR + rr]
+                # Deferred: position sl-1 lives in kcur, not the pool.
+                reach = c * ckv + p * bs + (1 if deferred else 0) < (
+                    seq_lens_ref[tile * NR + rr]
+                )
                 if dcp:
                     reach &= bt_ref[base + p] < nb_total
 
@@ -187,7 +197,7 @@ def _decode_kernel(
                                 sem.at[slot, 1, rr],
                             )
                         )
-                    if quantized and not _PROBE_SKIP_SCALE_DMA:
+                    if quantized and not skip_scale_dma:
                         dmas.append(
                             pltpu.make_async_copy(
                                 ks_hbm.at[page],
@@ -230,22 +240,25 @@ def _decode_kernel(
 
     @pl.when(num_chunks == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-        if return_lse:
-            lse_ref[:] = jnp.full_like(lse_ref, _NEG_INF)
-
-        # keep the prefetch chain alive through all-pad tiles
+        # keep the prefetch chain alive through all-pad / all-fresh tiles
         @pl.when(t_idx + 1 < nt_tiles)
         def _():
             chunk_dma_t(t_idx + 1, 0, g0 % 2, "start")
 
-    # per-row (NR*G,1) seq lens & per-column (1, NR*CKV) request slot
+    # per-row (NR*G,1) ctx lens & per-column (1, NR*CKV) request slot
     row_sl = jnp.concatenate(
-        [jnp.full((g, 1), sl, jnp.int32) for sl in sls], axis=0
-    )  # (NR*G, 1)
+        [jnp.full((g, 1), sl, jnp.int32) for sl in ctxs], axis=0
+    )  # (NR*G, 1) — pool positions < row_sl are valid for the row
+    row_true = (
+        jnp.concatenate(
+            [jnp.full((g, 1), sl, jnp.int32) for sl in sls], axis=0
+        )
+        if deferred
+        else row_sl
+    )  # true seq lens (window anchor; deferred excludes the fresh token)
     col_sl = jnp.concatenate(
-        [jnp.full((1, ckv), sl, jnp.int32) for sl in sls], axis=1
-    )  # (1, NR*CKV) — seq len of the COLUMN's request
+        [jnp.full((1, ckv), sl, jnp.int32) for sl in ctxs], axis=1
+    )  # (1, NR*CKV) — ctx len of the COLUMN's request
     col_in_req = jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv), 1) % ckv
     # 3D copies for the V mask: Mosaic cannot insert a minor dim on i1
     # vectors (tpu.reshape of (1,NR*CKV) bool → (1,NR*CKV,1) fails to
@@ -254,11 +267,23 @@ def _decode_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv, 1), 1) % ckv
     )
     col_sl3 = jnp.concatenate(
-        [jnp.full((1, ckv, 1), sl, jnp.int32) for sl in sls], axis=1
+        [jnp.full((1, ckv, 1), sl, jnp.int32) for sl in ctxs], axis=1
     )  # (1, NR*CKV, 1)
     row_rr = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // g
     col_rr = jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv), 1) // ckv
     same_req = row_rr == col_rr  # (NR*G, NR*CKV)
+
+    # int8×int8 QK operands (quantized mode): quantize q ONCE per tile —
+    # 4K elements — so chunks skip the (HKV, NR*CKV, D) K dequant-convert
+    if quantized:
+        _qf = q_ref[0].astype(jnp.float32)
+        _qamax = jnp.max(jnp.abs(_qf), axis=2, keepdims=True)
+        q_scale = jnp.maximum(_qamax, 1e-8) * (1.0 / 127.0)
+        q_int8 = jnp.clip(
+            jnp.round(_qf / q_scale), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        q_int8 = q_scale = None
 
     @pl.when(num_chunks > 0)
     def _():
@@ -275,95 +300,6 @@ def _decode_kernel(
                 chunk_dma_t(t_idx + 1, 0, nslot, "start")
 
             chunk_dma_t(t_idx, c, slot, "wait")
-
-            if deferred:
-                # Deferred KV write: the current token's K/V is NOT in the
-                # page pool yet (the runner scatters all layers once per
-                # step after the layer scan) — patch the fresh row into this
-                # chunk's buffer at its in-context position. Must match the
-                # pool quantization exactly so later steps read identical
-                # values (ops/kv_cache.py _quantize_kv).
-                if quantized:
-                    # SAME constants/formula as the pool write
-                    # (ops/kv_cache.py _quantize_kv) — the deferred in-kernel
-                    # read must equal what later steps read back
-                    from vllm_metax_tpu.ops.kv_cache import (
-                        _FP8_E5M2_MAX,
-                        _FP8_MAX,
-                        _INT8_MAX,
-                    )
-
-                    qmax = (
-                        _INT8_MAX if k_buf.dtype == jnp.int8
-                        else _FP8_E5M2_MAX if k_buf.dtype == jnp.float8_e5m2
-                        else _FP8_MAX
-                    )
-
-                def _quant_row(x):  # (HKV, 1, D) → (quant vals, f32 scales)
-                    xf = x.astype(jnp.float32)
-                    amax = jnp.max(jnp.abs(xf), axis=2)  # (HKV, 1)
-                    scale = jnp.maximum(amax / qmax, 1e-10)
-                    qv = xf / scale[:, :, None]
-                    if k_buf.dtype == jnp.int8:
-                        qv = jnp.clip(jnp.round(qv), -_INT8_MAX, _INT8_MAX)
-                    return qv.astype(k_buf.dtype), scale
-
-                def blend_row(buf, off, row):
-                    # Mosaic needs sublane stores 8-aligned: read the aligned
-                    # 8-row slab, blend the single row in, write it back
-                    base = pl.multiple_of((off // 8) * 8, 8)
-                    slab = buf[slot, :, pl.ds(base, 8), :]
-                    sel = (
-                        jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
-                        == off % 8
-                    )
-                    buf[slot, :, pl.ds(base, 8), :] = jnp.where(
-                        sel, row.astype(buf.dtype), slab
-                    )
-
-                def blend_scale(buf, off, sc):
-                    # lane stores need 128-alignment: same blend over lanes
-                    base = pl.multiple_of((off // 128) * 128, 128)
-                    slab = buf[slot, :, pl.ds(base, 128)]
-                    sel = (
-                        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                        == off % 128
-                    )
-                    buf[slot, :, pl.ds(base, 128)] = jnp.where(sel, sc, slab)
-
-                for rr in range(NR):  # static unroll
-                    last = sls[rr] - 1  # -1 on pad rows → both guards false
-
-                    @pl.when((last >= c * ckv) & (last < (c + 1) * ckv))
-                    def _(rr=rr, last=last):
-                        off = rr * ckv + (last - c * ckv)
-                        kc = kcur_ref[0, :, rr : rr + 1, :]  # (HKV, 1, D|2D)
-                        if quantized and fused:
-                            # fused row [K‖V]: halves quantize independently
-                            # (per-side scales), ONE value blend
-                            kq, ks = _quant_row(kc[:, :, :d])
-                            vq, vs = _quant_row(kc[:, :, d:])
-                            blend_row(
-                                k_buf, off,
-                                jnp.concatenate([kq, vq], axis=2),
-                            )
-                            blend_scale(ks_buf, off, ks)
-                            blend_scale(vs_buf, off, vs)
-                        elif quantized:
-                            kq, ks = _quant_row(kc)
-                            blend_row(k_buf, off, kq)
-                            blend_scale(ks_buf, off, ks)
-                            vq, vs = _quant_row(
-                                vcur_ref[0, :, rr : rr + 1, :]
-                            )
-                            blend_row(v_buf, off, vq)
-                            blend_scale(vs_buf, off, vs)
-                        else:
-                            blend_row(k_buf, off, kc)
-                            if not single_kv:
-                                blend_row(
-                                    v_buf, off, vcur_ref[0, :, rr : rr + 1, :]
-                                )
 
             kv_pos = c * ckv + col_in_req  # (1, NR*CKV)
             # columns whose request skipped this chunk's DMA hold stale/
@@ -388,7 +324,10 @@ def _decode_kernel(
                 col_ok &= owned
                 mask &= owned
             if sliding_window > 0:
-                mask &= kv_pos > (row_sl - 1) - sliding_window
+                # window anchored at the TRUE last position (the current
+                # token), even when that token itself is handled by the
+                # post-loop rank-1 update
+                mask &= kv_pos > (row_true - 1) - sliding_window
             mask = mask[None]  # (1, NR*G, NR*CKV) broadcasts over HKV
 
             q_all = q_ref[0]  # (HKV, NR*G, D)
@@ -403,16 +342,28 @@ def _decode_kernel(
                 k_all = k_full
                 v_all = v_buf[slot]
             if quantized:
-                k_all = k_all.astype(q_all.dtype)
-            s = jax.lax.dot_general(
-                q_all,
-                k_all,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (HKV, NR*G, NR*CKV)
-            if quantized:
+                # int8×int8 QK on the MXU (q quantized once per tile above)
+                # instead of dequant-converting the whole (HKV, NR*CKV, D)
+                # K buffer to bf16 (2.1M VPU converts/tile, the largest
+                # single compute term measured by
+                # tools/perf/decode_attn_probe.py). s then carries
+                # row-scale × col-scale epilogues.
+                s = jax.lax.dot_general(
+                    q_int8,
+                    k_all,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
                 s = s * ks_buf[slot][:, None, :]
-            s = s * sm_scale
+                s = s * (q_scale * sm_scale)
+            else:
+                s = jax.lax.dot_general(
+                    q_all,
+                    k_all,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (HKV, NR*G, NR*CKV)
+                s = s * sm_scale
             if logits_soft_cap > 0.0:
                 s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
             s = jnp.where(mask, s, _NEG_INF)
@@ -426,22 +377,29 @@ def _decode_kernel(
             l_ref[...] = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
 
             if quantized:
+                # invalid columns are killed by vs == 0 (p·vs exact 0), and
+                # int8→bf16 conversion can never produce NaN — so the
+                # (HKV, NR*CKV, D)-wide V zeroing the bf16 path needs is
+                # unnecessary here (saves ~2M VPU ops/tile)
                 vs = jnp.where(col_ok, vs_buf[slot], 0.0)  # (HKV, NR*CKV)
                 p = p * vs[:, None, :]
                 v_mm = v_all.astype(q_all.dtype)
             else:
                 v_mm = v_all
-            col_ok3 = (c * ckv + col_in_req3) < col_sl3  # (1, NR*CKV, 1)
-            if dcp:
-                segs3 = []
-                for rr in range(NR):
-                    base = (req0 + rr) * maxb + c * ppc
-                    for pg in range(ppc):
-                        segs3.append(
-                            jnp.broadcast_to(bt_ref[base + pg], (1, bs, 1))
-                        )
-                col_ok3 &= jnp.concatenate(segs3, axis=1) < nb_total
-            v_mm = jnp.where(col_ok3, v_mm, jnp.zeros((), v_mm.dtype))
+                col_ok3 = (c * ckv + col_in_req3) < col_sl3  # (1, NR*CKV, 1)
+                if dcp:
+                    segs3 = []
+                    for rr in range(NR):
+                        base = (req0 + rr) * maxb + c * ppc
+                        for pg in range(ppc):
+                            segs3.append(
+                                jnp.broadcast_to(bt_ref[base + pg], (1, bs, 1))
+                            )
+                    col_ok3 &= jnp.concatenate(segs3, axis=1) < nb_total
+                # bf16 pools can hold NaN in never-written page slots; a
+                # masked p of exact 0 still yields 0*NaN = NaN in the PV
+                # matmul, so V must be zeroed on invalid columns
+                v_mm = jnp.where(col_ok3, v_mm, jnp.zeros((), v_mm.dtype))
             pv = jax.lax.dot_general(
                 p.astype(v_mm.dtype),
                 v_mm,
@@ -455,23 +413,103 @@ def _decode_kernel(
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
         g_ref[0] = (g0 + num_chunks) % 2
 
-        out_ref[0] = (
-            acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
-        ).astype(out_ref.dtype)
-        if return_lse:
-            l = l_ref[...]
-            lse_ref[0] = jnp.where(
-                l > 0.0,
-                m_ref[...] + jnp.log(jnp.maximum(l, 1e-30)),
-                _NEG_INF,
+    if deferred:
+        # Rank-1 online-softmax update for the current token (position
+        # sl-1, supplied via kcur/vcur — the pool row is written later by
+        # the batched all-layer commit). Mathematically the same online
+        # softmax as processing it in-chunk, at ~33K VPU ops instead of
+        # per-request slab blends.
+        from vllm_metax_tpu.ops.kv_cache import (
+            _FP8_E5M2_MAX,
+            _FP8_MAX,
+            _INT8_MAX,
+        )
+
+        def quant_match(x):  # (HKV, NR, Dx) f32 → the values later steps
+            # read back from the pool (same formula as ops/kv_cache.py
+            # _quantize_kv, then dequantized)
+            if not quantized:
+                return x
+            qmax = (
+                _INT8_MAX if k_buf.dtype == jnp.int8
+                else _FP8_E5M2_MAX if k_buf.dtype == jnp.float8_e5m2
+                else _FP8_MAX
             )
+            amax = jnp.max(jnp.abs(x), axis=2, keepdims=True)
+            scale = jnp.maximum(amax / qmax, 1e-10)
+            qv = x / scale
+            if k_buf.dtype == jnp.int8:
+                qv = jnp.clip(jnp.round(qv), -_INT8_MAX, _INT8_MAX)
+            else:
+                qv = qv.astype(k_buf.dtype).astype(jnp.float32)
+            return qv * scale
+
+        def rows(x):  # (HKV, NR, Dx) → (HKV, NR*G, Dx), request → its G rows
+            parts = [
+                jnp.broadcast_to(
+                    x[:, rr : rr + 1, :], (x.shape[0], g, x.shape[2])
+                )
+                for rr in range(NR)
+            ]
+            return jnp.concatenate(parts, axis=1)
+
+        q_all_f32 = q_ref[0].astype(jnp.float32)  # (HKV, NR*G, D)
+        kc_all = kcur_ref[0].astype(jnp.float32)  # (HKV, NR, D | 2D)
+        if fused:
+            kc = quant_match(kc_all[:, :, :d])
+            vc = quant_match(kc_all[:, :, d:])
+        elif pv_width:
+            kc = kc_all
+            vc = kc_all[:, :, :pv_width]
+        else:
+            kc = quant_match(kc_all)
+            vc = quant_match(vcur_ref[0].astype(jnp.float32))
+
+        s_cur = jnp.sum(
+            q_all_f32 * rows(kc), axis=2, keepdims=True
+        )  # (HKV, NR*G, 1)
+        s_cur = s_cur * sm_scale
+        if logits_soft_cap > 0.0:
+            s_cur = logits_soft_cap * jnp.tanh(s_cur / logits_soft_cap)
+        valid = row_true > 0  # (NR*G, 1) — pad rows have no fresh token
+        if dcp:
+            # only the rank owning the fresh token's page applies the update
+            own_parts = []
+            for rr in range(NR):
+                last = jnp.maximum(sls[rr] - 1, 0)
+                pg = bt_ref[(req0 + rr) * maxb + last // bs]
+                own_parts.append(
+                    jnp.broadcast_to(pg < nb_total, (g, 1))
+                )
+            valid &= jnp.concatenate(own_parts, axis=0)
+        valid3 = valid[None]  # (1, NR*G, 1)
+        s_cur = jnp.where(valid3, s_cur, _NEG_INF)
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_new = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p_cur = jnp.where(valid3, jnp.exp(s_cur - m_new), 0.0)
+        l_ref[...] = l_prev * alpha + p_cur
+        acc_ref[...] = acc_ref[...] * alpha + p_cur * rows(vc)
+        m_ref[...] = m_new
+
+    out_ref[0] = (
+        acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+    ).astype(out_ref.dtype)
+    if return_lse:
+        l = l_ref[...]
+        lse_ref[0] = jnp.where(
+            l > 0.0,
+            m_ref[...] + jnp.log(jnp.maximum(l, 1e-30)),
+            _NEG_INF,
+        )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "sliding_window", "logits_soft_cap", "pv_width",
-        "dcp", "return_lse", "interpret",
+        "dcp", "return_lse", "interpret", "_probe_skip_scale_dma",
     ),
 )
 def paged_decode_attention_pallas(
@@ -487,6 +525,7 @@ def paged_decode_attention_pallas(
     dcp: bool = False,  # block tables hold rank-local ids + OOB sentinels
     return_lse: bool = False,  # also return per-row log-sum-exp (T, HQ) f32
     interpret: bool = False,
+    _probe_skip_scale_dma: bool = False,  # perf probe only — WRONG results
 ):
     t, hq, d = q.shape
     nb, hkv, bs, dk = kv_cache.k.shape
@@ -597,6 +636,7 @@ def paged_decode_attention_pallas(
         deferred=deferred,
         dcp=dcp,
         return_lse=return_lse,
+        skip_scale_dma=_probe_skip_scale_dma,
     )
     result = pl.pallas_call(
         kernel,

@@ -600,6 +600,63 @@ def int8a8_matmul_pallas(
     )(xq, xs, w_i8, s)
 
 
+def _int8a8_stacked_kernel(lidx_ref, xq_ref, xs_ref, w_ref, s_ref, out_ref,
+                           *, kc):
+    _int8a8_kernel(xq_ref, xs_ref, w_ref.at[0], s_ref.at[0], out_ref, kc=kc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8a8_stacked_matmul_pallas(
+    x: jnp.ndarray,  # (T, K) bf16/f32
+    w_i8: jnp.ndarray,  # (L, K, N) int8 per-channel — prefill-requant bank
+    s: jnp.ndarray,  # (L, 1, N) f32
+    layer_idx,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stacked-layer W8A8: the PREFILL path for GPTQ/AWQ models when the
+    load-time int8-per-channel requant bank is enabled
+    (METAX_TPU_PREFILL_REQUANT). Prefill is compute-bound, so the int8-MXU
+    dot + single per-channel scale epilogue beats the W4A8 kernel's
+    per-group VPU epilogue; decode keeps reading the int4 bank (half the
+    weight bytes). Analog of the reference's m-threshold kernel dispatch
+    (csrc/quantization/gptq/q_gemm.cu:2373 region — shape-keyed kernel
+    selection)."""
+    t, k = x.shape
+    n = w_i8.shape[-1]
+    tt = _choose_tile(t, (256, 128, 64, 32, 16, 8))
+    tn = _choose_tile(n, (512, 256, 128))
+    if t % tt or n % tn or n % 128:
+        raise ValueError(f"bad tiling: T={t} N={n}")
+    kc = _choose_chunk(k, -1)
+    xq, xs = quantize_activations_int8(x)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // tt, n // tn),
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((tt, 1), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, k, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, 1, tn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j, l: (i, j)),
+    )
+    return pl.pallas_call(
+        functools.partial(_int8a8_stacked_kernel, kc=kc),
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * k * n,
+            bytes_accessed=k * n + t * k + t * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, xq, xs, w_i8, s)
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):
     """Weight-only int8: w (K, TN) int8, s (G, TN) [G may be 1 = per-channel]."""
     k = w_ref.shape[0]

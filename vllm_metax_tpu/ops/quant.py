@@ -220,6 +220,25 @@ def w8a8_int8_matmul(
     return y.astype(x.dtype)
 
 
+def w8a8_stacked_matmul(
+    x: jnp.ndarray,  # (T, K)
+    w_i8: jnp.ndarray,  # (L, K, N) int8 — prefill-requant bank
+    s: jnp.ndarray,  # (L, 1, N) f32
+    layer_idx,
+) -> jnp.ndarray:
+    """Stacked-layer W8A8 for the prefill-requant path
+    (envs.METAX_TPU_PREFILL_REQUANT; see int8a8_stacked_matmul_pallas)."""
+    if _use_pallas() and _pallas_tiles_ok(x.shape[0], w_i8.shape[-1]):
+        from vllm_metax_tpu.ops.pallas.quant_matmul import (
+            int8a8_stacked_matmul_pallas,
+        )
+
+        return int8a8_stacked_matmul_pallas(x, w_i8, s, layer_idx)
+    w_l = jax.lax.dynamic_index_in_dim(w_i8, layer_idx, keepdims=False)
+    s_l = jax.lax.dynamic_index_in_dim(s, layer_idx, keepdims=False)
+    return w8a8_int8_matmul(x, w_l, s_l)
+
+
 def quantize_activations_fp8(
     x: jnp.ndarray, static_scale: Optional[jnp.ndarray] = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
