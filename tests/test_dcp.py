@@ -85,7 +85,9 @@ def test_dcp2_multi_step_decode(small_model_config):
     assert out == ref
 
 
-def test_dcp_rejects_mla(small_model_config):
+def test_dcp_rejects_v32_sparse_indexer(small_model_config):
+    # dense MLA x DCP is supported (tests below); the V3.2 sparse indexer's
+    # global top-k gather still needs a replicated cache
     mc = dataclasses.replace(
         small_model_config,
         architecture="DeepseekV2ForCausalLM",
@@ -93,8 +95,11 @@ def test_dcp_rejects_mla(small_model_config):
         qk_rope_head_dim=16,
         qk_nope_head_dim=16,
         v_head_dim=16,
+        index_topk=64,
+        index_n_heads=2,
+        index_head_dim=32,
     )
-    with pytest.raises(NotImplementedError, match="DCP"):
+    with pytest.raises(NotImplementedError, match="indexer"):
         _run_engine(_dcp_config(mc, 2), mesh=make_tp_mesh(1, dcp_size=2))
 
 
@@ -201,3 +206,85 @@ def test_dcp_pallas_decode_kernel_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out)[:t], np.asarray(ref)[:t], rtol=1e-3, atol=2e-3
     )
+
+
+# ------------------------------------------------- MLA latent cache x DCP
+
+def _mla_engine_config(dcp, num_decode_steps=1):
+    """Dummy-weight DeepSeek (MLA latent cache, store_v=False) under DCP.
+
+    Ref: the reference's DCP-aware MLA path (mla/common.py:563-587,796-883 +
+    csrc/cache_kernels.cu:1075 cp_gather_cache) — ours shards latent pages
+    round-robin over "dcp" and merges with a distributed softmax
+    (models/deepseek.py mla_attention)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+    )
+
+    mc = ModelConfig(
+        architecture="DeepseekV3ForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        vocab_size=256,
+        max_position_embeddings=512,
+        max_model_len=512,
+        num_experts=4,
+        num_experts_per_tok=2,
+        num_shared_experts=1,
+        first_k_dense_replace=1,
+        use_mla=True,
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        scoring_func="sigmoid",
+        n_group=2,
+        topk_group=1,
+        dtype="float32",
+    )
+    return EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(block_size=16, num_blocks=64),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            num_decode_steps=num_decode_steps,
+        ),
+        parallel_config=ParallelConfig(
+            tensor_parallel_size=1, decode_context_parallel_size=dcp
+        ),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+    )
+
+
+def test_mla_dcp2_matches_single_device():
+    ref = _run_engine(_mla_engine_config(1), prompts=_PROMPTS, max_tokens=20)
+    out = _run_engine(
+        _mla_engine_config(2),
+        mesh=make_tp_mesh(1, dcp_size=2),
+        prompts=_PROMPTS,
+        max_tokens=20,
+    )
+    assert out == ref
+
+
+def test_mla_dcp2_multi_step():
+    ref = _run_engine(
+        _mla_engine_config(1, num_decode_steps=4),
+        prompts=_PROMPTS, max_tokens=16,
+    )
+    out = _run_engine(
+        _mla_engine_config(2, num_decode_steps=4),
+        mesh=make_tp_mesh(1, dcp_size=2),
+        prompts=_PROMPTS,
+        max_tokens=16,
+    )
+    assert out == ref

@@ -66,7 +66,11 @@ def main():
     from vllm_metax_tpu.core.runner import ModelRunner
     from vllm_metax_tpu.evaluation import compute_ppl
 
-    def run(qc, kv_dtype="auto"):
+    def run(qc, kv_dtype="auto", env=None):
+        import os as _os
+
+        for k, v in (env or {}).items():
+            _os.environ[k] = v
         config = EngineConfig(
             model_config=ModelConfig.from_pretrained(
                 path, dtype="float32", max_model_len=2048
@@ -81,7 +85,12 @@ def main():
             quant_config=qc,
         )
         runner = ModelRunner(config)
-        return compute_ppl(runner, toks)
+        ppl = compute_ppl(runner, toks)
+        for k in (env or {}):
+            import os as _os
+
+            _os.environ.pop(k, None)
+        return ppl
 
     base = run(QuantizationConfig())
     rows = [("f32 baseline", base, 0.0)]
@@ -96,6 +105,18 @@ def main():
     ]:
         ppl = run(qc, kvd)
         rows.append((name, ppl, (ppl - base) / base))
+    # prefill int8-requant (METAX_TPU_PREFILL_REQUANT): double quantization
+    # int4 -> f32 -> int8 per-channel; PPL evaluates full sequences, which
+    # is exactly the prefill path this mode rides, so the delta here is the
+    # direct quality gate for flipping it on in serving
+    ppl = run(
+        QuantizationConfig(method="gptq", bits=4, group_size=128),
+        "auto",
+        env={"METAX_TPU_PREFILL_REQUANT": "1", "METAX_TPU_PREFILL_MIN_T": "1"},
+    )
+    rows.append(
+        ("int4 + prefill-requant-int8", ppl, (ppl - base) / base)
+    )
     print(f"{'mode':28s} {'PPL':>12s} {'rel delta':>10s}")
     for name, ppl, delta in rows:
         print(f"{name:28s} {ppl:12.4f} {delta:+10.4%}")

@@ -357,6 +357,13 @@ class SchedulerConfig:
     # on-device decode steps per engine step (KV pre-reserved; runner loops
     # with lax.scan, amortizing host↔device latency). 1 = classic stepping.
     num_decode_steps: int = 1
+    # async scheduling: launch the next steady decode window before fetching
+    # the previous window's results, overlapping host scheduling/metadata
+    # work with device execution (ref behavior:
+    # tests/v1/core/test_async_scheduler.py). Only engages for multi-step
+    # pure-decode windows; correctness-neutral (speculatively scheduled
+    # windows for requests that turn out finished are dropped at resolve).
+    async_scheduling: bool = True
 
 
 @dataclass

@@ -35,6 +35,13 @@ class EngineCore:
         )
         self.stats = EngineStats()
         self.traces: dict[str, RequestTrace] = {}
+        # async scheduling: (scheduler_output, runner handle, preapply map)
+        # of a launched-but-unresolved decode window
+        self._pending: Optional[tuple] = None
+        self._async_sched = (
+            config.scheduler_config.async_scheduling
+            and config.scheduler_config.num_decode_steps > 1
+        )
         oc = config.observability_config
         if oc.otlp_traces_endpoint:
             init_tracing(oc.otlp_traces_endpoint)
@@ -127,6 +134,8 @@ class EngineCore:
         return self.scheduler.has_unfinished_requests()
 
     def step(self) -> list[EngineCoreOutput]:
+        if self._pending is not None:
+            return self._step_pipelined()
         scheduler_output = self.scheduler.schedule()
         if scheduler_output.total_num_scheduled_tokens == 0:
             # nothing schedulable (all waiting on blocks) — shouldn't spin
@@ -137,29 +146,102 @@ class EngineCore:
             tr = self.traces.get(rid)
             if tr:
                 tr.mark_scheduled()
+        if self._async_sched and self.runner.can_execute_async(scheduler_output):
+            # async scheduling: launch without blocking; the next step()
+            # schedules the following window while this one runs on device
+            try:
+                handle = self.runner.execute_model_async(scheduler_output)
+            except Exception as e:  # noqa: BLE001
+                return self._error_window(scheduler_output, e)
+            pre = self.scheduler.preapply_window(scheduler_output)
+            self._pending = (scheduler_output, handle, pre)
+            return []
+        return self._dispatch_sync(scheduler_output)
+
+    def _error_window(self, so, e) -> list[EngineCoreOutput]:
+        # forward-error containment: a failing batch errors the
+        # SCHEDULED requests, not the engine — subsequent requests keep
+        # serving (ref: tests/v1/shutdown/test_forward_error.py)
+        logger.error("model execution failed, erroring batch: %s", e)
+        failed = []
+        for rid in list(so.num_scheduled_tokens):
+            self.scheduler.abort_request(rid)
+            self.traces.pop(rid, None)
+            failed.append(
+                EngineCoreOutput(
+                    req_id=rid,
+                    new_token_ids=[],
+                    finished=True,
+                    finish_reason="error",
+                    stop_reason=str(e),
+                )
+            )
+        return failed
+
+    def _step_pipelined(self) -> list[EngineCoreOutput]:
+        """Resolve the in-flight window, having first (when safe) scheduled
+        and launched the NEXT window — the async-scheduling overlap: host
+        scheduling + metadata work and the device window run concurrently
+        (ref: tests/v1/core/test_async_scheduler.py)."""
+        so_prev, h_prev, pre_prev = self._pending
+        self._pending = None
+        so_next = h_next = pre_next = None
+        if self._async_sched and self.scheduler.can_schedule_ahead(so_prev):
+            so_next = self.scheduler.schedule()
+            for rid in so_next.num_scheduled_tokens:
+                tr = self.traces.get(rid)
+                if tr:
+                    tr.mark_scheduled()
+            if (
+                so_next.num_decode_steps == so_prev.num_decode_steps
+                and tuple(so_next.num_scheduled_tokens)
+                == tuple(so_prev.num_scheduled_tokens)
+                and self.runner.can_execute_async(so_next)
+                and self.runner.is_warm_for(so_next)
+            ):
+                h_next = self.runner.execute_model_async(so_next)
+                pre_next = self.scheduler.preapply_window(so_next)
+        try:
+            runner_output = self.runner.resolve_async(h_prev)
+        except Exception as e:  # noqa: BLE001
+            outs = self._error_window(so_prev, e)
+            if so_next is not None:
+                outs += self._error_window(so_next, e)
+            self.scheduler.flush_deferred_free()
+            return outs
+        # the resolved window was the last possible writer of any blocks
+        # deferred at the PREVIOUS resolve — free them now
+        self.scheduler.flush_deferred_free()
+        if so_next is not None:
+            # finishes discovered below must not reuse blocks a launched (or
+            # still-to-run) next window writes
+            self.scheduler.begin_deferred_free()
+        sampled = dict(
+            zip(runner_output.req_ids, runner_output.sampled_token_ids)
+        )
+        outputs = self.scheduler.resolve_window(so_prev, sampled, pre_prev)
+        outputs = self._postprocess(so_prev, runner_output, outputs)
+        if h_next is not None:
+            self._pending = (so_next, h_next, pre_next)
+        elif so_next is not None:
+            # scheduled but not launchable ahead (cold inputs / mode change):
+            # run it synchronously now that the previous window resolved
+            outputs = outputs + self._dispatch_sync(so_next)
+            self.scheduler.flush_deferred_free()
+        return outputs
+
+    def _dispatch_sync(self, scheduler_output) -> list[EngineCoreOutput]:
         try:
             runner_output = self.runner.execute_model(scheduler_output)
         except Exception as e:  # noqa: BLE001
-            # forward-error containment: a failing batch errors the
-            # SCHEDULED requests, not the engine — subsequent requests keep
-            # serving (ref: tests/v1/shutdown/test_forward_error.py)
-            logger.error("model execution failed, erroring batch: %s", e)
-            failed = []
-            for rid in list(scheduler_output.num_scheduled_tokens):
-                self.scheduler.abort_request(rid)
-                self.traces.pop(rid, None)
-                failed.append(
-                    EngineCoreOutput(
-                        req_id=rid,
-                        new_token_ids=[],
-                        finished=True,
-                        finish_reason="error",
-                        stop_reason=str(e),
-                    )
-                )
-            return failed
+            return self._error_window(scheduler_output, e)
         sampled = dict(zip(runner_output.req_ids, runner_output.sampled_token_ids))
         outputs = self.scheduler.update_from_output(scheduler_output, sampled)
+        return self._postprocess(scheduler_output, runner_output, outputs)
+
+    def _postprocess(
+        self, scheduler_output, runner_output, outputs
+    ) -> list[EngineCoreOutput]:
         # MTP/EAGLE drafts from the runner's draft head become the next
         # step's speculative tokens (scheduler external_drafts mode)
         for rid, drafts in runner_output.draft_tokens.items():

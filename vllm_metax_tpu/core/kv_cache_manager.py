@@ -214,7 +214,13 @@ class KVCacheManager:
         or None if the pool can't satisfy it (caller preempts)."""
         computed = new_computed_blocks.blocks if new_computed_blocks else []
         cur = self.req_blocks.get(request.req_id, [])
-        total_tokens = request.num_computed_tokens + num_new_tokens
+        # inflight_tokens: an unresolved async-scheduled window's tokens
+        # occupy slots too (scheduler.preapply_window)
+        total_tokens = (
+            request.num_computed_tokens
+            + request.inflight_tokens
+            + num_new_tokens
+        )
         needed_blocks = cdiv(total_tokens, self.block_size)
         num_new_blocks = needed_blocks - len(cur) - len(computed)
         # per-partition availability (round-robin over sequence positions)

@@ -105,10 +105,15 @@ class ModelRunner:
                     f"num_blocks={config.cache_config.num_blocks} must divide "
                     f"decode_context_parallel_size={self.dcp_size}"
                 )
-            if not self.model.kv_cache_spec(self.model_cfg).get("store_v", True):
+            # MLA latent caches shard over dcp like GQA pools (rank-local
+            # pages + distributed-softmax combine, models/deepseek.py
+            # mla_attention; ref: mla/common.py:796-883 + cp_gather_cache).
+            # Only the V3.2 sparse indexer still requires a replicated cache
+            # (its top-k gather reads arbitrary global positions).
+            if getattr(self.model_cfg, "index_topk", 0):
                 raise NotImplementedError(
-                    "DCP over MLA latent caches is not supported yet "
-                    "(ref: vllm_metax/v1/attention/backends/mla/flashmla.py)"
+                    "DCP with the DeepSeek-V3.2 sparse indexer is not "
+                    "supported (global top-k gather needs replicated cache)"
                 )
         spec = config.speculative_config
         self.mtp = bool(
@@ -1582,6 +1587,20 @@ class ModelRunner:
                 cr.resumed_from_preemption for cr in so.scheduled_cached_reqs
             )
             and not self._needs_per_step_host_state(so)
+        )
+
+    def is_warm_for(self, so: SchedulerOutput) -> bool:
+        """True when a window over `so` would reuse the device-resident
+        inputs of the previous window (warm/warm-delta). Launch-AHEAD
+        windows require this: a cold rebuild reads host token state the
+        unresolved previous window hasn't produced yet."""
+        cache = self._msd_cache
+        if cache is None:
+            return False
+        req_ids = tuple(so.num_scheduled_tokens.keys())
+        return (
+            cache["fp"][0] == req_ids
+            and cache["fp"][3] == so.num_decode_steps
         )
 
     def execute_model_async(self, so: SchedulerOutput) -> dict:

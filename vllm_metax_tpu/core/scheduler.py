@@ -121,6 +121,10 @@ class Scheduler:
         self.running: list[Request] = []
         self.requests: dict[str, Request] = {}
         self.finished_req_ids: set[str] = set()
+        # async scheduling: requests whose blocks must outlive an in-flight
+        # speculatively-scheduled window (freed via flush_deferred_free)
+        self._defer_free = False
+        self._deferred_free_reqs: list[Request] = []
         # stats
         self.num_preemptions = 0
         self.num_prefix_cached_tokens = 0
@@ -139,15 +143,21 @@ class Scheduler:
         req.status = RequestStatus.FINISHED_ABORTED
         if req in self.running:
             self.running.remove(req)
-            self.kv_manager.free(req)
+            self._free_or_defer(req)
         else:
             try:
                 self.waiting.remove(req)
             except ValueError:
                 pass
             if req.num_computed_tokens:
-                self.kv_manager.free(req)
+                self._free_or_defer(req)
         self.finished_req_ids.add(req_id)
+
+    def _free_or_defer(self, req: Request) -> None:
+        if self._defer_free:
+            self._deferred_free_reqs.append(req)
+        else:
+            self.kv_manager.free(req)
 
     def has_unfinished_requests(self) -> bool:
         return bool(self.waiting or self.running)
@@ -222,7 +232,10 @@ class Scheduler:
             if reqs and all(
                 r.num_tokens_with_spec - r.num_computed_tokens == 1 for r in reqs
             ):
-                room = min(self.max_model_len - r.num_tokens + 1 for r in reqs)
+                room = min(
+                    self.max_model_len - r.num_tokens - r.inflight_tokens + 1
+                    for r in reqs
+                )
                 # cap by the LONGEST-living request's remaining output budget
                 # (shorter requests stop writing KV mid-window via the
                 # runner's per-request write-end mask, so they don't need
@@ -232,6 +245,7 @@ class Scheduler:
                 rem_max = max(
                     (r.sampling_params.max_tokens or (1 << 30))
                     - r.num_output_tokens
+                    - r.inflight_tokens
                     for r in reqs
                 )
                 multi = max(1, min(self.config.num_decode_steps, room, rem_max))
@@ -256,7 +270,7 @@ class Scheduler:
             if multi > 1:
                 rem_r = (
                     req.sampling_params.max_tokens or (1 << 30)
-                ) - req.num_output_tokens
+                ) - req.num_output_tokens - req.inflight_tokens
                 num_slots = num_new + min(multi, max(rem_r, 1)) - 1
             else:
                 num_slots = num_new
@@ -276,7 +290,10 @@ class Scheduler:
                 CachedReqData(
                     req_id=req.req_id,
                     new_block_ids=new_blocks.block_ids,
-                    num_computed_tokens=req.num_computed_tokens,
+                    # in-flight window tokens count as computed for the
+                    # runner's view (device-side positions already advanced)
+                    num_computed_tokens=req.num_computed_tokens
+                    + req.inflight_tokens,
                 )
             )
             out.num_scheduled_tokens[req.req_id] = num_new
@@ -363,6 +380,112 @@ class Scheduler:
         self.waiting.appendleft(req)
         logger.debug("preempted request %s", req.req_id)
 
+    # ------------------------------------------------- async scheduling
+
+    def can_schedule_ahead(self, so_prev: SchedulerOutput) -> bool:
+        """True when the NEXT decode window can be scheduled while `so_prev`
+        is still executing: same request set, everything decode-ready, the
+        window length will match (warm device inputs), and enough free
+        blocks that no preemption can occur (a preemption would free blocks
+        the in-flight window is writing)."""
+        from vllm_metax_tpu.utils import cdiv
+
+        if self.waiting or not self.running:
+            return False
+        if self.proposer is not None or self.external_drafts:
+            return False
+        m = so_prev.num_decode_steps
+        if self.config.num_decode_steps <= 1 or m <= 1:
+            return False
+        prev_ids = set(so_prev.num_scheduled_tokens)
+        if {r.req_id for r in self.running} != prev_ids:
+            return False
+        km = self.kv_manager
+        need = [0] * km.dcp_size
+        room_min = 1 << 30
+        rem_vals = []
+        for req in self.running:
+            if req.status != RequestStatus.RUNNING or req.spec_token_ids:
+                return False
+            sp = req.sampling_params
+            if (
+                getattr(sp, "_guided_fsm", None)
+                or getattr(sp, "_guided_token_choices", None)
+                or sp.prompt_logprobs is not None
+            ):
+                return False
+            mt = sp.max_tokens if sp.max_tokens is not None else 1 << 30
+            rem = mt - req.num_output_tokens - req.inflight_tokens
+            room = (
+                self.max_model_len - req.num_tokens - req.inflight_tokens + 1
+            )
+            if rem <= 0 or room <= 1:
+                return False  # request finishes in the in-flight window
+            rem_vals.append(rem)
+            room_min = min(room_min, room)
+            total = req.num_computed_tokens + req.inflight_tokens + m
+            cur = len(km.req_blocks.get(req.req_id, []))
+            for pos in range(cur, cdiv(total, self.block_size)):
+                need[pos % km.dcp_size] += 1
+        # the next window must be the SAME length m (warm fingerprint)
+        if min(self.config.num_decode_steps, room_min, max(rem_vals)) != m:
+            return False
+        return all(
+            need[d] <= km.pools[d].get_num_free_blocks()
+            for d in range(km.dcp_size)
+        )
+
+    def preapply_window(self, so: SchedulerOutput) -> dict[str, int]:
+        """Mark a launched-but-unresolved decode window's tokens as in
+        flight, so the NEXT window can be scheduled (slot allocation, length
+        budgets) while the device still runs this one — the overlap the
+        reference pins in tests/v1/core/test_async_scheduler.py. Token
+        VALUES stay unknown; resolve_window() applies the real results."""
+        m = so.num_decode_steps
+        rec: dict[str, int] = {}
+        for rid in so.num_scheduled_tokens:
+            req = self.requests.get(rid)
+            if req is None or req.status != RequestStatus.RUNNING:
+                continue
+            sp = req.sampling_params
+            mt = sp.max_tokens if sp.max_tokens is not None else 1 << 30
+            room = min(
+                mt - req.num_output_tokens - req.inflight_tokens,
+                self.max_model_len - req.num_tokens - req.inflight_tokens,
+            )
+            opt = max(min(m, room), 0)
+            req.inflight_tokens += opt
+            rec[rid] = opt
+        return rec
+
+    def resolve_window(
+        self,
+        so: SchedulerOutput,
+        sampled: dict[str, list[int]],
+        preapplied: dict[str, int],
+    ) -> list[EngineCoreOutput]:
+        """Retire a preapplied window: drop its in-flight marks, then run the
+        normal output update (true tokens append at the list tail — in-flight
+        marks never entered output_token_ids, so ordering is preserved even
+        with a later window already launched)."""
+        for rid, opt in preapplied.items():
+            req = self.requests.get(rid)
+            if req is not None:
+                req.inflight_tokens = max(req.inflight_tokens - opt, 0)
+        return self.update_from_output(so, sampled)
+
+    def begin_deferred_free(self) -> None:
+        """While a speculatively-scheduled window is in flight, finished
+        requests' blocks must not be reused (the device still writes them);
+        _finish queues them until flush_deferred_free()."""
+        self._defer_free = True
+
+    def flush_deferred_free(self) -> None:
+        self._defer_free = False
+        for req in self._deferred_free_reqs:
+            self.kv_manager.free(req)
+        self._deferred_free_reqs.clear()
+
     # ------------------------------------------------------------- update
 
     def update_from_output(
@@ -446,5 +569,5 @@ class Scheduler:
     def _finish(self, req: Request) -> None:
         if req in self.running:
             self.running.remove(req)
-        self.kv_manager.free(req)
+        self._free_or_defer(req)
         self.finished_req_ids.add(req.req_id)

@@ -96,6 +96,37 @@ def mla_attention(
 
     impl = envs.METAX_TPU_ATTN_IMPL
     use_pallas = impl == "pallas" or (impl == "auto" and _on_tpu())
+    if md.dcp_axis is not None:
+        # DCP over the latent cache: rank-local partial MQA over owned pages
+        # + LSE-weighted distributed-softmax combine — the latent-cache
+        # analog of the reference's dcp seq-len split + cp_gather_cache
+        # (mla/common.py:796-883, csrc/cache_kernels.cu:1075). No latent
+        # ever moves between ranks; the combine is two small collectives.
+        if use_pallas and md.decode_only and latent_cur is None:
+            from vllm_metax_tpu.ops.pallas.decode_attention import (
+                decode_attention_supported,
+                paged_decode_attention_pallas,
+            )
+
+            if decode_attention_supported(q, kv_cache, md, mla=True):
+                out_l, lse_l = paged_decode_attention_pallas(
+                    q, kv_cache, md, sm_scale, pv_width=kv_lora_rank,
+                    dcp=True, return_lse=True,
+                )
+                lse_max = jnp.maximum(
+                    jax.lax.pmax(lse_l, md.dcp_axis), -1e30
+                )
+                w = jnp.exp(lse_l - lse_max)  # (T, H)
+                num = jax.lax.psum(
+                    out_l.astype(jnp.float32) * w[..., None], md.dcp_axis
+                )
+                den = jax.lax.psum(w, md.dcp_axis)
+                return (num / jnp.maximum(den[..., None], 1e-30)).astype(
+                    q.dtype
+                )
+        return mla_attention_xla_chunked(
+            q, kv_cache, md, sm_scale, kv_lora_rank, latent_cur=latent_cur
+        )
     if use_pallas and md.decode_only:
         from vllm_metax_tpu.ops.pallas.decode_attention import (
             decode_attention_supported,
@@ -147,6 +178,8 @@ def mla_attention_xla_chunked(
             cq, cs = _quantize_kv(latent_cur, kv_cache.k.dtype)
             cur = (cq[:, 0].astype(jnp.float32) * cs[:, 0, None])
 
+    nb_local = kv_cache.k.shape[0]
+
     def chunk_step(carry, c):
         m, l, acc = carry
         pages = jax.lax.dynamic_slice_in_dim(bt, c * cb, cb, axis=1)  # (R, CB)
@@ -169,15 +202,25 @@ def mla_attention_xla_chunked(
         s = jnp.einsum("thd,tcd->thc", qf, lat_tok) * sm_scale  # (T, H, CKV)
         kv_pos = c * ckv + pos_in_chunk
         mask = (kv_pos <= q_pos) & (kv_pos < seq_len)  # (T, CKV)
+        if md.dcp_axis is not None:
+            # only latent pages this rank owns contribute locally (sentinel
+            # page ids clamp in the take above — mask them out)
+            owned = jnp.repeat(pages < nb_local, bs, axis=1)  # (R, CKV)
+            mask &= owned[md.req_idx]
         s = jnp.where(mask[:, None, :], s, _NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(s - m_new)
+        # masked columns must contribute EXACTLY 0: when a chunk is fully
+        # masked (a dcp rank owning no pages of it), m_new stays -inf and
+        # exp(s - m_new) = exp(0) = 1 would sweep in stale/NaN pool data —
+        # and 0 x NaN = NaN, so the latent values are zeroed there too
+        p = jnp.where(mask[:, None, :], jnp.exp(s - m_new), 0.0)
+        v_lat = jnp.where(
+            mask[:, :, None], lat_tok[..., :kv_lora_rank], 0.0
+        )
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.einsum(
-            "thc,tcd->thd", p, lat_tok[..., :kv_lora_rank]
-        )
+        acc_new = acc * alpha + jnp.einsum("thc,tcd->thd", p, v_lat)
         return (m_new, l_new, acc_new), None
 
     carry0 = (
@@ -188,6 +231,14 @@ def mla_attention_xla_chunked(
     (m, l, acc), _ = jax.lax.scan(
         chunk_step, carry0, jnp.arange(nchunks, dtype=jnp.int32)
     )
+    if md.dcp_axis is not None:
+        # distributed softmax over the page shards: global row max, psum of
+        # weighted numerator/denominator (SPMD merge_attn_states)
+        m_g = jnp.maximum(jax.lax.pmax(m, md.dcp_axis), -1e30)
+        w = jnp.exp(m - m_g)
+        num = jax.lax.psum(acc * w, md.dcp_axis)
+        den = jax.lax.psum(l * w, md.dcp_axis)
+        return (num / jnp.maximum(den, 1e-30)).astype(q.dtype)
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 
