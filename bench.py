@@ -57,6 +57,12 @@ if _WATCHDOG_S > 0:
 # packed int4 weights (ops/pallas/quant_matmul.py W4A8 kernel) — the bf16
 # dequant path burns ~35% more step time on VPU nibble-unpacking.
 os.environ.setdefault("METAX_TPU_W4A8", "1")
+# Prefill int8-requant: load-time per-channel int8 copies serve prefill-sized
+# GEMMs on the int8 MXU with a single per-channel epilogue (decode keeps the
+# int4 bank). Quality-gated via tools/ppl_gate.py: int4+requant +4.72% vs
+# int4-only +5.24% on the random-weight proxy — the requant path is never
+# worse than the int4 it re-quantizes.
+os.environ.setdefault("METAX_TPU_PREFILL_REQUANT", "1")
 # KV commit: the slab-bounce Pallas kernel (envs default "pallas",
 # ops/pallas/kv_commit.py) — 0.42ms/step vs ~3.0ms for the row scatters.
 

@@ -242,3 +242,95 @@ def test_qwen3_moe_vs_transformers(tmp_path):
                        sampling_params=SamplingParams(max_tokens=8,
                                                       temperature=0.0))
     assert out[0].outputs[0].token_ids == hf
+
+
+# ---------------------------------------------- dropless a2a EP dispatch
+
+def _ep4_dispatch(rng, ids):
+    """Drive _fused_experts_a2a on a 4-rank ep mesh against the replicated
+    reference (psum of per-rank partials == full combine). `ids` controls
+    routing — adversarial hot-expert patterns overflow the capacity buffers
+    and must take the exact dropless fallback branch (lax.cond), so the
+    output stays invariant (ref: the reference's dropless deepep backends,
+    vllm_metax/platform.py:202-217)."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_metax_tpu.ops.moe import _fused_experts_a2a, fused_experts
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+
+    t, h, i, e, k, ep = 32, 16, 32, 8, 2, 4
+    x = jnp.asarray(rng.standard_normal((t, h), dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((e, h, 2 * i), dtype=np.float32)) * 0.1
+    w2 = jnp.asarray(rng.standard_normal((e, i, h), dtype=np.float32)) * 0.1
+    weights = jnp.asarray(rng.random((t, k), dtype=np.float32))
+    act = jax.nn.silu
+
+    def act_fn(z):
+        g, u = jnp.split(z, 2, axis=-1)
+        return act(g) * u
+
+    ref = fused_experts(
+        x, {"w": w1}, {"w": w2}, weights, ids, act_fn, e, ep_axis=None
+    )
+
+    mesh = make_tp_mesh(1, ep_size=ep)
+
+    def ranked(x, w1_l, w2_l, weights, ids):
+        part = _fused_experts_a2a(
+            x, {"w": w1_l}, {"w": w2_l}, weights, ids, act_fn, e, "ep"
+        )
+        return jax.lax.psum(part, "ep")
+
+    fn = jax.shard_map(
+        ranked,
+        mesh=mesh,
+        in_specs=(P(), P("ep"), P("ep"), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = fn(x, w1, w2, weights, ids)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ep4_a2a_dropless_balanced(rng):
+    # balanced routing: stays on the a2a branch (no overflow at cf=2)
+    import numpy as np
+
+    ids = jnp.asarray(
+        np.stack([np.arange(32) % 8, (np.arange(32) + 4) % 8], axis=1),
+        jnp.int32,
+    )
+    _ep4_dispatch(rng, ids)
+
+
+def test_ep4_a2a_dropless_hot_expert(rng):
+    # adversarial: EVERY token routes to rank 0's experts — overflows the
+    # per-destination capacity, must take the exact fallback branch
+    ids = jnp.zeros((32, 2), jnp.int32).at[:, 1].set(1)
+    _ep4_dispatch(rng, ids)
+
+
+def test_ep4_engine_auto_dispatch(monkeypatch):
+    """auto dispatch at the engine level, ep=4: token-exact vs single
+    device (crossover logic picks a2a or replicated per batch shape)."""
+    from vllm_metax_tpu.config import ParallelConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+    from tests.test_parallel import (
+        _make_config,
+        _moe_config_for_parallel,
+        _run_engine,
+    )
+
+    monkeypatch.setenv("METAX_TPU_EP_DISPATCH", "auto")
+    mc = _moe_config_for_parallel()
+    ref = _run_engine(_make_config(mc, 1))
+    cfg = _make_config(mc, 1)
+    cfg.parallel_config = ParallelConfig(
+        tensor_parallel_size=1, expert_parallel_size=4
+    )
+    out = _run_engine(cfg, mesh=make_tp_mesh(1, 4))
+    assert out == ref

@@ -113,10 +113,14 @@ def test_runner_builds_requant_bank(monkeypatch, small_model_config):
     )
     eng = EngineCore(config)
     layers = eng.runner.params["layers"]
-    for name in ("qkv", "o", "gate_up", "down"):
+    # default scope "mlp": the big MLP GEMMs get the int8 copy (80% of
+    # prefill FLOPs); attention projections stay int4-only (memory budget)
+    for name in ("gate_up", "down"):
         assert "w8p" in layers[name], name
         assert layers[name]["w8p"].dtype == jnp.int8
         assert layers[name]["s8p"].shape[-2] == 1
+    for name in ("qkv", "o"):
+        assert "w8p" not in layers[name], name
     # engine still generates sane greedy tokens end-to-end
     eng.add_request(
         "r0", [1, 5, 9, 4, 2, 8], SamplingParams(max_tokens=4, temperature=0.0)

@@ -384,3 +384,135 @@ def test_guided_grammar_e2e(tmp_path):
         SamplingParams(max_tokens=16, temperature=0.0, guided_grammar=g),
     )[0].outputs[0].text
     assert _re.fullmatch(r"(yes|no), [0-9][0-9]?", out), out
+
+
+# ---------------------------------------- recursive grammars (pushdown FSM)
+
+def _pda(grammar, strings):
+    """Build a PushdownTokenFSM over a toy vocab of the given strings
+    (one token per string) and return (fsm, {string: id})."""
+    from vllm_metax_tpu.guided_grammar import PushdownTokenFSM
+
+    toks = {i: s for i, s in enumerate(strings)}
+    return PushdownTokenFSM(grammar, toks), {s: i for i, s in toks.items()}
+
+
+_JSON_G = r'''
+// nested-JSON (no whitespace) — truly recursive
+value ::= object | array | string | number
+object ::= "{" (pair ("," pair)*)? "}"
+pair ::= string ":" value
+array ::= "[" (value ("," value)*)? "]"
+string ::= "\"" [a-z]* "\""
+number ::= [0-9]+
+root ::= value
+'''
+
+
+def test_pushdown_accepts_nested_json():
+    fsm, ids = _pda(
+        _JSON_G,
+        ['{', '}', '[', ']', '"', 'a', 'b', ':', ',', '1', '2', '"a"',
+         '{"', '"}'],
+    )
+    st = fsm.init_state
+    for ch in '{"a":[{"b":12},[1,2]],"b":{"a":"ab"}}':
+        st = fsm.advance_str(st, ch)
+        assert st, ch
+    assert fsm.is_accepting(st)
+    # unbalanced close must die
+    st2 = fsm.advance_str(fsm.init_state, '{"a":1}}')
+    assert not st2
+
+
+def test_pushdown_masks_follow_the_stack():
+    fsm, ids = _pda(_JSON_G, ['{', '}', '[', ']', '"', 'a', ':', ',', '1'])
+    st = fsm.advance_str(fsm.init_state, '{"a":[')
+    allowed = set(fsm.allowed_token_ids(st))
+    # inside an array a value may start; '}' may not close the OBJECT yet
+    assert ids['['] in allowed and ids['"'] in allowed and ids['1'] in allowed
+    assert ids['}'] not in allowed
+    # after closing the array, ',' or '}' continue the object
+    st = fsm.advance_str(st, '1]')
+    allowed = set(fsm.allowed_token_ids(st))
+    assert ids[','] in allowed and ids['}'] in allowed
+    assert ids[']'] not in allowed
+
+
+def test_pushdown_arithmetic_expressions():
+    g = r'''
+    expr ::= term (("+" | "-") term)*
+    term ::= factor (("*" | "/") factor)*
+    factor ::= [0-9]+ | "(" expr ")"
+    root ::= expr
+    '''
+    fsm, ids = _pda(g, list("0123456789+-*/()"))
+    for ok in ("1+2*3", "(1+2)*(3-4)/5", "((((7))))"):
+        st = fsm.init_state
+        for ch in ok:
+            st = fsm.advance_str(st, ch)
+            assert st, (ok, ch)
+        assert fsm.is_accepting(st), ok
+    for bad in ("1+", "(1+2", "1))", "*3"):
+        st = fsm.init_state
+        dead_or_unaccepted = False
+        for ch in bad:
+            st = fsm.advance_str(st, ch)
+            if not st:
+                dead_or_unaccepted = True
+                break
+        if st:
+            dead_or_unaccepted = not fsm.is_accepting(st)
+        assert dead_or_unaccepted, bad
+
+
+def test_pushdown_left_recursion_bounded():
+    """Left-recursive rules don't explode: the call expansion caps at
+    max_depth, so the machine accepts nestings up to that depth."""
+    from vllm_metax_tpu.guided_grammar import PushdownTokenFSM
+
+    g = 'root ::= root "x" | "y"'
+    fsm = PushdownTokenFSM(g, {0: "x", 1: "y"}, max_depth=16)
+    st = fsm.advance_str(fsm.init_state, "yxxxxx")
+    assert st and fsm.is_accepting(st)
+    st = fsm.advance_str(fsm.init_state, "xy")  # x cannot come first
+    assert not st
+
+
+def test_recursive_grammar_e2e(tmp_path):
+    """Nested-JSON generation constrained end-to-end through LLM.generate —
+    the reference surface this mirrors:
+    tests/v1/entrypoints/llm/test_struct_output_generate.py (xgrammar CFG)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tests.test_api_server import _make_tiny_tokenizer
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=32000,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )).eval()
+    path = str(tmp_path / "tiny")
+    m.save_pretrained(path, safe_serialization=True)
+    _make_tiny_tokenizer(path)
+
+    llm = LLM(model=path, dtype="float32", num_kv_blocks=64, max_num_seqs=4,
+              max_num_batched_tokens=64, max_model_len=128)
+    out = llm.generate(
+        ["Data:"],
+        SamplingParams(max_tokens=24, temperature=0.0,
+                       guided_grammar=_JSON_G),
+    )[0].outputs[0].text
+    # the constrained output must be a syntactically valid (possibly
+    # truncated) nesting; validate the balanced-structure invariant
+    depth = 0
+    for ch in out:
+        assert ch in '{}[]":,abcdefghijklmnopqrstuvwxyz0123456789', out
+        if ch in "{[":
+            depth += 1
+        elif ch in "}]":
+            depth -= 1
+            assert depth >= 0, out

@@ -324,6 +324,12 @@ class CacheConfig:
     gpu_memory_utilization: float = 0.9
     enable_prefix_caching: bool = True
     swap_space_bytes: int = 0
+    # Host-RAM KV offload tier (core/host_kv_tier.py): evicted prefix-cache
+    # pages spill to host memory (LRU, this many blocks) and restore on a
+    # later hash-chain hit — the analog of the reference's swap_blocks +
+    # LMCache offloading (csrc/cache_kernels.cu:18,
+    # tests/kv_transfer/test_lmcache_offloading.py). 0 = off.
+    host_swap_blocks: int = 0
 
     def __post_init__(self) -> None:
         if self.block_size % 16 != 0:

@@ -42,6 +42,15 @@ class EngineCore:
             config.scheduler_config.async_scheduling
             and config.scheduler_config.num_decode_steps > 1
         )
+        # host-RAM KV offload tier (core/host_kv_tier.py; ref: swap_blocks
+        # + LMCache offloading)
+        self.host_tier = None
+        if config.cache_config.host_swap_blocks > 0:
+            from vllm_metax_tpu.core.host_kv_tier import HostKVTier
+
+            self.host_tier = HostKVTier(config.cache_config.host_swap_blocks)
+            for p in self.scheduler.kv_manager.pools:
+                p.log_evictions = True
         oc = config.observability_config
         if oc.otlp_traces_endpoint:
             init_tracing(oc.otlp_traces_endpoint)
@@ -75,16 +84,24 @@ class EngineCore:
                 f"prompt contains out-of-vocabulary token ids {bad[:5]} "
                 f"(vocab_size={vocab})"
             )
+        request = Request(
+            req_id=req_id,
+            prompt_token_ids=list(prompt_token_ids),
+            sampling_params=sampling_params,
+            eos_token_id=eos_token_id,
+            arrival_time=time.time(),
+            lora_name=lora_name,
+            multi_modal_data=multi_modal_data,
+        )
+        if self.host_tier is not None:
+            # restore spilled prefix pages from host RAM before scheduling,
+            # so get_computed_blocks sees them as cached (prefill skips the
+            # restored span — one host→device transfer instead of recompute)
+            from vllm_metax_tpu.core.host_kv_tier import try_restore
+
+            try_restore(self, request)
         self.scheduler.add_request(
-            Request(
-                req_id=req_id,
-                prompt_token_ids=list(prompt_token_ids),
-                sampling_params=sampling_params,
-                eos_token_id=eos_token_id,
-                arrival_time=time.time(),
-                lora_name=lora_name,
-                multi_modal_data=multi_modal_data,
-            )
+            request
         )
         self.traces[req_id] = RequestTrace(
             req_id, prompt_tokens=len(prompt_token_ids)
@@ -142,6 +159,7 @@ class EngineCore:
             if self.scheduler.has_unfinished_requests():
                 logger.warning("scheduler produced an empty step with pending work")
             return []
+        self._maybe_spill()
         for rid in scheduler_output.num_scheduled_tokens:
             tr = self.traces.get(rid)
             if tr:
@@ -157,6 +175,20 @@ class EngineCore:
             self._pending = (scheduler_output, handle, pre)
             return []
         return self._dispatch_sync(scheduler_output)
+
+    def _maybe_spill(self) -> None:
+        """Spill freshly evicted prefix-cache pages to the host tier.
+
+        Must run after a schedule() (where evictions happen) and before any
+        launch whose KV writes would overwrite the evicted rows."""
+        if self.host_tier is None:
+            return
+        ev = self.scheduler.kv_manager.take_evictions()
+        if not ev:
+            return
+        from vllm_metax_tpu.core.host_kv_tier import spill_evictions
+
+        spill_evictions(self, ev)
 
     def _error_window(self, so, e) -> list[EngineCoreOutput]:
         # forward-error containment: a failing batch errors the
@@ -188,6 +220,7 @@ class EngineCore:
         so_next = h_next = pre_next = None
         if self._async_sched and self.scheduler.can_schedule_ahead(so_prev):
             so_next = self.scheduler.schedule()
+            self._maybe_spill()  # BEFORE any launch overwrites evicted rows
             for rid in so_next.num_scheduled_tokens:
                 tr = self.traces.get(rid)
                 if tr:

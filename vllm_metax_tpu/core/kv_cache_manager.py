@@ -77,6 +77,13 @@ class BlockPool:
     ):
         self.num_blocks = num_blocks
         self.enable_caching = enable_caching
+        self.start_id = start_id
+        # (block_hash, block_id) of cached blocks whose slot was reused —
+        # drained by KVCacheManager.take_evictions for the host offload
+        # tier (core/host_kv_tier.py) before the rows are overwritten.
+        # Logged only when a tier is attached (engine sets log_evictions).
+        self.log_evictions = False
+        self.evicted_log: list[tuple[int, int]] = []
         self.blocks = [KVCacheBlock(start_id + i) for i in range(num_blocks)]
         # LRU: freed blocks stay here (evictable, content intact) until reused.
         self.free_queue: OrderedDict[int, KVCacheBlock] = OrderedDict(
@@ -106,6 +113,10 @@ class BlockPool:
                 # evicting a cached block: drop its prefix-cache entry
                 if self.cached.get(block.block_hash) is block:
                     del self.cached[block.block_hash]
+                    if self.log_evictions:
+                        self.evicted_log.append(
+                            (block.block_hash, block.block_id)
+                        )
                 block.block_hash = None
             block.ref_cnt = 1
             out.append(block)
@@ -174,6 +185,15 @@ class KVCacheManager:
     def _pool_at(self, seq_block_idx: int) -> BlockPool:
         """Pool owning the seq_block_idx-th block of any sequence."""
         return self.pools[seq_block_idx % self.dcp_size]
+
+    def take_evictions(self) -> list[tuple[int, int]]:
+        """Drain (block_hash, block_id) of cached blocks evicted since the
+        last call (host offload tier spill feed)."""
+        out: list[tuple[int, int]] = []
+        for p in self.pools:
+            out.extend(p.evicted_log)
+            p.evicted_log.clear()
+        return out
 
     def _pool_of(self, block: KVCacheBlock) -> BlockPool:
         return self.pools[block.block_id // self.nbl]

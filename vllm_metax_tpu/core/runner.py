@@ -322,6 +322,8 @@ class ModelRunner:
         Per-layer jit keeps the f32 dequant workspace to one layer (~0.5GB
         at 8B shapes). Ref analog: shape-keyed GEMM dispatch,
         csrc/quantization/gptq/q_gemm.cu:2373 region."""
+        import os
+
         import jax as _jax
         import jax.numpy as _jnp
 
@@ -334,10 +336,24 @@ class ModelRunner:
         def _requant_layer(wl, sl, zl):
             return quantize_int8_channel(dequant_int4(wl, sl, zl, _jnp.float32))
 
-        def walk(node):
+        # scope "mlp" (default): only gate_up/down get the int8 copy — 80%
+        # of prefill FLOPs for ~5.6GB at 8B shapes; "all" adds qkv/o
+        # (~7GB total — did not fit next to the KV pool on 16GB v5e)
+        scope = os.environ.get("METAX_TPU_PREFILL_REQUANT_SCOPE", "mlp")
+        scope_keys = {
+            "mlp": ("gate_up", "down", "gate_up_shared", "down_shared",
+                    "fc_in", "fc_out", "mlp_up", "mlp_down"),
+            # tightest-memory option: only the largest GEMM (2/3 of MLP
+            # FLOPs) gets the int8 copy
+            "gate_up": ("gate_up", "gate_up_shared", "mlp_up", "fc_in"),
+        }.get(scope)
+
+        def walk(node, name=""):
             if not isinstance(node, dict):
                 return node
-            out = {k: walk(v) for k, v in node.items()}
+            out = {k: walk(v, k) for k, v in node.items()}
+            if scope_keys is not None and name not in scope_keys:
+                return out
             if (
                 "w_p4" in out
                 and not isinstance(out["w_p4"], dict)
@@ -345,15 +361,33 @@ class ModelRunner:
                 and "s" in out
                 and "zs" in out
             ):
-                w8_l, s8_l = [], []
-                for li in range(out["w_p4"].shape[0]):
+                import functools as _ft
+
+                nl, k2, n = out["w_p4"].shape
+
+                # incremental donated inserts keep the transient peak to
+                # bank + ONE layer's f32 dequant workspace (a jnp.stack of
+                # per-layer arrays would briefly hold the bank twice)
+                @_ft.partial(_jax.jit, donate_argnums=(0, 1))
+                def _insert(bank, scales, w8, s8, i):
+                    return (
+                        _jax.lax.dynamic_update_index_in_dim(bank, w8, i, 0),
+                        _jax.lax.dynamic_update_index_in_dim(
+                            scales, s8, i, 0
+                        ),
+                    )
+
+                bank = _jnp.zeros((nl, 2 * k2, n), _jnp.int8)
+                scales = _jnp.zeros((nl, 1, n), _jnp.float32)
+                for li in range(nl):
                     w8, s8 = _requant_layer(
                         out["w_p4"][li], out["s"][li], out["zs"][li]
                     )
-                    w8_l.append(w8)
-                    s8_l.append(s8)
-                out["w8p"] = _jnp.stack(w8_l)
-                out["s8p"] = _jnp.stack(s8_l)
+                    bank, scales = _insert(
+                        bank, scales, w8, s8, _jnp.int32(li)
+                    )
+                out["w8p"] = bank
+                out["s8p"] = scales
             return out
 
         return walk(params)

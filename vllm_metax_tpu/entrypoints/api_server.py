@@ -175,15 +175,18 @@ def _attach_guided(sp, tokenizer):
         )
 
         if sp.guided_grammar:
-            from vllm_metax_tpu.guided_grammar import grammar_to_regex
+            from vllm_metax_tpu.guided_grammar import grammar_token_fsm
 
             try:
-                pattern = grammar_to_regex(sp.guided_grammar)
-            except ValueError as e:  # malformed/recursive grammar → 400
+                # non-recursive → regex FSM; recursive → pushdown token FSM
+                sp._guided_fsm = grammar_token_fsm(
+                    sp.guided_grammar, tokenizer
+                )
+            except ValueError as e:  # malformed/left-recursive → 400
                 raise RequestValidationError(str(e))
         else:
             pattern = sp.guided_regex or json_schema_to_regex(sp.guided_json)
-        sp._guided_fsm = get_token_fsm(pattern, tokenizer)
+            sp._guided_fsm = get_token_fsm(pattern, tokenizer)
 
 
 def _openai_logprobs(

@@ -270,14 +270,20 @@ class LLM:
                 )
 
                 if sp.guided_grammar:
-                    from vllm_metax_tpu.guided_grammar import grammar_to_regex
+                    # regex-inlined when non-recursive; pushdown token FSM
+                    # for true CFG nesting (guided_grammar.PushdownTokenFSM)
+                    from vllm_metax_tpu.guided_grammar import (
+                        grammar_token_fsm,
+                    )
 
-                    pattern = grammar_to_regex(sp.guided_grammar)
+                    sp._guided_fsm = grammar_token_fsm(
+                        sp.guided_grammar, self.tokenizer
+                    )
                 else:
                     pattern = sp.guided_regex or json_schema_to_regex(
                         sp.guided_json
                     )
-                sp._guided_fsm = get_token_fsm(pattern, self.tokenizer)
+                    sp._guided_fsm = get_token_fsm(pattern, self.tokenizer)
             # n>1: fan out into n engine requests (parallel sampling); the
             # prefix cache dedups the shared-prompt prefill across children
             children = []

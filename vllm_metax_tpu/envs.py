@@ -16,11 +16,13 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # and run the int8 MXU (2x the bf16 MXU rate, no per-weight VPU dequant).
     # "1" = on for the tiled int4 path; "0" = exact bf16-activation kernel.
     "METAX_TPU_W4A8": lambda: os.getenv("METAX_TPU_W4A8", "0") == "1",
-    # EP token dispatch: "replicated" (dropless; every rank routes all
-    # tokens) or "a2a" (token-sharded all-to-all, capacity-bounded — the
-    # analog of the reference's VLLM_ALL2ALL_BACKEND, platform.py:202)
+    # EP token dispatch: "auto" (default — DROPLESS token-sharded
+    # all-to-all with size-exchange + exact replicated fallback for batches
+    # past the bandwidth crossover; replicated below it), "a2a" (force),
+    # "replicated" (force). Analog of the reference's VLLM_ALL2ALL_BACKEND
+    # deepep dropless backends (platform.py:202-217).
     "METAX_TPU_EP_DISPATCH": lambda: os.getenv(
-        "METAX_TPU_EP_DISPATCH", "replicated"
+        "METAX_TPU_EP_DISPATCH", "auto"
     ),
     # fuse the W4A8 activation quant + per-group sums into one Pallas pass
     # (replaces 3-4 XLA fusions per linear; validate on hardware first)

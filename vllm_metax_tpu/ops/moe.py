@@ -14,8 +14,11 @@ mcblasFusedMoe grouped GEMM csrc/moe/moe_ops.cpp:16):
 - quantized experts: tiled int4/int8 banks run the Pallas aligned-slot grouped
   dequant-GEMM (ops/pallas/moe_gmm.py — packed bank read once per step);
   non-tiled banks dequantize on the fly in the same pass.
-- EP dispatch: dropless replicated-dispatch by default, token-sharded
-  all-to-all behind METAX_TPU_EP_DISPATCH=a2a (_fused_experts_a2a).
+- EP dispatch: DROPLESS token-sharded all-to-all by default for batches
+  past the bandwidth crossover (size-exchanged capacity buffers + exact
+  replicated fallback on overflow, _fused_experts_a2a); replicated
+  dispatch below the crossover / for quantized tiled banks
+  (METAX_TPU_EP_DISPATCH=auto|a2a|replicated).
 
 TP: expert weights shard on the intermediate dim (rank-major for the merged
 gate|up), psum after w_down — same pattern as the dense MLP path.
@@ -146,7 +149,13 @@ def fused_experts(
     ):
         from vllm_metax_tpu import envs
 
-        if envs.METAX_TPU_EP_DISPATCH == "a2a":
+        mode = envs.METAX_TPU_EP_DISPATCH
+        ep = jax.lax.axis_size(ep_axis)
+        # "auto" (default): dropless a2a once the batch is large enough for
+        # the bandwidth win (a2a moves ~2·T·K·H/ep per rank vs the
+        # replicated path's full-batch activation read + (T,H) psum);
+        # tiny batches stay replicated (lower latency, no crossover yet)
+        if mode == "a2a" or (mode == "auto" and t >= 16 * ep):
             return _fused_experts_a2a(
                 x, gate_up_bank, down_bank, topk_weights, topk_ids,
                 act_fn, num_experts, ep_axis,
@@ -182,9 +191,25 @@ def fused_experts(
             counts, act_fn, ep_axis, layer_idx,
         )
 
-    xs = x[sorted_token]  # (T*K, H)
     w1 = _dequant_bank(gate_up_bank, dtype)  # (E_local, H, 2I)
     w2 = _dequant_bank(down_bank, dtype)  # (E_local, I, H)
+    return _replicated_partial(
+        x, w1, w2, sorted_token, sorted_weight, sorted_expert, counts,
+        act_fn, num_experts, ep_axis,
+    )
+
+
+def _replicated_partial(
+    x, w1, w2, sorted_token, sorted_weight, sorted_expert, counts,
+    act_fn, num_experts, ep_axis,
+):
+    """Replicated-dispatch partial over this rank's expert span (the
+    caller's psum over ep/tp completes the combine). Dropless by
+    construction — also serves as the exact fallback branch of the
+    size-exchanged a2a dispatch."""
+    t, h = x.shape
+    dtype = x.dtype
+    xs = x[sorted_token]  # (T*K, H)
     e_local = w1.shape[0]
 
     if ep_axis is not None and e_local != num_experts:
@@ -230,10 +255,16 @@ def _fused_experts_a2a(
     all_to_all. Rank r contributes rows [r·T/ep, (r+1)·T/ep) of a zero
     (T, H) canvas — the caller's existing psum over (ep, tp) assembles the
     full batch, so the call signature stays drop-in with the replicated
-    path. Per-destination capacity = ceil(T/ep·K/ep·cf): overflow drops
-    (capacity-based, unlike the dropless replicated path) — enable via
-    METAX_TPU_EP_DISPATCH=a2a when ep > top-k makes the a2a volume
-    (2·T·K·H/ep per rank) beat replicated compute."""
+    path.
+
+    DROPLESS: per-destination capacity = ceil(T/ep·K/ep·cf) sizes the
+    static a2a buffers; a size exchange (pmax of each rank's would-drop
+    flag) detects overflow EXACTLY, and the whole layer falls back to the
+    replicated-dispatch branch (same math, dropless) via lax.cond — the
+    'over-provisioned + exact fallback' form of the reference's dropless
+    deepep backends (platform.py:202-217). With EPLB keeping expert loads
+    balanced, the fallback fires only on adversarial routing, so the
+    common case keeps the ~2·T·K·H/ep-per-rank a2a volume."""
     t, h = x.shape
     k = topk_ids.shape[1]
     dtype = x.dtype
@@ -257,51 +288,71 @@ def _fused_experts_a2a(
     hit = dest[:, None] == jnp.arange(ep, dtype=jnp.int32)[None, :]
     pos = jnp.cumsum(hit, axis=0) - 1  # (tl*k, ep)
     slot = jnp.sum(jnp.where(hit, pos, 0), axis=1)
-    send_idx = jnp.where(slot < cap, dest * cap + slot, ep * cap)  # OOB drop
-    src_row = jnp.repeat(jnp.arange(tl, dtype=jnp.int32), k)
+    # size exchange: would ANY rank overflow its send capacity? (uniform
+    # predicate — every rank takes the same branch)
+    overflow = jax.lax.pmax(
+        jnp.any(slot >= cap).astype(jnp.int32), ep_axis
+    ) > 0
 
-    send_x = jnp.zeros((ep * cap, h), dtype).at[send_idx].set(
-        x_r[src_row], mode="drop"
-    )
-    send_eid = jnp.full((ep * cap,), e_local, jnp.int32).at[send_idx].set(
-        flat_ids % e_local, mode="drop"
-    )  # pad slots carry e_local (sorts past every real expert)
-    send_w = jnp.zeros((ep * cap,), jnp.float32).at[send_idx].set(
-        w_r.reshape(-1), mode="drop"
-    )
+    def a2a_branch(_):
+        send_idx = dest * cap + slot  # no drops in this branch
+        src_row = jnp.repeat(jnp.arange(tl, dtype=jnp.int32), k)
 
-    recv_x = jax.lax.all_to_all(
-        send_x.reshape(ep, cap, h), ep_axis, 0, 0
-    ).reshape(ep * cap, h)
-    recv_eid = jax.lax.all_to_all(
-        send_eid.reshape(ep, cap, 1), ep_axis, 0, 0
-    ).reshape(ep * cap)
+        send_x = jnp.zeros((ep * cap, h), dtype).at[send_idx].set(
+            x_r[src_row], mode="drop"
+        )
+        send_eid = jnp.full((ep * cap,), e_local, jnp.int32).at[send_idx].set(
+            flat_ids % e_local, mode="drop"
+        )  # pad slots carry e_local (sorts past every real expert)
+        send_w = jnp.zeros((ep * cap,), jnp.float32).at[send_idx].set(
+            w_r.reshape(-1), mode="drop"
+        )
 
-    order = jnp.argsort(recv_eid, stable=True)  # pads sort last
-    counts = (
-        jnp.zeros(e_local + 1, jnp.int32).at[recv_eid].add(1)[:e_local]
-    )
-    xs = recv_x[order]
-    hdn = act_fn(jax.lax.ragged_dot(xs, w1, counts))
-    ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, counts)
-    out_slots = jnp.zeros_like(ys).at[order].set(ys)  # back to slot layout
+        recv_x = jax.lax.all_to_all(
+            send_x.reshape(ep, cap, h), ep_axis, 0, 0
+        ).reshape(ep * cap, h)
+        recv_eid = jax.lax.all_to_all(
+            send_eid.reshape(ep, cap, 1), ep_axis, 0, 0
+        ).reshape(ep * cap)
 
-    back = jax.lax.all_to_all(
-        out_slots.reshape(ep, cap, h), ep_axis, 0, 0
-    ).reshape(ep * cap, h)
-    yb = back.astype(jnp.float32) * send_w[:, None]  # pads: weight 0
-    scatter_row = (
-        jnp.full((ep * cap,), tl, jnp.int32)
-        .at[send_idx]
-        .set(src_row, mode="drop")
-    )  # slot → source token row (tl = dropped)
-    y_r = jnp.zeros((tl, h), jnp.float32).at[scatter_row].add(
-        yb, mode="drop"
-    )
-    out = jax.lax.dynamic_update_slice(
-        jnp.zeros((t, h), jnp.float32), y_r, (rank * tl, 0)
-    )
-    return out.astype(dtype)
+        order = jnp.argsort(recv_eid, stable=True)  # pads sort last
+        counts = (
+            jnp.zeros(e_local + 1, jnp.int32).at[recv_eid].add(1)[:e_local]
+        )
+        xs = recv_x[order]
+        hdn = act_fn(jax.lax.ragged_dot(xs, w1, counts))
+        ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, counts)
+        out_slots = jnp.zeros_like(ys).at[order].set(ys)  # to slot layout
+
+        back = jax.lax.all_to_all(
+            out_slots.reshape(ep, cap, h), ep_axis, 0, 0
+        ).reshape(ep * cap, h)
+        yb = back.astype(jnp.float32) * send_w[:, None]  # pads: weight 0
+        scatter_row = (
+            jnp.full((ep * cap,), tl, jnp.int32)
+            .at[send_idx]
+            .set(src_row, mode="drop")
+        )  # slot → source token row
+        y_r = jnp.zeros((tl, h), jnp.float32).at[scatter_row].add(
+            yb, mode="drop"
+        )
+        out = jax.lax.dynamic_update_slice(
+            jnp.zeros((t, h), jnp.float32), y_r, (rank * tl, 0)
+        )
+        return out.astype(dtype)
+
+    def replicated_branch(_):
+        # exact dropless fallback: identical math to the replicated path
+        flat_expert = topk_ids.reshape(-1)
+        flat_token = jnp.repeat(jnp.arange(t, dtype=jnp.int32), k)
+        order = jnp.argsort(flat_expert, stable=True)
+        counts = jnp.zeros(num_experts, jnp.int32).at[flat_expert].add(1)
+        return _replicated_partial(
+            x, w1, w2, flat_token[order], topk_weights.reshape(-1)[order],
+            flat_expert[order], counts, act_fn, num_experts, ep_axis,
+        )
+
+    return jax.lax.cond(overflow, replicated_branch, a2a_branch, 0)
 
 
 def _bank_gmm(xs, bank, tile_expert, layer_idx, tm, interpret):
