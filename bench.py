@@ -57,12 +57,15 @@ if _WATCHDOG_S > 0:
 # packed int4 weights (ops/pallas/quant_matmul.py W4A8 kernel) — the bf16
 # dequant path burns ~35% more step time on VPU nibble-unpacking.
 os.environ.setdefault("METAX_TPU_W4A8", "1")
-# Prefill int8-requant: load-time per-channel int8 copies serve prefill-sized
-# GEMMs on the int8 MXU with a single per-channel epilogue (decode keeps the
-# int4 bank). Quality-gated via tools/ppl_gate.py: int4+requant +4.72% vs
-# int4-only +5.24% on the random-weight proxy — the requant path is never
-# worse than the int4 it re-quantizes.
-os.environ.setdefault("METAX_TPU_PREFILL_REQUANT", "1")
+# Prefill int8-requant: BUILT AND MEASURED, left OFF. Kernel-level the
+# stacked-W8A8 path beats the W4A8 kernel by only 14% at prefill shapes
+# (269 vs 231 TFLOPs incl. act quant, /tmp probe 2026-08-20 — the W4A8
+# kernel already runs at 59% int8-MXU utilization, so the per-group
+# epilogue is NOT the prefill bottleneck), and e2e the extra 3.8-7GB
+# resident bank measured TTFT-neutral-to-worse (p50 1.0789 vs 1.0049 with
+# it off; full-scope OOMs 16GB v5e next to the KV pool). Quality-gated
+# clean (ppl_gate: int4+requant +4.72% vs int4-only +5.24%) — enable via
+# METAX_TPU_PREFILL_REQUANT=1 on HBM-rich parts where prefill dominates.
 # KV commit: the slab-bounce Pallas kernel (envs default "pallas",
 # ops/pallas/kv_commit.py) — 0.42ms/step vs ~3.0ms for the row scatters.
 
@@ -257,6 +260,8 @@ def _roofline_tokens_s(engine, num_reqs, avg_seq_len) -> float:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
         if "embed" in name:
             continue  # embedding is a tiny gather, not a full read
+        if "w8p" in name or "s8p" in name:
+            continue  # prefill-requant bank: never read on the decode path
         weight_bytes += leaf.size * leaf.dtype.itemsize
     kv = engine.runner.kv_cache
     kv_bytes_per_tok = (

@@ -108,3 +108,182 @@ def test_full_coverage_reduces_to_dense():
     p = e / e.sum(-1, keepdims=True)
     ref = np.einsum("hqk,khd->qhd", p, np.asarray(v))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+# -------------------------------------- serving path: block-skipping prefill
+
+def test_sparse_prefill_matches_oracle_with_full_budget():
+    """With budget covering every hit block, the block-skipping kernel must
+    equal a masked-dense oracle built from the same estimated pattern."""
+    import jax
+    import numpy as np
+
+    from vllm_metax_tpu.ops.sparse_attention import (
+        build_vertical_slash_masks,
+        estimate_vertical_slash,
+        sparse_prefill_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    ql, kv, hq, hkv, d = 128, 384, 4, 2, 32
+    bm = bn = 64
+    q = jnp.asarray(rng.standard_normal((ql, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, hkv, d)), jnp.float32)
+    scale = d**-0.5
+    nnz_v, nnz_s = 16, 8
+
+    out = sparse_prefill_attention(
+        q, k, v, scale, nnz_v=nnz_v, nnz_s=nnz_s, block_m=bm, block_n=bn,
+        block_budget=0,
+    )
+
+    # oracle: same estimate -> same masks -> dense masked softmax
+    g = hq // hkv
+    k_hq = jnp.repeat(k, g, axis=1)
+    v_hq = jnp.repeat(v, g, axis=1)
+    v_idx, s_idx = estimate_vertical_slash(q, k_hq, scale, nnz_v, nnz_s)
+    block_mask, col_mask = build_vertical_slash_masks(
+        v_idx, s_idx, ql, kv, bm, bn
+    )
+    # forced diagonal blocks (the serving path always keeps them)
+    qb = np.arange(-(-ql // bm))
+    kb = np.arange(-(-kv // bn))
+    diag_lo = (kv - ql + qb * bm) // bn
+    diag_hi = np.minimum((kv - ql + np.minimum((qb + 1) * bm, ql) - 1) // bn,
+                         len(kb) - 1)
+    diag = (kb[None, :] >= diag_lo[:, None]) & (kb[None, :] <= diag_hi[:, None])
+    block_mask = jnp.asarray(np.asarray(block_mask) | diag[None])
+
+    q_pos = np.arange(ql) + (kv - ql)
+    kv_pos = np.arange(kv)
+    causal = q_pos[:, None] >= kv_pos[None, :]
+    blk = np.asarray(block_mask)[:, np.arange(ql) // bm][:, :, kv_pos // bn]
+    allow = causal[None] & (blk | np.asarray(col_mask)[:, None, :])
+    scores = np.einsum(
+        "qhd,khd->hqk", np.asarray(q), np.asarray(k_hq)
+    ) * scale
+    scores = np.where(allow, scores, -1e30)
+    p = jax.nn.softmax(jnp.asarray(scores), axis=-1)
+    p = jnp.where(jnp.asarray(allow), p, 0.0)
+    ref = jnp.einsum("hqk,khd->qhd", p, jnp.asarray(v_hq))
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sparse_prefill_high_coverage_fidelity():
+    """With the pattern wide enough to cover (nearly) everything, sparse
+    output approaches FULL dense attention — the token-fidelity bar for
+    serving with sparsity on."""
+    import numpy as np
+
+    from vllm_metax_tpu.ops.sparse_attention import sparse_prefill_attention
+
+    rng = np.random.default_rng(1)
+    ql, kv, h, d = 128, 256, 2, 32
+    q = jnp.asarray(rng.standard_normal((ql, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, h, d)), jnp.float32)
+    scale = d**-0.5
+    out = sparse_prefill_attention(
+        q, k, v, scale, nnz_v=kv, nnz_s=kv, block_budget=0
+    )
+    q_pos = np.arange(ql) + (kv - ql)
+    causal = q_pos[:, None] >= np.arange(kv)[None, :]
+    scores = np.einsum("qhd,khd->hqk", np.asarray(q), np.asarray(k)) * scale
+    scores = np.where(causal[None], scores, -1e30)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    e = np.where(causal[None], e, 0.0)
+    ref = np.einsum(
+        "hqk,khd->qhd", e / e.sum(-1, keepdims=True), np.asarray(v)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_prefill_dynamic_seq_matches_exact_extent():
+    """Padded KV extent + dynamic seq must equal the tight-extent result."""
+    import numpy as np
+
+    from vllm_metax_tpu.ops.sparse_attention import sparse_prefill_attention
+
+    rng = np.random.default_rng(2)
+    ql, seq, pad_kv, h, d = 64, 192, 320, 2, 32
+    q = jnp.asarray(rng.standard_normal((ql, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((pad_kv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((pad_kv, h, d)), jnp.float32)
+    scale = d**-0.5
+    tight = sparse_prefill_attention(
+        q, k[:seq], v[:seq], scale, nnz_v=12, nnz_s=6, block_budget=0
+    )
+    padded = sparse_prefill_attention(
+        q, k, v, scale, nnz_v=12, nnz_s=6, block_budget=0,
+        seq=jnp.int32(seq),
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(tight), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sparse_prefill_serving_e2e(monkeypatch):
+    """Engine-level: a long single-request prefill routes through the
+    sparse path and generation quality holds (greedy tokens match dense
+    for a wide pattern). Done-bar of VERDICT item 9: servable end-to-end."""
+    import dataclasses
+
+    import numpy as np
+
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    mc = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=1024,
+        max_model_len=1024,
+        dtype="float32",
+    )
+
+    def run(mc_run):
+        eng = EngineCore(EngineConfig(
+            model_config=mc_run,
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=2, max_num_batched_tokens=256
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+        rng = np.random.default_rng(3)
+        prompt = rng.integers(1, 256, size=250).tolist()
+        eng.add_request(
+            "r", prompt, SamplingParams(max_tokens=6, temperature=0.0)
+        )
+        toks = []
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                toks.extend(o.new_token_ids)
+        return toks
+
+    dense = run(mc)
+    sparse_mc = dataclasses.replace(
+        mc,
+        sparse_attention="vertical_slash",
+        sparse_attention_threshold=256,
+        sparse_nnz_v=256,  # wide pattern: fidelity must hold exactly
+        sparse_nnz_s=256,
+    )
+    sparse = run(sparse_mc)
+    assert sparse == dense

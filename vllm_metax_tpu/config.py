@@ -99,6 +99,16 @@ class ModelConfig:
     index_topk: int = 0  # 0 = dense MLA (V2/V3); V3.2 uses 2048
     index_n_heads: int = 0  # 64
     index_head_dim: int = 0  # 128
+    # Vertical-slash sparse prefill (MInference pattern; ref:
+    # csrc/attention/vertical_slash_index.cu). "" = dense. When set to
+    # "vertical_slash", single-request prefill chunks of at least
+    # sparse_attention_threshold tokens route through the block-skipping
+    # sparse path (ops/sparse_attention.py).
+    sparse_attention: str = ""
+    sparse_attention_threshold: int = 4096
+    sparse_nnz_v: int = 128  # vertical columns kept per head
+    sparse_nnz_s: int = 64  # slash diagonals kept per head
+    sparse_block_budget: int = 0  # kv blocks per (head, q-block); 0 = all hit
     # raw HF config dict for model-specific extras
     hf_config: dict = field(default_factory=dict)
 

@@ -1812,6 +1812,30 @@ class ModelRunner:
                 lora_np[offset : offset + n] = self.requests[rid].lora_slot
                 offset += n
             lora_idx = jnp.asarray(lora_np)
+        # vertical-slash sparse prefill: a SINGLE long chunk that fills the
+        # whole token bucket (q array length == chunk length, chunk ends
+        # its context) routes through the block-skipping sparse path
+        # (ops/attention.py _sparse_prefill_route; ref:
+        # csrc/attention/vertical_slash_index.cu)
+        sparse_prefill = None
+        mc = self.model_cfg
+        if (
+            mc.sparse_attention == "vertical_slash"
+            and not decode_only
+            and num_reqs == 1
+            and s_rows == 1
+            and t == tb
+            and t >= mc.sparse_attention_threshold
+            and tree_bits_np is None
+            and self.dcp_size == 1
+        ):
+            sparse_prefill = (
+                mc.sparse_nnz_v,
+                mc.sparse_nnz_s,
+                mc.sparse_block_budget,
+                64,
+            )
+
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(slot_mapping),
             block_tables=jnp.asarray(block_tables),
@@ -1822,6 +1846,7 @@ class ModelRunner:
             num_seqs=jnp.asarray(num_reqs, jnp.int32),
             lora_idx=lora_idx,
             decode_only=decode_only,
+            sparse_prefill=sparse_prefill,
             tree_bits=(
                 None if tree_bits_np is None else jnp.asarray(tree_bits_np)
             ),

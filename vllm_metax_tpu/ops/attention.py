@@ -63,6 +63,15 @@ class AttentionMetadata:
     # hybrid linear-attention models: per-request recurrent-state slot into
     # the KVCache lin_state/conv_state pools (padding rows carry RSLOT)
     state_idx: Optional[jnp.ndarray] = None
+    # STATIC: vertical-slash sparse prefill (MInference pattern) for this
+    # step — set by the runner for single-request long prefill chunks when
+    # ModelConfig.sparse_attention == "vertical_slash". Tuple
+    # (nnz_v, nnz_s, block_budget, last_w); route in
+    # ragged_paged_attention → ops/sparse_attention.sparse_prefill_attention
+    # (ref: csrc/attention/vertical_slash_index.cu)
+    sparse_prefill: Optional[tuple] = field(
+        default=None, metadata=dict(static=True)
+    )
     # multimodal (Qwen2-VL family): precomputed image/video embeddings to
     # blend over the token embeddings at placeholder positions, and 3-row
     # t/h/w mrope positions (ops/rope.py mrope_rows). positions (above)
@@ -140,6 +149,39 @@ def defer_kv_supported(
     return decode_attention_supported(q, kv_cache, metadata)
 
 
+def _sparse_prefill_route(q, kv_cache, metadata, sm_scale):
+    """Vertical-slash sparse prefill for a SINGLE long-prefill chunk (the
+    runner sets metadata.sparse_prefill only when the step is one request
+    whose chunk fills the whole token bucket, so the q array length IS the
+    chunk length and the chunk ends the context). KV context is gathered
+    from request 0's pages; compute then drops from QL·CTX to
+    QL·(budget·block_n + nnz_v) per head (ops/sparse_attention.py;
+    ref: csrc/attention/vertical_slash_index.cu)."""
+    from vllm_metax_tpu.ops.kv_cache import kv_fused_width
+    from vllm_metax_tpu.ops.sparse_attention import sparse_prefill_attention
+
+    nnz_v, nnz_s, budget, last_w = metadata.sparse_prefill
+    t, hq, d = q.shape
+    nb = kv_cache.k.shape[0]
+    safe_bt = jnp.minimum(metadata.block_tables[:1], nb - 1)
+    k_all, v_all = gather_kv_for_requests(
+        kv_cache, safe_bt, jnp.float32,
+        fused_width=kv_fused_width(kv_cache, d),
+    )  # (1, CTX, HKV, D)
+    out = sparse_prefill_attention(
+        q,
+        k_all[0].astype(q.dtype),
+        v_all[0].astype(q.dtype),
+        sm_scale,
+        nnz_v=nnz_v,
+        nnz_s=nnz_s,
+        block_budget=budget,
+        last_w=last_w,
+        seq=metadata.seq_lens[0],
+    )
+    return out
+
+
 def ragged_paged_attention(
     q: jnp.ndarray,  # (T, HQ, D)
     kv_cache: KVCache,
@@ -154,6 +196,16 @@ def ragged_paged_attention(
     impl = impl or envs.METAX_TPU_ATTN_IMPL
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
+    if (
+        metadata.sparse_prefill is not None
+        and not metadata.decode_only
+        and metadata.dcp_axis is None
+        and metadata.tree_bits is None
+        and sliding_window == 0
+        and logits_soft_cap == 0.0
+        and k_cur is None
+    ):
+        return _sparse_prefill_route(q, kv_cache, metadata, sm_scale)
     if metadata.tree_bits is not None and impl == "pallas":
         # tree-verify ancestor masks: the unified kernel handles them
         # in-kernel (bits operand); the decode kernel does not

@@ -32,6 +32,7 @@ def build_vertical_slash_masks(
     kv_len: int,
     block_m: int = 64,
     block_n: int = 64,
+    seq=None,  # dynamic true context length (<= kv_len array extent)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (block_mask (H, NQB, NKB) bool, col_mask (H, KV) bool).
 
@@ -43,7 +44,9 @@ def build_vertical_slash_masks(
     h = v_idx.shape[0]
     nqb = (q_len + block_m - 1) // block_m
     nkb = (kv_len + block_n - 1) // block_n
-    delta = kv_len - q_len
+    if seq is None:
+        seq = kv_len
+    delta = seq - q_len
 
     # vertical columns: dense membership over kv positions
     kv_pos = jnp.arange(kv_len, dtype=jnp.int32)
@@ -60,7 +63,7 @@ def build_vertical_slash_masks(
     kb_end = kb + block_n
     # block kb intersects [lo, hi) ∩ [0, kv_len)
     lo_c = jnp.maximum(lo, 0)[..., None]
-    hi_c = jnp.minimum(hi, kv_len)[..., None]
+    hi_c = jnp.minimum(hi, seq)[..., None]
     hit = (kb < hi_c) & (kb_end > lo_c) & (hi_c > lo_c)
     block_mask = jnp.any(hit, axis=1)  # (H, NQB, NKB)
     return block_mask, col_mask
@@ -97,3 +100,188 @@ def vertical_slash_attention(
     p = jnp.where(allow, p, 0.0)  # fully-masked rows stay 0
     out = jnp.einsum("hqk,khd->qhd", p, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# serving path: estimation + block-skipping sparse prefill
+# --------------------------------------------------------------------------
+
+def estimate_vertical_slash(
+    q: jnp.ndarray,  # (QL, H, D) chunk queries (context tail)
+    k: jnp.ndarray,  # (KV, H, D) full-context keys, head-expanded
+    sm_scale: float,
+    nnz_v: int,
+    nnz_s: int,
+    last_w: int = 64,
+    seq=None,  # dynamic true context length (<= KV array extent)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MInference-style pattern estimation: attention mass of the LAST
+    `last_w` queries picks the top vertical columns and slash diagonals.
+    The chunk is assumed to END the context (prefill), so query row i sits
+    at global position KV - QL + i. Returns (v_idx (H, nnz_v),
+    s_idx (H, nnz_s)) in build_vertical_slash_masks conventions."""
+    ql, h, d = q.shape
+    kv = k.shape[0]
+    if seq is None:
+        seq = kv
+    w = min(last_w, ql)
+    qt = q[ql - w :].astype(jnp.float32)  # (W, H, D)
+    scores = jnp.einsum("whd,khd->hwk", qt, k.astype(jnp.float32)) * sm_scale
+    kv_pos = jnp.arange(kv, dtype=jnp.int32)
+    tail_pos = seq - w + jnp.arange(w, dtype=jnp.int32)  # global positions
+    causal = (kv_pos[None, :] <= tail_pos[:, None]) & (
+        kv_pos[None, :] < seq
+    )  # (W, KV)
+    scores = jnp.where(causal[None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)  # (H, W, KV)
+    p = jnp.where(causal[None], p, 0.0)
+
+    vert = jnp.sum(p, axis=1)  # (H, KV)
+    _, v_idx = jax.lax.top_k(vert, min(nnz_v, kv))
+
+    # slash mass by diagonal offset o = q_global - k (0 = self/diagonal)
+    offs = tail_pos[:, None] - kv_pos[None, :]  # (W, KV) in [w-kv, kv)
+    offs = jnp.clip(offs, 0, kv - 1)
+    diag = jnp.zeros((h, kv), jnp.float32)
+    diag = diag.at[:, offs.reshape(-1)].add(p.reshape(h, -1))
+    _, s_idx = jax.lax.top_k(diag, min(nnz_s, kv))
+    return v_idx.astype(jnp.int32), s_idx.astype(jnp.int32)
+
+
+def sparse_prefill_attention(
+    q: jnp.ndarray,  # (QL, HQ, D) — the chunk ENDS the context
+    k: jnp.ndarray,  # (KV, HKV, D)
+    v: jnp.ndarray,  # (KV, HKV, D)
+    sm_scale: float,
+    nnz_v: int = 64,
+    nnz_s: int = 32,
+    block_m: int = 64,
+    block_n: int = 64,
+    block_budget: int = 0,  # kv blocks kept per (head, q-block); 0 = all
+    last_w: int = 64,
+    seq=None,  # dynamic true context length (<= KV array extent)
+) -> jnp.ndarray:
+    """Block-SKIPPING vertical-slash prefill: per (q-head, q-block) only the
+    top `block_budget` slash-hit kv blocks plus the vertical columns are
+    gathered and attended, so compute drops from QL·KV to
+    QL·(budget·block_n + nnz_v) per head — the TPU-native (static-budget
+    gather) form of the reference's index-list sparse kernel
+    (csrc/attention/vertical_slash_index.cu:64-77). Exact equal to the
+    masked-dense oracle whenever the budget covers every hit block."""
+    ql, hq, d = q.shape
+    kv, hkv, _ = k.shape
+    if seq is None:
+        seq = kv
+    g = hq // hkv
+    nqb = -(-ql // block_m)
+    nkb = -(-kv // block_n)
+    budget = block_budget or nkb
+    budget = min(budget, nkb)
+
+    # head-expanded keys for estimation (einsum broadcast, no materialize)
+    k_hq = jnp.repeat(k, g, axis=1)  # (KV, HQ, D)
+    v_idx, s_idx = estimate_vertical_slash(
+        q, k_hq, sm_scale, nnz_v, nnz_s, last_w, seq=seq
+    )
+    block_mask, col_mask = build_vertical_slash_masks(
+        v_idx, s_idx, ql, kv, block_m, block_n, seq=seq
+    )  # (HQ, NQB, NKB), (HQ, KV)
+
+    # every q block must keep its own diagonal blocks (causal self-range)
+    qb = jnp.arange(nqb, dtype=jnp.int32)
+    diag_lo = jnp.maximum(seq - ql + qb * block_m, 0) // block_n
+    diag_hi = jnp.clip(
+        (seq - ql + jnp.minimum((qb + 1) * block_m, ql) - 1) // block_n,
+        0,
+        nkb - 1,
+    )
+    kb = jnp.arange(nkb, dtype=jnp.int32)
+    diag_blocks = (kb[None, :] >= diag_lo[:, None]) & (
+        kb[None, :] <= diag_hi[:, None]
+    )  # (NQB, NKB)
+    block_mask = block_mask | diag_blocks[None]
+
+    # static-budget block selection: keep the HIGHEST-index masked blocks
+    # (recency bias — slash bands cluster near the diagonal)
+    rank = jnp.where(block_mask, kb[None, None, :] + 1, 0)
+    _, sel = jax.lax.top_k(rank, budget)  # (HQ, NQB, B) kv-block ids
+    sel_valid = jnp.take_along_axis(block_mask, sel, axis=2)  # (HQ,NQB,B)
+
+    # gather selected kv blocks per (head, q-block)
+    pad_kv = nkb * block_n - kv
+    kp = jnp.pad(k, ((0, pad_kv), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, pad_kv), (0, 0), (0, 0)))
+    k_blk = kp.reshape(nkb, block_n, hkv, d)
+    v_blk = vp.reshape(nkb, block_n, hkv, d)
+
+    def per_head(h):
+        kvh = h // g
+        ksel = k_blk[sel[h], :, kvh, :]  # (NQB, B, bn, D)
+        vsel = v_blk[sel[h], :, kvh, :]
+        kcol = kp[v_idx[h], kvh, :]  # (NNZ_V, D)
+        vcol = vp[v_idx[h], kvh, :]
+
+        qh = jnp.pad(
+            q[:, h, :], ((0, nqb * block_m - ql), (0, 0))
+        ).reshape(nqb, block_m, d).astype(jnp.float32)
+
+        s_blk = jnp.einsum(
+            "qmd,qbnd->qmbn", qh, ksel.astype(jnp.float32)
+        ) * sm_scale  # (NQB, bm, B, bn)
+        s_col = jnp.einsum(
+            "qmd,nd->qmn", qh, kcol.astype(jnp.float32)
+        ) * sm_scale  # (NQB, bm, NNZ_V)
+
+        # causal + validity masks (global positions; chunk ends context)
+        q_pos = (
+            seq - ql + qb[:, None] * block_m
+            + jnp.arange(block_m, dtype=jnp.int32)[None, :]
+        )  # (NQB, bm)
+        blk_pos = (
+            sel[h][:, :, None] * block_n
+            + jnp.arange(block_n, dtype=jnp.int32)[None, None, :]
+        )  # (NQB, B, bn)
+        m_blk = (
+            (blk_pos[:, None] <= q_pos[:, :, None, None])
+            & (blk_pos[:, None] < seq)
+            & sel_valid[h][:, None, :, None]
+        )
+        col_pos = v_idx[h][None, None, :]
+        # dedup: drop columns that already arrived via a selected block
+        col_blk = v_idx[h] // block_n  # (NNZ_V,)
+        in_sel = jnp.any(
+            col_blk[None, :, None] == sel[h][:, None, :], axis=2
+        )  # (NQB, NNZ_V)
+        m_col = (
+            (col_pos <= q_pos[:, :, None])
+            & (col_pos < seq)
+            & col_mask[h][v_idx[h]][None, None, :]
+            & ~in_sel[:, None, :]
+        )
+
+        s_all = jnp.concatenate(
+            [
+                jnp.where(m_blk, s_blk, -1e30).reshape(
+                    nqb, block_m, budget * block_n
+                ),
+                jnp.where(m_col, s_col, -1e30),
+            ],
+            axis=2,
+        )
+        m = jnp.max(s_all, axis=2, keepdims=True)
+        p = jnp.exp(s_all - jnp.maximum(m, -1e30))
+        p = jnp.where(s_all > -1e30, p, 0.0)
+        den = jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-30)
+        p = p / den
+        vals = jnp.concatenate(
+            [
+                vsel.reshape(nqb, budget * block_n, d),
+                jnp.broadcast_to(vcol[None], (nqb, vcol.shape[0], d)),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        out = jnp.einsum("qmc,qcd->qmd", p, vals)
+        return out.reshape(nqb * block_m, d)[:ql]
+
+    out = jax.vmap(per_head)(jnp.arange(hq))  # (HQ, QL, D)
+    return out.transpose(1, 0, 2).astype(q.dtype)
