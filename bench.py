@@ -21,6 +21,7 @@ import json
 import os
 import threading
 import time
+from typing import Optional
 
 # Watchdog: the remote TPU compiler has been observed to wedge (hung
 # compiles, 2026-08-18 incident). A daemon THREAD (a signal handler can't
@@ -272,6 +273,158 @@ def _roofline_tokens_s(engine, num_reqs, avg_seq_len) -> float:
     return num_reqs * _device_bw() / step_bytes
 
 
+def _gemm_roofline_frac(engine, num_reqs, decode_len, rng) -> Optional[dict]:
+    """KERNEL-level dequant-GEMM efficiency — the BASELINE.md target is
+    '>=90% of the HBM roofline for the dequant GEMM', a per-kernel number:
+    profile a steady decode slice, take the W4A8 kernel's device time, and
+    divide the bytes it must move (int4 weights + scales once per step +
+    activations) by time x HBM bandwidth."""
+    import glob
+    import gzip
+
+    trace_dir = "/tmp/jaxtrace_bench_gemm"
+    os.system(f"rm -rf {trace_dir}")
+    vocab = engine.config.model_config.vocab_size
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    for i in range(num_reqs):
+        engine.add_request(
+            f"g{i}",
+            rng.integers(1, vocab, size=64).tolist(),
+            SamplingParams(max_tokens=decode_len),
+        )
+    first = set()
+    for _ in range(300):
+        if len(first) == num_reqs:
+            break
+        for o in engine.step():
+            if o.new_token_ids:
+                first.add(o.req_id)
+    jax.profiler.start_trace(trace_dir)
+    steps = 0
+    decode_steps = 0
+    while engine.has_unfinished_requests() and steps < 3:
+        outs = engine.step()
+        decode_steps += (
+            max((len(o.new_token_ids) for o in outs), default=0)
+        )
+        steps += 1
+    jax.profiler.stop_trace()
+    while engine.has_unfinished_requests():
+        engine.step()
+    if decode_steps == 0:
+        return None
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return None
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    evs = trace.get("traceEvents", [])
+    dev_pids = {
+        ev["pid"]
+        for ev in evs
+        if ev.get("ph") == "M"
+        and ev.get("name") == "process_name"
+        and "TPU" in str(ev.get("args", {}).get("name", ""))
+    }
+    gemm_ms = 0.0
+    for ev in evs:
+        if ev.get("ph") != "X" or "dur" not in ev or ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "")
+        if "int4a8_matmul" in name or "int4_matmul" in name:
+            gemm_ms += ev["dur"] / 1e3
+    if gemm_ms == 0.0:
+        return None
+    # bytes the decode-step GEMMs MUST move: every packed-int4 layer weight
+    # + scales once, plus per-token int8 activations in and bf16 out
+    params = engine.runner.params
+    gemm_bytes = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if any(t in name for t in ("w_p4t", "w_p4", "/s", "zs")):
+            gemm_bytes += leaf.size * leaf.dtype.itemsize
+    mc = engine.config.model_config
+    act_bytes = num_reqs * mc.num_hidden_layers * (
+        # int8 activations in (qkv+gate_up reads h, down reads i, o reads h)
+        3 * mc.hidden_size + mc.intermediate_size
+    )
+    per_step_bytes = gemm_bytes + act_bytes
+    frac = (per_step_bytes * decode_steps) / (gemm_ms * 1e-3) / _device_bw()
+    return {
+        "gemm_roofline_frac": round(frac, 4),
+        "gemm_ms_per_step": round(gemm_ms / decode_steps, 3),
+        "gemm_bytes_per_step": per_step_bytes,
+    }
+
+
+def _fp8_row(rng) -> Optional[dict]:
+    """FP8 W8A8 + fp8 KV at flagship scale (BASELINE config 4's quant mode;
+    ref: csrc/quantization/fp8/common.cu + cutlass_scaled_mm — which the
+    reference PLATFORM gates off, supports_fp8()→False; native here)."""
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        QuantizationConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+
+    num_reqs, prompt_len, decode_len = 32, 64, 32
+    mc = ModelConfig(
+        model="llama-3-8b-dummy-fp8",
+        architecture="LlamaForCausalLM",
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        vocab_size=128256,
+        max_position_embeddings=8192,
+        max_model_len=2048,
+        rope_theta=500000.0,
+        dtype="bfloat16",
+    )
+    need = num_reqs * (prompt_len + decode_len)
+    config = EngineConfig(
+        model_config=mc,
+        cache_config=CacheConfig(
+            # fp8 weights are 2x the int4 flagship's (8GB resident): keep
+            # the pool tight or the f32 upcast temporaries of the fp8 dots
+            # (no native fp8 MXU on v5e) tip 16GB HBM over
+            block_size=128,
+            num_blocks=max(40, 5 * need // (4 * 128)),
+            kv_cache_dtype="fp8",
+        ),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=num_reqs,
+            max_num_batched_tokens=1024,
+            num_decode_steps=min(
+                32, int(os.environ.get("BENCH_DECODE_STEPS", "128"))
+            ),
+        ),
+        load_config=LoadConfig(load_format="dummy", seed=0),
+        # int8 lm_head like the flagship row — the fp8 story is the W8A8
+        # body + fp8 KV (ref gates fp8 off entirely, platform.py:412)
+        quant_config=QuantizationConfig(
+            method="fp8", bits=8, lm_head_quantized=True
+        ),
+    )
+    engine = EngineCore(config)
+    _run_wave(engine, num_reqs, prompt_len, decode_len, rng)  # warm
+    res = _run_wave(engine, num_reqs, prompt_len, decode_len, rng)
+    roofline = _roofline_tokens_s(
+        engine, num_reqs, prompt_len + decode_len // 2
+    )
+    return {
+        "fp8_decode_tok_s": round(res["decode_tok_s"], 1),
+        "fp8_vs_roofline": round(res["decode_tok_s"] / roofline, 4),
+        "fp8_quant": "fp8-w8a8+fp8kv",
+    }
+
+
 def main():
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
     rng = np.random.default_rng(0)
@@ -300,6 +453,21 @@ def main():
 
     roofline = _roofline_tokens_s(engine, num_reqs, prompt_len + decode_len // 2)
     value = round(res["decode_tok_s"], 1)
+
+    model_name = engine.config.model_config.model or "tiny-cpu"
+    kv_quantized = engine.config.cache_config.kv_quantized
+    gemm = None
+    fp8 = None
+    if on_tpu and os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
+        try:
+            gemm = _gemm_roofline_frac(engine, num_reqs, decode_len, rng)
+        except Exception:  # noqa: BLE001 — extras never sink the headline
+            gemm = None
+        del engine  # free HBM before building the fp8 engine
+        try:
+            fp8 = _fp8_row(rng)
+        except Exception:  # noqa: BLE001
+            fp8 = None
     _watchdog_done.set()
     print(
         json.dumps(
@@ -309,13 +477,9 @@ def main():
                 "unit": "tok/s",
                 "vs_baseline": round(res["decode_tok_s"] / roofline, 4),
                 "detail": {
-                    "model": engine.config.model_config.model or "tiny-cpu",
+                    "model": model_name,
                     "quant": "gptq-int4-g128+int8head"
-                    + (
-                        "+int8kv"
-                        if engine.config.cache_config.kv_quantized
-                        else ""
-                    ),
+                    + ("+int8kv" if kv_quantized else ""),
                     "num_reqs": num_reqs,
                     "p50_ttft_s": round(mixed["p50_ttft_s"], 4),
                     "p99_ttft_s": round(mixed["p99_ttft_s"], 4),
@@ -324,6 +488,8 @@ def main():
                     "mixed_decode_tok_s": round(mixed["decode_tok_s"], 1),
                     "roofline_tok_s": round(roofline, 1),
                     "device": jax.devices()[0].device_kind,
+                    **(gemm or {}),
+                    **(fp8 or {}),
                 },
             }
         )

@@ -166,3 +166,57 @@ def test_async_block_accounting(small_model_config):
     # prefix-cached blocks stay resident in the cached-LRU (still "free"
     # in pool terms once released); pool counts must match
     assert free1 == free0
+
+
+# ----------------------------------------------- async PREFILL overlap
+
+def test_async_prefill_overlap_matches_sync(small_model_config):
+    """Many waiting prompts with chunked prefill: async prefill-ahead must
+    produce identical outputs to sync, and at least one prefill step must
+    launch while another is in flight."""
+    import dataclasses
+
+    def engine(async_on):
+        return EngineCore(EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, num_blocks=256),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=8,
+                max_num_batched_tokens=32,  # tiny chunks → many prefill steps
+                num_decode_steps=4,
+                async_scheduling=async_on,
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+
+    prompts = [
+        [(7 * i + j) % 100 + 1 for j in range(50 + 13 * (i % 3))]
+        for i in range(8)
+    ]
+
+    def run(eng, spy=False):
+        launches, resolves = [], []
+        if spy:
+            orig_l = eng.runner.execute_model_async
+            orig_r = eng.runner.resolve_async
+            eng.runner.execute_model_async = lambda so: (
+                launches.append(len(resolves)) or orig_l(so)
+            )
+            eng.runner.resolve_async = lambda h: (
+                resolves.append(len(launches)) or orig_r(h)
+            )
+        outs = {}
+        for i, p in enumerate(prompts):
+            eng.add_request(
+                f"r{i}", p, SamplingParams(max_tokens=9, temperature=0.0)
+            )
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                outs.setdefault(o.req_id, []).extend(o.new_token_ids)
+        return outs, launches
+
+    sync, _ = run(engine(False))
+    asyn, launches = run(engine(True), spy=True)
+    assert asyn == sync
+    # overlap: some launch happened before the prior launch resolved
+    assert any(r < i for i, r in enumerate(launches)), launches

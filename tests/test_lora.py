@@ -9,6 +9,7 @@ generate the same greedy tokens as the base checkpoint + runtime adapter.
 import json
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -311,3 +312,160 @@ def test_lora_mixtral_attention_only(tmp_path):
         lora_request=LoRARequest("m1", 1, adapter),
     )[0].outputs[0].token_ids
     assert out != base_out  # the attention adapter took effect
+
+
+# ------------------------------------------- LoRA over a QUANTIZED base
+
+def test_lora_over_gptq_matches_dequant_merged(ckpts, tmp_path):
+    """LoRA on an int4-quantized base (the reference's
+    lora_with_quantization_inference.py flow): oracle = a float checkpoint
+    whose weights are dequant(quant(W)) + scale*(B@A) — exactly what the
+    quantized engine + runtime adapter computes."""
+    import torch
+    from safetensors.numpy import load_file
+    from transformers import LlamaForCausalLM
+
+    from vllm_metax_tpu.ops.quant import dequant_int4, quantize_int4_grouped
+
+    base, adapter1, _, _ = ckpts
+    GS = 32
+    m = LlamaForCausalLM.from_pretrained(base).eval()
+    t1 = load_file(os.path.join(adapter1, "adapter_model.safetensors"))
+    scale = ALPHA / RANK
+    with torch.no_grad():
+        for l, layer in enumerate(m.model.layers):
+            mods = {
+                "q_proj": layer.self_attn.q_proj,
+                "k_proj": layer.self_attn.k_proj,
+                "v_proj": layer.self_attn.v_proj,
+                "o_proj": layer.self_attn.o_proj,
+                "gate_proj": layer.mlp.gate_proj,
+                "up_proj": layer.mlp.up_proj,
+                "down_proj": layer.mlp.down_proj,
+            }
+            # replicate the engine's on-the-fly int4 quantization of the
+            # FUSED blocks (quantize_params fuses qkv / gate_up first, so
+            # group scales span the fused K dim the same way)
+            fused = {
+                "qkv": ("q_proj", "k_proj", "v_proj"),
+                "gate_up": ("gate_proj", "up_proj"),
+                "o": ("o_proj",),
+                "down": ("down_proj",),
+            }
+            for name, parts in fused.items():
+                import numpy as _np
+
+                w = _np.concatenate(
+                    [mods[p].weight.numpy().T for p in parts], axis=1
+                )  # (K, N) fused
+                w_p4, s, zs = quantize_int4_grouped(
+                    jnp.asarray(w), GS, sym=True
+                )
+                wq = _np.asarray(
+                    dequant_int4(w_p4, s, zs, jnp.float32)
+                )
+                col = 0
+                for p in parts:
+                    width = mods[p].weight.shape[0]
+                    mods[p].weight.copy_(
+                        torch.tensor(wq[:, col : col + width].T)
+                    )
+                    col += width
+            for tgt in TARGETS:
+                pre = f"base_model.model.model.layers.{l}.{_mod_path(tgt)}"
+                if f"{pre}.lora_A.weight" not in t1:
+                    continue
+                a = torch.tensor(t1[f"{pre}.lora_A.weight"])
+                b = torch.tensor(t1[f"{pre}.lora_B.weight"])
+                mods[tgt].weight += scale * (b @ a)
+    merged_q = str(tmp_path / "merged_q")
+    m.save_pretrained(merged_q, safe_serialization=True)
+
+    ref = _llm(merged_q).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+
+    llm = _llm(base, enable_lora=True, max_lora_rank=RANK,
+               quantization="gptq", quantization_bits=4,
+               quantization_group_size=GS)
+    out = llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY,
+        lora_request=LoRARequest("a1", 1, adapter1),
+    )[0].outputs[0].token_ids
+    assert out == ref
+
+
+# -------------------------------------- lm_head / embedding adapters
+
+@pytest.fixture(scope="module")
+def head_ckpts(tmp_path_factory):
+    """Base + adapter targeting lm_head AND embed_tokens + merged oracle."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    root = tmp_path_factory.mktemp("lora_heads")
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    m = LlamaForCausalLM(cfg).eval()
+    base = str(root / "base")
+    m.save_pretrained(base, safe_serialization=True)
+
+    rng = np.random.default_rng(11)
+    v, e = cfg.vocab_size, cfg.hidden_size
+    head_a = (rng.standard_normal((RANK, e)) * 0.05).astype(np.float32)
+    head_b = (rng.standard_normal((v, RANK)) * 0.05).astype(np.float32)
+    emb_a = (rng.standard_normal((RANK, v)) * 0.05).astype(np.float32)
+    emb_b = (rng.standard_normal((e, RANK)) * 0.05).astype(np.float32)
+    tensors = {
+        "base_model.model.lm_head.lora_A.weight": head_a,
+        "base_model.model.lm_head.lora_B.weight": head_b,
+        "base_model.model.model.embed_tokens.lora_embedding_A": emb_a,
+        "base_model.model.model.embed_tokens.lora_embedding_B": emb_b,
+    }
+    adapter = str(root / "adapter")
+    os.makedirs(adapter, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    save_file(tensors, os.path.join(adapter, "adapter_model.safetensors"))
+    with open(os.path.join(adapter, "adapter_config.json"), "w") as f:
+        json.dump({"r": RANK, "lora_alpha": ALPHA,
+                   "target_modules": ["lm_head", "embed_tokens"]}, f)
+
+    scale = ALPHA / RANK
+    with torch.no_grad():
+        m.lm_head.weight += scale * (
+            torch.tensor(head_b) @ torch.tensor(head_a)
+        )
+        m.model.embed_tokens.weight += scale * (
+            torch.tensor(emb_a).T @ torch.tensor(emb_b).T
+        )
+    merged = str(root / "merged")
+    m.save_pretrained(merged, safe_serialization=True)
+    return base, adapter, merged
+
+
+def test_lora_lm_head_and_embedding(head_ckpts):
+    """lm_head + embedding adapters match the merged-weight oracle (ref
+    surface: upstream vLLM punica lm_head/embedding LoRA)."""
+    base, adapter, merged = head_ckpts
+    ref = _llm(merged).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+    llm = _llm(base, enable_lora=True, max_lora_rank=RANK)
+    out = llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY,
+        lora_request=LoRARequest("h", 1, adapter),
+    )[0].outputs[0].token_ids
+    assert out == ref
+    # base path (slot 0) untouched
+    base_ref = _llm(base).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+    assert llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids == base_ref
+    assert out != base_ref  # the head adapters actually steer the stream

@@ -174,6 +174,24 @@ class EngineCore:
             pre = self.scheduler.preapply_window(scheduler_output)
             self._pending = (scheduler_output, handle, pre)
             return []
+        if (
+            self._async_sched
+            and scheduler_output.num_decode_steps == 1
+            and not scheduler_output.num_scheduled_spec_tokens
+            and not self.runner.mtp
+            and self.scheduler.can_schedule_ahead_prefill()
+        ):
+            # async PREFILL overlap: launch this chunk without blocking so
+            # the next prefill-only chunk's host build + dispatch hides
+            # under its device time (the dominant TTFT term on
+            # remote-attached TPUs is the per-chunk host round trip)
+            try:
+                handle = self.runner.execute_model_async(scheduler_output)
+            except Exception as e:  # noqa: BLE001
+                return self._error_window(scheduler_output, e)
+            pre = self.scheduler.preapply_prefill(scheduler_output)
+            self._pending = (scheduler_output, handle, pre)
+            return []
         return self._dispatch_sync(scheduler_output)
 
     def _maybe_spill(self) -> None:
@@ -234,6 +252,27 @@ class EngineCore:
             ):
                 h_next = self.runner.execute_model_async(so_next)
                 pre_next = self.scheduler.preapply_window(so_next)
+        elif (
+            self._async_sched
+            and not self.runner.mtp
+            and self.scheduler.can_schedule_ahead_prefill()
+        ):
+            # prefill-ahead: only prompt-known work (waiting admissions +
+            # mid-prefill continuations) — launched under the in-flight step
+            so_next = self.scheduler.schedule_prefill_ahead()
+            self._maybe_spill()
+            if so_next.total_num_scheduled_tokens > 0:
+                for rid in so_next.num_scheduled_tokens:
+                    tr = self.traces.get(rid)
+                    if tr:
+                        tr.mark_scheduled()
+                h_next = self.runner.execute_model_async(so_next)
+                pre_next = self.scheduler.preapply_prefill(so_next)
+            else:
+                # nothing schedulable after all (e.g. out of blocks):
+                # return the drained finished ids and drop the empty step
+                self.scheduler.finished_req_ids |= so_next.finished_req_ids
+                so_next = None
         try:
             runner_output = self.runner.resolve_async(h_prev)
         except Exception as e:  # noqa: BLE001

@@ -234,11 +234,11 @@ class KVCacheManager:
         or None if the pool can't satisfy it (caller preempts)."""
         computed = new_computed_blocks.blocks if new_computed_blocks else []
         cur = self.req_blocks.get(request.req_id, [])
-        # inflight_tokens: an unresolved async-scheduled window's tokens
-        # occupy slots too (scheduler.preapply_window)
+        # inflight_computed: KV positions an unresolved async-scheduled step
+        # will write occupy slots too (scheduler.preapply_window/prefill)
         total_tokens = (
             request.num_computed_tokens
-            + request.inflight_tokens
+            + request.inflight_computed
             + num_new_tokens
         )
         needed_blocks = cdiv(total_tokens, self.block_size)

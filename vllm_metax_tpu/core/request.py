@@ -63,12 +63,16 @@ class Request:
     # (parents[i] < i) so prefix truncation keeps a valid tree.
     spec_token_ids: list[int] = field(default_factory=list)
     spec_token_parents: list[int] = field(default_factory=list)
-    # Async scheduling (scheduler.preapply_window): tokens a launched-but-
-    # unresolved decode window will produce. Scheduling the NEXT window
-    # accounts for them (KV slots, length budgets) without knowing their
-    # values; update_from_output decrements as windows resolve. Mirrors the
-    # overlap the reference pins in tests/v1/core/test_async_scheduler.py.
+    # Async scheduling (scheduler.preapply_window/preapply_prefill):
+    # `inflight_tokens` counts OUTPUT tokens a launched-but-unresolved step
+    # will emit (length budgets); `inflight_computed` counts KV/compute
+    # positions it will advance (slot allocation, chunk continuation).
+    # Decode windows bump both by the window length; prefill chunks bump
+    # only the computed side (their outputs are prompt recomputation).
+    # resolve_window decrements both before the normal output update.
+    # Mirrors the overlap pinned by tests/v1/core/test_async_scheduler.py.
     inflight_tokens: int = 0
+    inflight_computed: int = 0
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -496,6 +496,22 @@ class ModelRunner:
             layers[name] = tgt
         out = dict(params)
         out["layers"] = layers
+        # lm_head / embedding adapters (llama-family forward implements the
+        # deltas; ref: upstream vLLM's punica lm_head/embedding LoRA)
+        from vllm_metax_tpu.models import llama as _llama_mod
+
+        self._lora_heads = (
+            getattr(self.model, "forward", None) is _llama_mod.forward
+            and "embed" in out
+        )
+        if self._lora_heads:
+            from vllm_metax_tpu.lora import empty_head_banks
+
+            out.update(
+                empty_head_banks(
+                    self.model_cfg, self.lora_cfg, self.model_cfg.dtype
+                )
+            )
         return out
 
     def add_lora(self, name: str, path: str) -> int:
@@ -548,6 +564,26 @@ class ModelRunner:
                 layers[tgt_name] = tgt
         self.params = dict(self.params)
         self.params["layers"] = layers
+        # head adapters (lm_head / embedding) — llama-family only
+        for bank_key, param_key in (("lm_head", "lm_head_lora"),
+                                    ("embed", "embed_lora")):
+            if bank_key not in banks:
+                continue
+            if not getattr(self, "_lora_heads", False):
+                logger.warning(
+                    "adapter targets %s which %s does not adapt; skipping",
+                    bank_key, cfg.architecture,
+                )
+                continue
+            hb = dict(self.params[param_key])
+            hb["lora_A"] = hb["lora_A"].at[slot].set(
+                jnp.asarray(banks[bank_key]["A"], hb["lora_A"].dtype)
+            )
+            hb["lora_B"] = hb["lora_B"].at[slot].set(
+                jnp.asarray(banks[bank_key]["B"], hb["lora_B"].dtype)
+            )
+            hb["lora_s"] = hb["lora_s"].at[slot].set(scaling)
+            self.params[param_key] = hb
         return slot
 
     def _alloc_kv_cache(self) -> None:
@@ -863,7 +899,15 @@ class ModelRunner:
                     tv.reshape(tb_rows, _PLP_TOPK),
                 )
             sel = jnp.take(hidden, logits_indices, axis=0)
-            logits = model.compute_logits(params, sel, cfg, axis_name=axis_name)
+            if getattr(self, "_lora_heads", False) and md.lora_idx is not None:
+                logits = model.compute_logits(
+                    params, sel, cfg, axis_name=axis_name,
+                    lora_rows=jnp.take(md.lora_idx, logits_indices),
+                )
+            else:
+                logits = model.compute_logits(
+                    params, sel, cfg, axis_name=axis_name
+                )
             if hist_ids is not None:
                 rb = logits.shape[0]
                 vocab = logits.shape[1]
@@ -1220,7 +1264,15 @@ class ModelRunner:
                     hidden, kv = model.forward(
                         params, tokens, kv, md, cfg, **fkw
                     )
-                logits = model.compute_logits(params, hidden, cfg, axis_name=axis_name)
+                if use_lora and getattr(self, "_lora_heads", False):
+                    logits = model.compute_logits(
+                        params, hidden, cfg, axis_name=axis_name,
+                        lora_rows=extras["lora"],
+                    )
+                else:
+                    logits = model.compute_logits(
+                        params, hidden, cfg, axis_name=axis_name
+                    )
                 if use_penalties:
                     logits = apply_penalties(logits, counts, prompt_mask, st)
                 if use_bans:
@@ -1638,12 +1690,25 @@ class ModelRunner:
         )
 
     def execute_model_async(self, so: SchedulerOutput) -> dict:
-        """Launch a steady decode window without fetching results; pair with
-        resolve_async(). Caller must have checked can_execute_async(so)."""
+        """Launch a step without fetching results; pair with resolve_async().
+        Steady decode windows use the multi-step launch (caller checked
+        can_execute_async); anything else (prefill/mixed steps for the async
+        prefill overlap) takes the single-step launch."""
         self._update_states(so)
-        return self._launch_multi_step(so)
+        if (
+            so.scheduled_new_reqs
+            or so.preempted_req_ids
+            or any(cr.resumed_from_preemption for cr in so.scheduled_cached_reqs)
+        ):
+            self._msd_cache = None
+        if so.num_decode_steps > 1 and not self._needs_per_step_host_state(so):
+            return self._launch_multi_step(so)
+        self._msd_cache = None
+        return self._launch_single_step(so)
 
     def resolve_async(self, handle: dict) -> ModelRunnerOutput:
+        if "single" in handle:
+            return self._make_output(*handle["single"])
         return self._resolve_multi_step(handle)
 
     def execute_model(self, so: SchedulerOutput) -> ModelRunnerOutput:
@@ -1661,7 +1726,11 @@ class ModelRunner:
         if so.num_decode_steps > 1 and not self._needs_per_step_host_state(so):
             return self._execute_multi_step(so)
         self._msd_cache = None
+        return self._make_output(*self._launch_single_step(so)["single"])
 
+    def _launch_single_step(self, so: SchedulerOutput) -> dict:
+        """Host build + async dispatch of one (prefill/mixed/single-decode)
+        step; the blocking device fetches live in _make_output."""
         req_ids = list(so.num_scheduled_tokens.keys())
         num_reqs = len(req_ids)
         t = so.total_num_scheduled_tokens
@@ -1686,10 +1755,15 @@ class ModelRunner:
         offset = 0
         any_penalty = False
         hist_lens = []
+        # completion decided at LAUNCH time: with async prefill overlap, a
+        # later launch advances st.num_computed_tokens before this step's
+        # resolve, so the resolve-time state check would mis-classify
+        complete_flags: dict[str, bool] = {}
         for i, rid in enumerate(req_ids):
             st = self.requests[rid]
             n = so.num_scheduled_tokens[rid]
             start = st.num_computed_tokens
+            complete_flags[rid] = start + n >= len(st.token_ids)
             toks = st.token_ids[start : start + n]
             drafts = spec.get(rid, [])
             if drafts:
@@ -2017,9 +2091,12 @@ class ModelRunner:
             mtp_next,
             plp_targets,
         )
-        return self._make_output(
-            req_ids, out, so, s_rows, draft_rows, plp_arrs
-        )
+        return {
+            "single": (
+                req_ids, out, so, s_rows, draft_rows, plp_arrs,
+                complete_flags,
+            )
+        }
 
     def _accumulate_prompt_logprobs(
         self, req_ids: list[str], so: SchedulerOutput, plp_arrs
@@ -2235,6 +2312,7 @@ class ModelRunner:
     def _make_output(
         self, req_ids: list[str], out: SamplerOutput, so: SchedulerOutput,
         s_rows: int = 1, draft_rows=None, plp_arrs=None,
+        complete_flags=None,
     ) -> ModelRunnerOutput:
         tokens = np.asarray(out.token_ids)
         if plp_arrs is not None:
@@ -2263,7 +2341,14 @@ class ModelRunner:
             n = so.num_scheduled_tokens[rid]
             result.req_ids.append(rid)
             # token only valid if the whole context was computed this step
-            if st.num_computed_tokens + n < len(st.token_ids):
+            # (launch-time flag when available — resolve-time state may
+            # already reflect later pipelined launches)
+            incomplete = (
+                not complete_flags[rid]
+                if complete_flags is not None
+                else st.num_computed_tokens + n < len(st.token_ids)
+            )
+            if incomplete:
                 result.sampled_token_ids.append([])
                 result.logprobs.append(None)
                 continue

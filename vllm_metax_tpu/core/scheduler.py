@@ -230,7 +230,9 @@ class Scheduler:
         if self.config.num_decode_steps > 1 and not self.waiting and self.running:
             reqs = [r for r in self.running if r.status == RequestStatus.RUNNING]
             if reqs and all(
-                r.num_tokens_with_spec - r.num_computed_tokens == 1 for r in reqs
+                r.num_tokens_with_spec + r.inflight_tokens
+                - r.num_computed_tokens - r.inflight_computed == 1
+                for r in reqs
             ):
                 room = min(
                     self.max_model_len - r.num_tokens - r.inflight_tokens + 1
@@ -258,7 +260,10 @@ class Scheduler:
                 break
             if req.status != RequestStatus.RUNNING:
                 continue  # preempted as a victim earlier in this pass
-            num_new = req.num_tokens_with_spec - req.num_computed_tokens
+            num_new = (
+                req.num_tokens_with_spec + req.inflight_tokens
+                - req.num_computed_tokens - req.inflight_computed
+            )
             num_new = min(num_new, token_budget)
             if self.config.long_prefill_token_threshold > 0:
                 num_new = min(num_new, self.config.long_prefill_token_threshold)
@@ -423,7 +428,7 @@ class Scheduler:
                 return False  # request finishes in the in-flight window
             rem_vals.append(rem)
             room_min = min(room_min, room)
-            total = req.num_computed_tokens + req.inflight_tokens + m
+            total = req.num_computed_tokens + req.inflight_computed + m
             cur = len(km.req_blocks.get(req.req_id, []))
             for pos in range(cur, cdiv(total, self.block_size)):
                 need[pos % km.dcp_size] += 1
@@ -455,7 +460,138 @@ class Scheduler:
             )
             opt = max(min(m, room), 0)
             req.inflight_tokens += opt
-            rec[rid] = opt
+            req.inflight_computed += opt
+            rec[rid] = (opt, opt)
+        return rec
+
+    def can_schedule_ahead_prefill(self) -> bool:
+        """There is prefill work whose inputs don't depend on any in-flight
+        step: fresh waiting admissions or mid-prefill continuations (their
+        inputs are prompt tokens, host-known)."""
+        if self.proposer is not None or self.external_drafts:
+            return False  # draft bookkeeping is not preapply-aware
+        if any(r.status == RequestStatus.WAITING for r in self.waiting):
+            return True
+        return any(
+            r.status == RequestStatus.RUNNING
+            and (
+                r.num_tokens + r.inflight_tokens
+                - r.num_computed_tokens - r.inflight_computed
+            ) > 1
+            for r in self.running
+        )
+
+    def schedule_prefill_ahead(self) -> SchedulerOutput:
+        """PREFILL-ONLY schedule while a previous step is still in flight —
+        the async prefill overlap (host metadata build + dispatch of the
+        next chunk hides under the in-flight chunk's device time; ref
+        behavior: tests/v1/core/test_async_scheduler.py generalized to
+        prefill). Only mid-prefill continuations and fresh waiting
+        admissions are eligible (inputs = prompt tokens); requests whose
+        next input is an in-flight sampled token are skipped, and
+        allocation failures skip instead of preempting (a victim's blocks
+        may be mid-write on device)."""
+        out = SchedulerOutput()
+        out.finished_req_ids, self.finished_req_ids = (
+            self.finished_req_ids, set(),
+        )
+        token_budget = self.config.max_num_batched_tokens
+
+        for req in list(self.running):
+            if token_budget <= 0:
+                break
+            if req.status != RequestStatus.RUNNING or req.spec_token_ids:
+                continue
+            remaining = (
+                req.num_tokens + req.inflight_tokens
+                - req.num_computed_tokens - req.inflight_computed
+            )
+            if remaining <= 1:
+                continue  # decode-ready / pending-completion — sync path
+            num_new = min(remaining, token_budget)
+            if self.config.long_prefill_token_threshold > 0:
+                num_new = min(num_new, self.config.long_prefill_token_threshold)
+            new_blocks = self.kv_manager.allocate_slots(req, num_new)
+            if new_blocks is None:
+                continue  # never preempt in an ahead schedule
+            out.scheduled_cached_reqs.append(
+                CachedReqData(
+                    req_id=req.req_id,
+                    new_block_ids=new_blocks.block_ids,
+                    num_computed_tokens=req.num_computed_tokens
+                    + req.inflight_computed,
+                )
+            )
+            out.num_scheduled_tokens[req.req_id] = num_new
+            token_budget -= num_new
+
+        while self.waiting and token_budget > 0:
+            if len(self.running) >= self.config.max_num_seqs:
+                break
+            req = self.waiting[0]
+            if req.status == RequestStatus.PREEMPTED:
+                break  # resumed requests re-enter via the sync path
+            skip_cache = (
+                req.sampling_params is not None
+                and req.sampling_params.prompt_logprobs is not None
+            )
+            if skip_cache or not self.kv_manager.enable_caching:
+                computed_blocks, num_computed = None, req.num_computed_tokens
+            else:
+                computed_blocks, num_computed = (
+                    self.kv_manager.get_computed_blocks(req)
+                )
+                self.num_prefix_cached_tokens += num_computed
+            num_new = req.num_tokens - num_computed
+            if (
+                not self.config.enable_chunked_prefill
+                and num_new > token_budget
+            ):
+                break
+            num_new = min(num_new, token_budget)
+            if self.config.long_prefill_token_threshold > 0:
+                num_new = min(num_new, self.config.long_prefill_token_threshold)
+            req.num_computed_tokens = num_computed
+            new_blocks = self.kv_manager.allocate_slots(
+                req, num_new, computed_blocks
+            )
+            if new_blocks is None:
+                break
+            self.waiting.popleft()
+            self.running.append(req)
+            req.status = RequestStatus.RUNNING
+            out.scheduled_new_reqs.append(
+                NewReqData(
+                    req_id=req.req_id,
+                    prompt_token_ids=req.prompt_token_ids,
+                    block_ids=self.kv_manager.get_block_ids(req.req_id),
+                    num_computed_tokens=num_computed,
+                    sampling_params=req.sampling_params,
+                    eos_token_id=req.eos_token_id,
+                    lora_name=req.lora_name,
+                    multi_modal_data=req.multi_modal_data,
+                )
+            )
+            out.num_scheduled_tokens[req.req_id] = num_new
+            token_budget -= num_new
+
+        out.total_num_scheduled_tokens = sum(
+            out.num_scheduled_tokens.values()
+        )
+        return out
+
+    def preapply_prefill(self, so: SchedulerOutput) -> dict[str, tuple]:
+        """Mark a launched prefill/mixed step's scheduled tokens as
+        computed-in-flight (no outputs assumed — completions resolve
+        normally). Lets the NEXT prefill-only step be scheduled while this
+        one runs (async prefill overlap)."""
+        rec: dict[str, tuple] = {}
+        for rid, n in so.num_scheduled_tokens.items():
+            req = self.requests.get(rid)
+            if req is None or req.status != RequestStatus.RUNNING:
+                continue
+            req.inflight_computed += n
+            rec[rid] = (0, n)
         return rec
 
     def resolve_window(
@@ -468,10 +604,14 @@ class Scheduler:
         normal output update (true tokens append at the list tail — in-flight
         marks never entered output_token_ids, so ordering is preserved even
         with a later window already launched)."""
-        for rid, opt in preapplied.items():
+        for rid, rec in preapplied.items():
+            out_n, comp_n = rec
             req = self.requests.get(rid)
             if req is not None:
-                req.inflight_tokens = max(req.inflight_tokens - opt, 0)
+                req.inflight_tokens = max(req.inflight_tokens - out_n, 0)
+                req.inflight_computed = max(
+                    req.inflight_computed - comp_n, 0
+                )
         return self.update_from_output(so, sampled)
 
     def begin_deferred_free(self) -> None:

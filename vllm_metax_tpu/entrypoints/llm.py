@@ -46,6 +46,8 @@ def _build_engine_config(
     decode_context_parallel_size: int = 1,
     load_format: str = "auto",
     quantization: Optional[str] = None,
+    quantization_bits: Optional[int] = None,
+    quantization_group_size: Optional[int] = None,
     seed: int = 0,
     speculative_config: Optional[dict] = None,
     enable_lora: bool = False,
@@ -73,8 +75,10 @@ def _build_engine_config(
         # on-the-fly quantization of a bf16 checkpoint
         quant_config = QuantizationConfig(
             method=quantization,
-            bits=4 if quantization in ("gptq", "awq", "int4") else 8,
-            group_size=128 if quantization in ("gptq", "awq", "int4") else -1,
+            bits=quantization_bits
+            or (4 if quantization in ("gptq", "awq", "int4") else 8),
+            group_size=quantization_group_size
+            or (128 if quantization in ("gptq", "awq", "int4") else -1),
         )
     cache_config = CacheConfig(
         block_size=block_size,

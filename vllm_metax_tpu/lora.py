@@ -92,6 +92,29 @@ def empty_banks(cfg, lora_cfg: LoRAConfig, dtype, targets=None) -> dict:
     return out
 
 
+def empty_head_banks(cfg, lora_cfg: LoRAConfig, dtype) -> dict:
+    """Zero adapter banks for lm_head and the embedding (UNSTACKED — one
+    per model, not per layer). lm_head delta adds to the logits; the embed
+    delta adds to the token embedding lookup (llama-family forward)."""
+    import jax.numpy as jnp
+
+    n = lora_cfg.num_slots
+    r = lora_cfg.max_lora_rank
+    e, v = cfg.hidden_size, cfg.vocab_size
+    return {
+        "lm_head_lora": {
+            "lora_A": jnp.zeros((n, e, r), dtype),
+            "lora_B": jnp.zeros((n, r, v), dtype),
+            "lora_s": jnp.zeros((n,), jnp.float32),
+        },
+        "embed_lora": {
+            "lora_A": jnp.zeros((n, v, r), dtype),
+            "lora_B": jnp.zeros((n, r, e), dtype),
+            "lora_s": jnp.zeros((n,), jnp.float32),
+        },
+    }
+
+
 def load_peft_adapter(path: str) -> tuple[dict, float, int]:
     """Read an HF peft adapter directory.
 
@@ -110,6 +133,19 @@ def load_peft_adapter(path: str) -> tuple[dict, float, int]:
         # base_model.model.model.layers.{l}.self_attn.q_proj.lora_A.weight
         parts = key.split(".")
         if "layers" not in parts:
+            # head adapters: lm_head.lora_A/B, embed_tokens.lora_embedding_A/B
+            # (ref surface: punica's lm_head/embedding LoRA in upstream vLLM)
+            heads = out.setdefault("__heads__", {})
+            if "lm_head" in parts:
+                ab = "A" if "lora_A" in key else "B"
+                heads.setdefault("lm_head", {})[ab] = np.asarray(
+                    val, np.float32
+                )
+            elif "embed_tokens" in parts:
+                ab = "A" if "lora_embedding_A" in key else "B"
+                heads.setdefault("embed", {})[ab] = np.asarray(
+                    val, np.float32
+                )
             continue
         layer = int(parts[parts.index("layers") + 1])
         target = next((t for grp in _FUSED_TARGETS.values() for t in grp
@@ -162,6 +198,16 @@ def adapter_to_banks(tensors: dict, cfg, lora_cfg: LoRAConfig) -> dict:
                 col0 += width
         if present:
             out[name] = {"A": a, "B": b}
+    heads = tensors.get("__heads__", {})
+    hl = heads.get("lm_head")
+    if hl and "A" in hl and "B" in hl:
+        # peft lm_head: A (r, E), B (V, r) → banks (E, R), (R, V)
+        out["lm_head"] = {"A": hl["A"].T, "B": hl["B"].T}
+    el = heads.get("embed")
+    if el and "A" in el and "B" in el:
+        # peft embedding: lora_embedding_A (r, V), lora_embedding_B (E, r);
+        # delta_embed = A.T @ B.T → banks (V, R), (R, E)
+        out["embed"] = {"A": el["A"].T, "B": el["B"].T}
     return out
 
 

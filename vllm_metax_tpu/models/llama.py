@@ -55,11 +55,33 @@ from vllm_metax_tpu.ops.rope import apply_rope, compute_rope_cache
 
 # ---------------------------------------------------------------- forward
 
-def embed(params: dict, input_ids: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+def embed(params: dict, input_ids: jnp.ndarray, cfg: ModelConfig,
+          lora_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Token embedding lookup → (T, E). Split out of forward so the pipeline
     wrapper (parallel/pipeline.py) can run it on every stage (replicated,
-    cheap gather) while the layer stack is stage-sharded."""
-    return jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    cheap gather) while the layer stack is stage-sharded.
+
+    embed_lora: per-slot low-rank embedding delta (peft lora_embedding_A/B;
+    ref surface: upstream vLLM's embedding LoRA) — row t gains
+    s[slot] * A[slot, token_t] @ B[slot]."""
+    h = jnp.take(params["embed"], input_ids, axis=0).astype(cfg.dtype)
+    el = params.get("embed_lora")
+    if el is not None and lora_idx is not None:
+        a_tok = jnp.take(
+            el["lora_A"], input_ids, axis=1
+        ).astype(jnp.float32)  # (n, T, R)
+        mask = (
+            lora_idx[None, :]
+            == jnp.arange(a_tok.shape[0], dtype=jnp.int32)[:, None]
+        )
+        a_tok = a_tok * (
+            mask.astype(jnp.float32) * el["lora_s"][:, None]
+        )[..., None]
+        delta = jnp.einsum(
+            "ntr,nre->te", a_tok, el["lora_B"].astype(jnp.float32)
+        )
+        h = h + delta.astype(h.dtype)
+    return h
 
 
 def finalize(hidden: jnp.ndarray, residual: jnp.ndarray, cfg: ModelConfig):
@@ -231,7 +253,7 @@ def forward(
     ep_axis_name: Optional[str] = None,  # unused (dense model)
 ):
     """Returns (hidden (T, E), new kv_cache)."""
-    hidden = embed(params, input_ids, cfg)
+    hidden = embed(params, input_ids, cfg, lora_idx=md.lora_idx)
     residual = jnp.zeros_like(hidden)
     hidden, residual, new_kv = run_layers(
         params, hidden, residual, kv_cache, md, cfg,
@@ -246,6 +268,7 @@ def compute_logits(
     hidden: jnp.ndarray,  # (R, E) — already gathered at logits_indices
     cfg: ModelConfig,
     axis_name: Optional[str] = None,
+    lora_rows: Optional[jnp.ndarray] = None,  # (R,) adapter slot per row
 ) -> jnp.ndarray:
     normed = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
@@ -282,6 +305,27 @@ def compute_logits(
                 logits = apply_linear(head, normed).astype(jnp.float32)
         else:
             logits = jnp.dot(normed, head, preferred_element_type=jnp.float32)
+        hl = params.get("lm_head_lora")
+        if hl is not None and lora_rows is not None:
+            # lm_head LoRA delta (mask-and-matmul, same scheme as
+            # layers/linear.py lora_delta; B shards with the vocab dim so
+            # the delta lands pre-all-gather). Ref surface: punica lm_head
+            # adapters in upstream vLLM.
+            a = hl["lora_A"].astype(jnp.float32)  # (n, E, R)
+            b = hl["lora_B"].astype(jnp.float32)  # (n, R, V_shard)
+            xa = jnp.einsum(
+                "te,ner->tnr", normed.astype(jnp.float32), a
+            )
+            mask = (
+                lora_rows[:, None]
+                == jnp.arange(a.shape[0], dtype=jnp.int32)[None, :]
+            )
+            xa = xa * (mask.astype(jnp.float32) * hl["lora_s"][None, :])[
+                ..., None
+            ]
+            logits = logits + jnp.einsum("tnr,nrv->tv", xa, b).astype(
+                logits.dtype
+            )
         if axis_name:
             # lm_head is sharded on vocab: gather shards → full vocab
             logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
@@ -698,6 +742,18 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "tp")
+    # head adapters (UNSTACKED): lm_head delta shards with the vocab dim,
+    # embedding delta is replicated like the embedding itself
+    specs["lm_head_lora"] = {
+        "lora_A": P(None, None, None),
+        "lora_B": P(None, None, "tp"),
+        "lora_s": P(None),
+    }
+    specs["embed_lora"] = {
+        "lora_A": P(None, None, None),
+        "lora_B": P(None, None, None),
+        "lora_s": P(None),
+    }
     if cfg.mtp_enabled:
         # EAGLE head: one UNSTACKED decoder layer — strip the leading L axis
         strip = lambda sp: P(*tuple(sp)[1:])  # noqa: E731

@@ -273,9 +273,11 @@ def _decode_kernel(
     col_rr = jax.lax.broadcasted_iota(jnp.int32, (1, NR * ckv), 1) // ckv
     same_req = row_rr == col_rr  # (NR*G, NR*CKV)
 
-    # int8×int8 QK operands (quantized mode): quantize q ONCE per tile —
-    # 4K elements — so chunks skip the (HKV, NR*CKV, D) K dequant-convert
-    if quantized:
+    # int8×int8 QK operands (int8-KV mode): quantize q ONCE per tile —
+    # 4K elements — so chunks skip the (HKV, NR*CKV, D) K dequant-convert.
+    # fp8 pools keep the convert path (no fp8×int8 MXU mode).
+    int8_qk = quantized and k_buf.dtype == jnp.int8
+    if int8_qk:
         _qf = q_ref[0].astype(jnp.float32)
         _qamax = jnp.max(jnp.abs(_qf), axis=2, keepdims=True)
         q_scale = jnp.maximum(_qamax, 1e-8) * (1.0 / 127.0)
@@ -341,7 +343,7 @@ def _decode_kernel(
             else:
                 k_all = k_full
                 v_all = v_buf[slot]
-            if quantized:
+            if int8_qk:
                 # int8×int8 QK on the MXU (q quantized once per tile above)
                 # instead of dequant-converting the whole (HKV, NR*CKV, D)
                 # K buffer to bf16 (2.1M VPU converts/tile, the largest
@@ -356,6 +358,15 @@ def _decode_kernel(
                 ).astype(jnp.float32)
                 s = s * ks_buf[slot][:, None, :]
                 s = s * (q_scale * sm_scale)
+            elif quantized:
+                s = jax.lax.dot_general(
+                    q_all,
+                    k_all.astype(q_all.dtype),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                s = s * ks_buf[slot][:, None, :]
+                s = s * sm_scale
             else:
                 s = jax.lax.dot_general(
                     q_all,
