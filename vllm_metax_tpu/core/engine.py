@@ -173,6 +173,9 @@ class EngineCore:
                 return self._error_window(scheduler_output, e)
             pre = self.scheduler.preapply_window(scheduler_output)
             self._pending = (scheduler_output, handle, pre)
+            # an abort between steps must not free blocks the in-flight
+            # window is writing
+            self.scheduler.begin_deferred_free()
             return []
         if (
             self._async_sched
@@ -191,6 +194,7 @@ class EngineCore:
                 return self._error_window(scheduler_output, e)
             pre = self.scheduler.preapply_prefill(scheduler_output)
             self._pending = (scheduler_output, handle, pre)
+            self.scheduler.begin_deferred_free()
             return []
         return self._dispatch_sync(scheduler_output)
 

@@ -108,9 +108,17 @@ def apply_linear(
         else:
             y = int4_matmul(x, p["w_p4"], p["s"], p["zs"], perm)
     elif "w_i8" in p and "a8" in p:
-        from vllm_metax_tpu.ops.quant import w8a8_int8_matmul
+        if stacked and p["w_i8"].ndim == 3:
+            # stacked bank through the Pallas kernel: the XLA dot lowering
+            # materializes a relayout copy of the WHOLE (L, K, N) bank
+            # (OOMs 8B-scale int8/fp8 W8A8 engines)
+            from vllm_metax_tpu.ops.quant import w8a8_stacked_matmul
 
-        y = w8a8_int8_matmul(x, leaf("w_i8"), leaf("s"))
+            y = w8a8_stacked_matmul(x, p["w_i8"], p["s"], layer_idx)
+        else:
+            from vllm_metax_tpu.ops.quant import w8a8_int8_matmul
+
+            y = w8a8_int8_matmul(x, leaf("w_i8"), leaf("s"))
     elif "w_i8" in p:
         from vllm_metax_tpu.ops.quant import int8_wo_matmul
 
@@ -119,10 +127,15 @@ def apply_linear(
         else:
             y = int8_wo_matmul(x, p["w_i8"], p["s"])
     elif "w_f8" in p:
-        from vllm_metax_tpu.ops.quant import fp8_matmul
+        if stacked and p["w_f8"].ndim == 3 and "act_s" not in p:
+            from vllm_metax_tpu.ops.quant import fp8_stacked_matmul
 
-        act_s = leaf("act_s") if "act_s" in p else None
-        y = fp8_matmul(x, leaf("w_f8"), leaf("s"), act_s)
+            y = fp8_stacked_matmul(x, p["w_f8"], p["s"], layer_idx)
+        else:
+            from vllm_metax_tpu.ops.quant import fp8_matmul
+
+            act_s = leaf("act_s") if "act_s" in p else None
+            y = fp8_matmul(x, leaf("w_f8"), leaf("s"), act_s)
     else:
         raise ValueError(f"unknown linear param keys: {list(p)}")
     if "b" in p:

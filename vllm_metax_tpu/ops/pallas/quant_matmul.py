@@ -657,6 +657,72 @@ def int8a8_stacked_matmul_pallas(
     )(lidx, xq, xs, w_i8, s)
 
 
+def _fp8a8_stacked_kernel(lidx_ref, xq_ref, xs_ref, w_ref, s_ref, out_ref,
+                          *, kc):
+    """Stacked FP8 W8A8 tile: v5e has no fp8 MXU, so both operands convert
+    to bf16 in-kernel (per K-chunk — never a materialized dequant copy of
+    the bank, which is what the XLA dot lowering allocates) and the dot
+    runs bf16 with f32 accumulation + per-token x per-channel epilogue."""
+    k = w_ref.shape[1]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for c in range(k // kc):
+        xc = xq_ref[:, c * kc : (c + 1) * kc].astype(jnp.bfloat16)
+        wc = w_ref[0, c * kc : (c + 1) * kc, :].astype(jnp.bfloat16)
+        acc = acc + jnp.dot(xc, wc, preferred_element_type=jnp.float32)
+    out_ref[:] = (
+        acc * xs_ref[:] * s_ref[0, 0:1, :].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fp8_stacked_matmul_pallas(
+    x: jnp.ndarray,  # (T, K) bf16/f32
+    w_f8: jnp.ndarray,  # (L, K, N) float8_e4m3fn per-channel
+    s: jnp.ndarray,  # (L, 1, N) f32
+    layer_idx,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FP8 W8A8 over a stacked layer bank (ref: cutlass_scaled_mm fp8 —
+    which the reference PLATFORM disables, supports_fp8()→False;
+    csrc/quantization/fp8/common.cu)."""
+    from vllm_metax_tpu.ops.quant import quantize_activations_fp8
+
+    t, k = x.shape
+    n = w_f8.shape[-1]
+    tt = _choose_tile(t, (256, 128, 64, 32, 16, 8))
+    tn = _choose_tile(n, (512, 256, 128))
+    if t % tt or n % tn or n % 128:
+        raise ValueError(f"bad tiling: T={t} N={n}")
+    kc = _choose_chunk(k, -1)
+    xq, xs = quantize_activations_fp8(x)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // tt, n // tn),
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((tt, 1), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((1, k, tn), lambda i, j, l: (l[0], 0, j)),
+            pl.BlockSpec((1, 1, tn), lambda i, j, l: (l[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda i, j, l: (i, j)),
+    )
+    return pl.pallas_call(
+        functools.partial(_fp8a8_stacked_kernel, kc=kc),
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * k * n,
+            bytes_accessed=k * n + t * k + t * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, xq, xs, w_f8, s)
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, kc, gs):
     """Weight-only int8: w (K, TN) int8, s (G, TN) [G may be 1 = per-channel]."""
     k = w_ref.shape[0]

@@ -239,6 +239,24 @@ def w8a8_stacked_matmul(
     return w8a8_int8_matmul(x, w_l, s_l)
 
 
+def fp8_stacked_matmul(
+    x: jnp.ndarray,  # (T, K)
+    w_f8: jnp.ndarray,  # (L, K, N) float8_e4m3fn
+    s: jnp.ndarray,  # (L, 1, N) f32
+    layer_idx,
+) -> jnp.ndarray:
+    """Stacked-layer FP8 W8A8 (Pallas on TPU; per-layer XLA fallback)."""
+    if _use_pallas() and _pallas_tiles_ok(x.shape[0], w_f8.shape[-1]):
+        from vllm_metax_tpu.ops.pallas.quant_matmul import (
+            fp8_stacked_matmul_pallas,
+        )
+
+        return fp8_stacked_matmul_pallas(x, w_f8, s, layer_idx)
+    w_l = jax.lax.dynamic_index_in_dim(w_f8, layer_idx, keepdims=False)
+    s_l = jax.lax.dynamic_index_in_dim(s, layer_idx, keepdims=False)
+    return fp8_matmul(x, w_l, s_l)
+
+
 def quantize_activations_fp8(
     x: jnp.ndarray, static_scale: Optional[jnp.ndarray] = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -93,19 +93,24 @@ def quantize_params(
     layers = dict(params["layers"])
     for key in _LAYER_LINEARS:
         if key in layers and not is_quantized_linear(layers[key]):
-            # stacked (L, K, N): quantize each layer's slice via vmap
+            # stacked (L, K, N): SEQUENTIAL over layers (lax.map) — a vmap
+            # materializes the whole bank's f32 quantization workspace at
+            # once (15GB transient for an 8B fp8/int8 bank, OOMs 16GB HBM
+            # at load; the failure surfaces later because dispatch is async)
             lin = layers[key]
-            quant = jax.vmap(lambda w: quantize_linear({"w": w}, qc))(lin["w"])
+            quant = jax.lax.map(
+                lambda w: quantize_linear({"w": w}, qc), lin["w"]
+            )
             if "b" in lin:
                 quant["b"] = lin["b"]
             layers[key] = quant
     for key in _EXPERT_BANKS:
         if key in layers and not is_quantized_linear(layers[key]):
             lin = layers[key]
-            # (L, E, K, N) → vmap over L and E
-            layers[key] = jax.vmap(
-                jax.vmap(lambda w: quantize_linear({"w": w}, qc))
-            )(lin["w"])
+            # (L, E, K, N) → sequential over L, vmap over experts
+            layers[key] = jax.lax.map(
+                jax.vmap(lambda w: quantize_linear({"w": w}, qc)), lin["w"]
+            )
     new_params = dict(params)
     new_params["layers"] = layers
     if (
