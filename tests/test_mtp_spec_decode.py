@@ -153,3 +153,39 @@ def test_mtp_rejects_multi_step():
     )
     with pytest.raises(ValueError, match="multi-step"):
         EngineCore(cfg)
+
+
+def test_mtp_dcp2_matches_single_device():
+    """MTP spec decode under decode-context parallelism: the draft layer's
+    KV pages shard over dcp with the pool (runner localizes the metadata at
+    the draft call). Token-exact vs the single-device MTP engine (ref:
+    the reference is DCP-aware through mla/common.py:796-883 and its MTP
+    layer rides the same backend)."""
+    import dataclasses
+
+    from vllm_metax_tpu.config import ParallelConfig
+    from vllm_metax_tpu.parallel.mesh import make_tp_mesh
+    from vllm_metax_tpu.core.engine import EngineCore
+
+    ref, _ = _run(_config(mtp=True), PROMPTS)
+
+    cfg = _config(mtp=True)
+    cfg = dataclasses.replace(
+        cfg,
+        parallel_config=ParallelConfig(
+            tensor_parallel_size=1, decode_context_parallel_size=2
+        ),
+    )
+    engine = EngineCore(cfg, mesh=make_tp_mesh(1, dcp_size=2))
+    for i, p in enumerate(PROMPTS):
+        engine.add_request(
+            f"r{i}", p, SamplingParams(max_tokens=12, temperature=0.0)
+        )
+    acc = {f"r{i}": [] for i in range(len(PROMPTS))}
+    steps = 0
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            acc[out.req_id].extend(out.new_token_ids)
+        steps += 1
+        assert steps < 200
+    assert [acc[f"r{i}"] for i in range(len(PROMPTS))] == ref

@@ -127,8 +127,11 @@ class ModelRunner:
                     f"{self.model_cfg.architecture} has no "
                     f"{spec.method} draft head"
                 )
-            if self.pp_size > 1 or self.dcp_size > 1:
-                raise NotImplementedError("mtp spec decode with pp/dcp")
+            if self.pp_size > 1:
+                # pp: the draft layer would need a stage assignment + an
+                # extra hidden-state hop; dcp is supported (the draft
+                # layer's pages shard with the pool, localized at the call)
+                raise NotImplementedError("mtp spec decode with pp")
             if config.scheduler_config.num_decode_steps > 1:
                 raise ValueError(
                     "mtp spec decode and multi-step decode are mutually "
@@ -950,8 +953,22 @@ class ModelRunner:
                         mtp_in[logits_indices],
                     )
                 )
+                md_mtp = md
+                if self.dcp_size > 1:
+                    # the draft layer's KV pages shard over dcp like the
+                    # rest of the pool — rebase to rank-local ids (the main
+                    # forward localizes inside fwd(); md here is global)
+                    from vllm_metax_tpu.parallel.dcp import (
+                        localize_metadata,
+                    )
+
+                    md_mtp = localize_metadata(
+                        md,
+                        self.cache_cfg.num_blocks // self.dcp_size,
+                        self.cache_cfg.block_size,
+                    )
                 mtp_hidden, kv_cache = model.mtp_forward(
-                    params, mtp_in, hidden, kv_cache, md, cfg,
+                    params, mtp_in, hidden, kv_cache, md_mtp, cfg,
                     num_q_heads=cfg.num_q_heads // tp,
                     axis_name=axis_name, ep_axis_name=ep_axis,
                 )
