@@ -452,6 +452,12 @@ def main():
     mixed = _run_wave(engine, num_reqs, mixed_lens, decode_len, rng)
 
     roofline = _roofline_tokens_s(engine, num_reqs, prompt_len + decode_len // 2)
+    # the mixed trace carries LONGER average contexts than the uniform wave
+    # (lognormal tail) — its own roofline makes the mixed number comparable
+    roofline_mixed = _roofline_tokens_s(
+        engine, num_reqs,
+        int(np.mean(mixed_lens)) + decode_len // 2,
+    )
     value = round(res["decode_tok_s"], 1)
 
     model_name = engine.config.model_config.model or "tiny-cpu"
@@ -461,13 +467,24 @@ def main():
     if on_tpu and os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
         try:
             gemm = _gemm_roofline_frac(engine, num_reqs, decode_len, rng)
-        except Exception:  # noqa: BLE001 — extras never sink the headline
-            gemm = None
-        del engine  # free HBM before building the fp8 engine
+        except Exception as e:  # noqa: BLE001 — extras never sink the headline
+            gemm = {"gemm_profile_error": str(e)[:120]}
+        # free the flagship engine's HBM before building the fp8 engine
+        # (sleep level 2 drops weights+KV explicitly — del alone leaves
+        # the release to GC timing on the remote backend)
+        try:
+            engine.scheduler.kv_manager.reset_prefix_cache()
+            engine.runner.sleep(level=2)
+        except Exception:  # noqa: BLE001
+            pass
+        del engine
+        import gc
+
+        gc.collect()
         try:
             fp8 = _fp8_row(rng)
-        except Exception:  # noqa: BLE001
-            fp8 = None
+        except Exception as e:  # noqa: BLE001
+            fp8 = {"fp8_error": str(e)[:120]}
     _watchdog_done.set()
     print(
         json.dumps(
@@ -486,6 +503,9 @@ def main():
                     "ttft_trace": "sharegpt-like-lognormal",
                     "p50_ttft_uniform_s": round(res["p50_ttft_s"], 4),
                     "mixed_decode_tok_s": round(mixed["decode_tok_s"], 1),
+                    "mixed_vs_roofline": round(
+                        mixed["decode_tok_s"] / roofline_mixed, 4
+                    ),
                     "roofline_tok_s": round(roofline, 1),
                     "device": jax.devices()[0].device_kind,
                     **(gemm or {}),

@@ -5,7 +5,15 @@ recompute).
 Flagship-geometry engine with a DELIBERATELY small device pool: wave A
 prefills long prompts, wave B churns the pool (evicting+spilling A's
 pages), then wave A re-sends. With the tier on, the revisit restores
-pages host->device and prefill computes only the tails."""
+pages host->device and prefill computes only the tails.
+
+MEASURED 2026-08-20 on the axon-TUNNELED v5e: tier ON revisit 18.4s vs
+0.47s recompute — the tunnel moves device<->host at ~30MB/s, so shipping
+~600MB of pages LOSES to recomputing 3.6k tokens on a 200+TFLOP chip.
+The mechanics are correct (56 spilled / 72 restored, token-exact); on a
+co-located host (PCIe-class ~16GB/s) the same restore is ~40ms, a >10x
+win over recompute — the reference's LMCache tier makes the same
+bandwidth assumption. Keep host_swap_blocks=0 on remote-attached chips."""
 
 import os
 import sys
@@ -90,8 +98,18 @@ def main():
             extra = (f" spilled={eng.host_tier.spilled}"
                      f" restored={eng.host_tier.restored}")
         print(f"{name}: first {t_first:6.2f}s  revisit {t_revisit:6.2f}s "
-              f"({t_first / max(t_revisit, 1e-9):.2f}x){extra}")
+              f"({t_first / max(t_revisit, 1e-9):.2f}x){extra}",
+              flush=True)
+        # drop device memory explicitly before the next engine build
+        try:
+            eng.scheduler.kv_manager.reset_prefix_cache()
+            eng.runner.sleep(level=2)
+        except Exception:  # noqa: BLE001
+            pass
         del eng
+        import gc
+
+        gc.collect()
 
 
 if __name__ == "__main__":
