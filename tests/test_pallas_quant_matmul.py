@@ -189,3 +189,52 @@ def test_w4a8_matmul_with_fused_act_quant(rng, monkeypatch):
     y1 = np.asarray(int4a8_matmul_tiled_pallas(
         jnp.asarray(x), wp, sj, zsj, 0, interpret=True))
     np.testing.assert_allclose(y0, y1, rtol=1e-6, atol=1e-6)
+
+
+def test_fp8_stacked_matches_xla(rng):
+    """Pallas stacked FP8 W8A8 (bit-trick e4m3→bf16 dequant) vs the XLA
+    reference. Subnormal weights (|w| < 2^-6 pre-scale) flush to zero in
+    the kernel — the test scales weights so normals dominate and checks the
+    tail stays under quantization noise."""
+    import jax
+
+    from vllm_metax_tpu.ops.quant import fp8_matmul, quantize_fp8_channel
+
+    l, t, k, n = 3, 64, 256, 256
+    x = jnp.asarray(rng.standard_normal((t, k), dtype=np.float32))
+    ws, w8s, ss = [], [], []
+    for _ in range(l):
+        w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32)) * 0.05
+        w8, s = quantize_fp8_channel(w)
+        w8s.append(w8)
+        ss.append(s)
+    w8 = jnp.stack(w8s)
+    s = jnp.stack(ss)
+    from vllm_metax_tpu.ops.pallas.quant_matmul import (
+        fp8_stacked_matmul_pallas,
+    )
+
+    for li in range(l):
+        y = fp8_stacked_matmul_pallas(x, w8, s, li, interpret=True)
+        y_ref = fp8_matmul(x, w8[li], s[li])
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-2, atol=2e-2
+        )
+
+
+def test_e4m3_bit_trick_exact_for_normals(rng):
+    import jax
+
+    from vllm_metax_tpu.ops.pallas.quant_matmul import _e4m3_to_bf16
+
+    # all 256 bit patterns; compare against the reference convert on
+    # normal-range values (|x| >= 2^-6); subnormals flush to signed zero
+    u = np.arange(256, dtype=np.uint8)
+    v = jax.lax.bitcast_convert_type(jnp.asarray(u), jnp.float8_e4m3fn)
+    got = np.asarray(_e4m3_to_bf16(v), np.float32)
+    ref = np.asarray(v.astype(jnp.bfloat16), np.float32)
+    normal = np.abs(ref) >= 2.0**-6
+    finite = np.isfinite(ref)
+    np.testing.assert_array_equal(got[normal & finite], ref[normal & finite])
+    sub = (~normal) & finite
+    assert np.all(got[sub] == 0.0)
