@@ -1397,6 +1397,14 @@ class ModelRunner:
         tests/v1/core/test_async_scheduler.py). _resolve_multi_step()
         performs the blocking device→host fetch."""
         req_ids = list(so.num_scheduled_tokens.keys())
+        # Context-homogeneous tiles: the decode kernel packs NR=8 requests
+        # per grid tile and each tile's chunk count is the MAX context in
+        # the tile, so a mixed-length batch in arrival order pays long-tail
+        # cost in most tiles. Sorting rows by context clusters similar
+        # lengths per tile. Contexts all grow by the same amount each
+        # window, so the order (ties stable) is window-stable and the
+        # warm-window fingerprint keeps matching.
+        req_ids.sort(key=lambda rid: self.requests[rid].num_computed_tokens)
         num_reqs = len(req_ids)
         m = so.num_decode_steps
         # multi-step windows always pad to the TOP request bucket: decode is
