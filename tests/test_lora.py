@@ -469,3 +469,84 @@ def test_lora_lm_head_and_embedding(head_ckpts):
         prompt_token_ids=[PROMPT], sampling_params=GREEDY
     )[0].outputs[0].token_ids == base_ref
     assert out != base_ref  # the head adapters actually steer the stream
+
+
+# ------------------------------------------- expert-weight LoRA (MoE)
+
+def test_lora_mixtral_expert_weights(tmp_path):
+    """Per-expert LoRA on Mixtral w1/w2/w3 (opt-in enable_lora_experts):
+    merged-weight oracle — folding scale*(B@A) into each expert's weights
+    must reproduce the base+adapter stream token-for-token."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=512,
+    )
+    torch.manual_seed(5)
+    m = MixtralForCausalLM(cfg).eval()
+    base = str(tmp_path / "base")
+    m.save_pretrained(base, safe_serialization=True)
+
+    rng = np.random.default_rng(9)
+    tensors = {}
+    for l, layer in enumerate(m.model.layers):
+        for e, expert in enumerate(layer.block_sparse_moe.experts):
+            for wn, mod in (("w1", expert.w1), ("w2", expert.w2),
+                            ("w3", expert.w3)):
+                w = mod.weight  # (out, in)
+                a = (rng.standard_normal((RANK, w.shape[1])) * 0.1).astype(
+                    np.float32
+                )
+                b = (rng.standard_normal((w.shape[0], RANK)) * 0.1).astype(
+                    np.float32
+                )
+                pre = (f"base_model.model.model.layers.{l}."
+                       f"block_sparse_moe.experts.{e}.{wn}")
+                tensors[f"{pre}.lora_A.weight"] = a
+                tensors[f"{pre}.lora_B.weight"] = b
+    adapter = str(tmp_path / "adapter")
+    os.makedirs(adapter, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    save_file(tensors, os.path.join(adapter, "adapter_model.safetensors"))
+    with open(os.path.join(adapter, "adapter_config.json"), "w") as f:
+        json.dump({"r": RANK, "lora_alpha": ALPHA}, f)
+
+    # merged oracle
+    scale = ALPHA / RANK
+    with torch.no_grad():
+        for l, layer in enumerate(m.model.layers):
+            for e, expert in enumerate(layer.block_sparse_moe.experts):
+                for wn, mod in (("w1", expert.w1), ("w2", expert.w2),
+                                ("w3", expert.w3)):
+                    pre = (f"base_model.model.model.layers.{l}."
+                           f"block_sparse_moe.experts.{e}.{wn}")
+                    a = torch.tensor(tensors[f"{pre}.lora_A.weight"])
+                    b = torch.tensor(tensors[f"{pre}.lora_B.weight"])
+                    mod.weight += scale * (b @ a)
+    merged = str(tmp_path / "merged")
+    m.save_pretrained(merged, safe_serialization=True)
+
+    ref = _llm(merged).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+
+    llm = _llm(base, enable_lora=True, max_lora_rank=RANK,
+               enable_lora_experts=True)
+    out = llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY,
+        lora_request=LoRARequest("ex", 1, adapter),
+    )[0].outputs[0].token_ids
+    assert out == ref
+    # base path (slot 0) untouched
+    base_ref = _llm(base).generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids
+    assert llm.generate(
+        prompt_token_ids=[PROMPT], sampling_params=GREEDY
+    )[0].outputs[0].token_ids == base_ref
+    assert out != base_ref

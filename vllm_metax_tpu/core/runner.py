@@ -497,6 +497,29 @@ class ModelRunner:
             tgt["lora_B"] = banks[name]["lora_B"]
             tgt["lora_s"] = banks["lora_s"]
             layers[name] = tgt
+        # expert-weight LoRA (opt-in: LoRAConfig.lora_experts) — dense
+        # ("w") expert banks only; deltas applied per routed assignment in
+        # ops/moe.py _expert_lora_delta
+        self._lora_expert_targets = ()
+        if (
+            getattr(self.lora_cfg, "lora_experts", False)
+            and "experts_gate_up" in layers
+            and "w" in layers["experts_gate_up"]
+        ):
+            if self.tp_size > 1 or self.ep_size > 1:
+                raise NotImplementedError(
+                    "expert-weight LoRA with tp/ep sharding"
+                )
+            from vllm_metax_tpu.lora import empty_expert_banks
+
+            ebanks = empty_expert_banks(
+                self.model_cfg, self.lora_cfg, self.model_cfg.dtype
+            )
+            for name in ("experts_gate_up", "experts_down"):
+                tgt = dict(layers[name])
+                tgt.update(ebanks[name])
+                layers[name] = tgt
+            self._lora_expert_targets = ("experts_gate_up", "experts_down")
         out = dict(params)
         out["layers"] = layers
         # lm_head / embedding adapters (llama-family forward implements the
@@ -567,6 +590,27 @@ class ModelRunner:
                 layers[tgt_name] = tgt
         self.params = dict(self.params)
         self.params["layers"] = layers
+        # expert-weight banks (opt-in; parsed from per-expert peft targets)
+        from vllm_metax_tpu.lora import adapter_expert_banks
+
+        ebanks = adapter_expert_banks(tensors, cfg, self.lora_cfg)
+        if ebanks and not getattr(self, "_lora_expert_targets", ()):
+            logger.warning(
+                "adapter targets MoE experts but expert LoRA is disabled "
+                "(LoRAConfig.lora_experts) — skipping expert weights"
+            )
+        elif ebanks:
+            for name in self._lora_expert_targets:
+                tgt = dict(layers[name])
+                tgt["lora_A"] = tgt["lora_A"].at[:, slot].set(
+                    jnp.asarray(ebanks[name]["A"], tgt["lora_A"].dtype)
+                )
+                tgt["lora_B"] = tgt["lora_B"].at[:, slot].set(
+                    jnp.asarray(ebanks[name]["B"], tgt["lora_B"].dtype)
+                )
+                tgt["lora_s"] = tgt["lora_s"].at[:, slot].set(scaling)
+                layers[name] = tgt
+            self.params["layers"] = layers
         # head adapters (lm_head / embedding) — llama-family only
         for bank_key, param_key in (("lm_head", "lm_head_lora"),
                                     ("embed", "embed_lora")):

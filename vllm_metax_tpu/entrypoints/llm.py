@@ -53,6 +53,7 @@ def _build_engine_config(
     enable_lora: bool = False,
     max_loras: int = 4,
     max_lora_rank: int = 16,
+    enable_lora_experts: bool = False,
     num_hosts: int = 1,
     host_rank: int = 0,
     coordinator_address: str = "127.0.0.1:29500",
@@ -94,7 +95,11 @@ def _build_engine_config(
     if enable_lora:
         from vllm_metax_tpu.lora import LoRAConfig
 
-        lora_cfg = LoRAConfig(max_loras=max_loras, max_lora_rank=max_lora_rank)
+        lora_cfg = LoRAConfig(
+            max_loras=max_loras,
+            max_lora_rank=max_lora_rank,
+            lora_experts=enable_lora_experts,
+        )
     return EngineConfig(
         model_config=model_config,
         cache_config=cache_config,

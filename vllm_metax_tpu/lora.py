@@ -45,6 +45,9 @@ _FUSED_TARGETS = {
 class LoRAConfig:
     max_loras: int = 4  # concurrently-loaded adapters (slot 0 = none)
     max_lora_rank: int = 16
+    # adapt MoE expert weights too (per-expert A/B banks — memory scales
+    # with n_slots x E, so opt-in)
+    lora_experts: bool = False
 
     @property
     def num_slots(self) -> int:
@@ -90,6 +93,75 @@ def empty_banks(cfg, lora_cfg: LoRAConfig, dtype, targets=None) -> dict:
     # scales are per-slot, shared across layers/targets
     out["lora_s"] = jnp.zeros((n,), jnp.float32)
     return out
+
+
+def empty_expert_banks(cfg, lora_cfg: LoRAConfig, dtype) -> dict:
+    """Zero per-expert adapter banks: gate|up block-diagonal in R (like the
+    fused dense targets), down separate. (L, n, E, K, R) lora_A /
+    (L, n, E, R, N) lora_B per target."""
+    import jax.numpy as jnp
+
+    n = lora_cfg.num_slots
+    r = lora_cfg.max_lora_rank
+    nl = cfg.num_hidden_layers
+    e = cfg.num_experts
+    h = cfg.hidden_size
+    im = cfg.moe_intermediate_size or cfg.intermediate_size
+    # NB: lora_s carries a leading L axis so the per-layer `a[l]` slice in
+    # the model's layer_fn yields the (n,) slot scales (all layers equal)
+    return {
+        "experts_gate_up": {
+            "lora_A": jnp.zeros((nl, n, e, h, 2 * r), dtype),
+            "lora_B": jnp.zeros((nl, n, e, 2 * r, 2 * im), dtype),
+            "lora_s": jnp.zeros((nl, n), jnp.float32),
+        },
+        "experts_down": {
+            "lora_A": jnp.zeros((nl, n, e, im, r), dtype),
+            "lora_B": jnp.zeros((nl, n, e, r, h), dtype),
+            "lora_s": jnp.zeros((nl, n), jnp.float32),
+        },
+    }
+
+
+def adapter_expert_banks(tensors: dict, cfg, lora_cfg: LoRAConfig) -> dict:
+    """Pack per-expert peft tensors (w1=gate, w3=up block-diagonal in R;
+    w2=down) into (L, E, K, R)/(L, E, R, N) arrays, or {} if the adapter
+    has no expert targets."""
+    r = lora_cfg.max_lora_rank
+    nl = cfg.num_hidden_layers
+    e = cfg.num_experts
+    h = cfg.hidden_size
+    im = cfg.moe_intermediate_size or cfg.intermediate_size
+    any_expert = any("__experts__" in tensors.get(l, {}) for l in range(nl))
+    if not any_expert:
+        return {}
+    gu_a = np.zeros((nl, e, h, 2 * r), np.float32)
+    gu_b = np.zeros((nl, e, 2 * r, 2 * im), np.float32)
+    dn_a = np.zeros((nl, e, im, r), np.float32)
+    dn_b = np.zeros((nl, e, r, h), np.float32)
+    for l in range(nl):
+        ex = tensors.get(l, {}).get("__experts__", {})
+        for ei, ws in ex.items():
+            for j, wn in enumerate(("w1", "w3")):  # gate, up
+                w = ws.get(wn)
+                if w and "A" in w and "B" in w:
+                    ra = w["A"].shape[0]
+                    if ra > r:
+                        raise ValueError(
+                            f"adapter rank {ra} > max_lora_rank {r}"
+                        )
+                    gu_a[l, ei, :, j * r : j * r + ra] = w["A"].T
+                    gu_b[l, ei, j * r : j * r + ra,
+                         j * im : j * im + im] = w["B"].T
+            w = ws.get("w2")
+            if w and "A" in w and "B" in w:
+                ra = w["A"].shape[0]
+                dn_a[l, ei, :, :ra] = w["A"].T
+                dn_b[l, ei, :ra, :] = w["B"].T
+    return {
+        "experts_gate_up": {"A": gu_a, "B": gu_b},
+        "experts_down": {"A": dn_a, "B": dn_b},
+    }
 
 
 def empty_head_banks(cfg, lora_cfg: LoRAConfig, dtype) -> dict:
@@ -148,6 +220,17 @@ def load_peft_adapter(path: str) -> tuple[dict, float, int]:
                 )
             continue
         layer = int(parts[parts.index("layers") + 1])
+        if "experts" in parts:
+            # ...block_sparse_moe.experts.{e}.w{1,2,3}.lora_{A,B}.weight
+            e = int(parts[parts.index("experts") + 1])
+            wn = next((w for w in ("w1", "w2", "w3") if w in parts), None)
+            if wn is None:
+                continue
+            ab = "A" if "lora_A" in key else "B"
+            out.setdefault(layer, {}).setdefault("__experts__", {}).setdefault(
+                e, {}
+            ).setdefault(wn, {})[ab] = np.asarray(val, np.float32)
+            continue
         target = next((t for grp in _FUSED_TARGETS.values() for t in grp
                        if t in parts), None)
         if target is None:

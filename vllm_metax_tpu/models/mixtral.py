@@ -46,7 +46,7 @@ kv_cache_spec = _llama.kv_cache_spec
 
 
 def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
-               layer_idx=None):
+               layer_idx=None, lora_idx=None):
     router_logits = jnp.dot(
         normed, lp["router"]["w"], preferred_element_type=jnp.float32
     )
@@ -66,6 +66,7 @@ def _moe_block(lp, normed, cfg: ModelConfig, act_fn, axis_name, ep_axis_name,
         cfg.num_experts,
         ep_axis=ep_axis_name,
         layer_idx=layer_idx,
+        lora_idx=lora_idx,
     )
     # routed output: partial over BOTH the expert shard and the FFN shard
     axes = tuple(a for a in (ep_axis_name, axis_name) if a)
@@ -217,7 +218,8 @@ def run_layers(
         for sk in stacked_keys:  # NB: must not shadow the attention k/v,
             lp[sk] = layers[sk]  # which defer mode returns as scan ys
         moe_out = _moe_block(
-            lp, normed, cfg, act_fn, axis_name, ep_axis_name, layer_idx=l
+            lp, normed, cfg, act_fn, axis_name, ep_axis_name, layer_idx=l,
+            lora_idx=md.lora_idx,
         )
         if md.mm_deepstack is not None:
             kd = md.mm_deepstack.shape[0]
@@ -543,7 +545,12 @@ def param_specs(cfg: ModelConfig, quant_cfg=None) -> dict:
             else P(None, "ep", None, "tp", None)
         )
         return {"w": col, "w_i8": col, "w_p4": col, "w_f8": col, "s": col,
-                "zs": col, "w_p4t": tiled, "w_i8t": tiled}
+                "zs": col, "w_p4t": tiled, "w_i8t": tiled,
+                # expert-weight LoRA banks (L, n, E, K, R): replicated
+                # (tp/ep sharding for expert adapters is unsupported)
+                "lora_A": P(None, None, None, None, None),
+                "lora_B": P(None, None, None, None, None),
+                "lora_s": P(None)}
 
     layer_spec["experts_gate_up"] = bank_spec(1)
     layer_spec["experts_down"] = bank_spec(0)

@@ -114,6 +114,23 @@ def _dequant_bank(bank: dict, dtype) -> jnp.ndarray:
     raise ValueError(f"unknown expert bank keys {list(bank)}")
 
 
+def _expert_lora_delta(xs, sorted_token, sorted_expert, lora_idx, bank):
+    """Per-assignment expert-weight LoRA delta: row m (token t routed to
+    expert e, adapter slot s = lora_idx[t]) gains
+    scale[s] * (xs[m] @ A[s, e]) @ B[s, e]. Banks: lora_A (n, E, K, R),
+    lora_B (n, E, R, N), lora_s (n,) with slot 0 = no adapter.
+    Ref surface: LoRA over MoE expert weights
+    (lora_with_quantization_inference.py semantics extended to experts)."""
+    a = bank["lora_A"].astype(jnp.float32)
+    b = bank["lora_B"].astype(jnp.float32)
+    slot = lora_idx[sorted_token]  # (M,)
+    a_rows = a[slot, sorted_expert]  # (M, K, R)
+    b_rows = b[slot, sorted_expert]  # (M, R, N)
+    xa = jnp.einsum("mk,mkr->mr", xs.astype(jnp.float32), a_rows)
+    xa = xa * bank["lora_s"][slot][:, None]
+    return jnp.einsum("mr,mrn->mn", xa, b_rows)
+
+
 def fused_experts(
     x: jnp.ndarray,  # (T, H)
     gate_up_bank: dict,  # {(E_local, H, 2I) layouts; tiled: leading L}
@@ -124,6 +141,7 @@ def fused_experts(
     num_experts: int,  # global count
     ep_axis: Optional[str] = None,  # mesh axis sharding the expert dim
     layer_idx=None,  # () i32 — required for stacked tiled banks
+    lora_idx: Optional[jnp.ndarray] = None,  # (T,) adapter slot per token
 ) -> jnp.ndarray:
     """Dropless sorted ragged-GEMM MoE (ref: fused_experts_impl,
     fused_moe.py:1716).
@@ -155,7 +173,12 @@ def fused_experts(
         # the bandwidth win (a2a moves ~2·T·K·H/ep per rank vs the
         # replicated path's full-batch activation read + (T,H) psum);
         # tiny batches stay replicated (lower latency, no crossover yet)
-        if mode == "a2a" or (mode == "auto" and t >= 16 * ep):
+        has_expert_lora = (
+            lora_idx is not None and "lora_A" in gate_up_bank
+        )
+        if not has_expert_lora and (
+            mode == "a2a" or (mode == "auto" and t >= 16 * ep)
+        ):
             return _fused_experts_a2a(
                 x, gate_up_bank, down_bank, topk_weights, topk_ids,
                 act_fn, num_experts, ep_axis,
@@ -193,15 +216,18 @@ def fused_experts(
 
     w1 = _dequant_bank(gate_up_bank, dtype)  # (E_local, H, 2I)
     w2 = _dequant_bank(down_bank, dtype)  # (E_local, I, H)
+    lora = None
+    if lora_idx is not None and "lora_A" in gate_up_bank:
+        lora = (gate_up_bank, down_bank, lora_idx)
     return _replicated_partial(
         x, w1, w2, sorted_token, sorted_weight, sorted_expert, counts,
-        act_fn, num_experts, ep_axis,
+        act_fn, num_experts, ep_axis, lora=lora,
     )
 
 
 def _replicated_partial(
     x, w1, w2, sorted_token, sorted_weight, sorted_expert, counts,
-    act_fn, num_experts, ep_axis,
+    act_fn, num_experts, ep_axis, lora=None,
 ):
     """Replicated-dispatch partial over this rank's expert span (the
     caller's psum over ep/tp completes the combine). Dropless by
@@ -226,8 +252,23 @@ def _replicated_partial(
         weight = jnp.where(local, sorted_weight, 0.0)
     else:
         hdn = jax.lax.ragged_dot(xs, w1, counts)
+        if lora is not None:
+            gu_bank, down_bank, lora_idx = lora
+            hdn = (
+                hdn.astype(jnp.float32)
+                + _expert_lora_delta(
+                    xs, sorted_token, sorted_expert, lora_idx, gu_bank
+                )
+            ).astype(hdn.dtype)
         hdn = act_fn(hdn)
         ys = jax.lax.ragged_dot(hdn.astype(dtype), w2, counts)
+        if lora is not None:
+            ys = (
+                ys.astype(jnp.float32)
+                + _expert_lora_delta(
+                    hdn, sorted_token, sorted_expert, lora_idx, down_bank
+                )
+            ).astype(ys.dtype)
         weight = sorted_weight
 
     ys = ys.astype(jnp.float32) * weight[:, None]
