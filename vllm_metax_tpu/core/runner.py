@@ -1752,7 +1752,15 @@ class ModelRunner:
         cache = self._msd_cache
         if cache is None:
             return False
-        req_ids = tuple(so.num_scheduled_tokens.keys())
+        # mirror _launch_multi_step's context sort (stable; relative order
+        # is unchanged by the uniform per-window growth, so sorting by the
+        # pre-update counts gives the same sequence the launch will use)
+        req_ids = tuple(
+            sorted(
+                so.num_scheduled_tokens.keys(),
+                key=lambda rid: self.requests[rid].num_computed_tokens,
+            )
+        )
         return (
             cache["fp"][0] == req_ids
             and cache["fp"][3] == so.num_decode_steps
