@@ -220,3 +220,54 @@ def test_async_prefill_overlap_matches_sync(small_model_config):
     assert asyn == sync
     # overlap: some launch happened before the prior launch resolved
     assert any(r < i for i, r in enumerate(launches)), launches
+
+
+def test_abort_while_window_in_flight(small_model_config):
+    """Aborting a request between steps while an async window is in flight
+    must not corrupt the surviving requests: the aborted request's blocks
+    defer their free until the in-flight writer resolves (the same rule as
+    EOS finishes), and the others' outputs stay identical to a run where
+    the aborted request never existed... for the tokens BEFORE the abort,
+    and token-exact vs sync-abort after."""
+    def run(async_on):
+        eng = _engine(small_model_config, async_on)
+        for i, p in enumerate(PROMPTS):
+            eng.add_request(
+                f"r{i}", p, SamplingParams(max_tokens=21, temperature=0.0)
+            )
+        outs = {}
+        steps = 0
+        aborted = False
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                outs.setdefault(o.req_id, []).extend(o.new_token_ids)
+            steps += 1
+            if steps == 2 and not aborted:
+                # with async on, a window is typically pending right now
+                eng.abort_request("r1")
+                aborted = True
+            assert steps < 200
+        return outs
+
+    a = run(True)
+    s = run(False)
+    # survivors token-exact across async/sync with the same abort timing
+    for rid in ("r0", "r2", "r3"):
+        assert a.get(rid) == s.get(rid), rid
+    # block accounting: nothing leaked
+    eng = _engine(small_model_config, True)
+    km = eng.scheduler.kv_manager
+    free0 = sum(p.get_num_free_blocks() for p in km.pools)
+    for i, p in enumerate(PROMPTS):
+        eng.add_request(
+            f"r{i}", p, SamplingParams(max_tokens=21, temperature=0.0)
+        )
+    steps = 0
+    while eng.has_unfinished_requests():
+        eng.step()
+        steps += 1
+        if steps == 2:
+            eng.abort_request("r0")
+            eng.abort_request("r2")
+    assert not eng.scheduler._deferred_free_reqs
+    assert sum(p.get_num_free_blocks() for p in km.pools) == free0
