@@ -271,3 +271,84 @@ def test_abort_while_window_in_flight(small_model_config):
             eng.abort_request("r2")
     assert not eng.scheduler._deferred_free_reqs
     assert sum(p.get_num_free_blocks() for p in km.pools) == free0
+
+
+def test_async_fuzz_matches_sync(small_model_config):
+    """Property fuzz: random prompt lengths, staggered arrivals, random
+    aborts, EOS and max_tokens mixes — async stepping must emit exactly
+    the sync engine's per-request token streams under the same schedule of
+    external events (keyed by step index)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0xA5)
+    cases = []
+    for _ in range(3):
+        n = int(rng.integers(3, 7))
+        prompts = [
+            rng.integers(1, 100, size=int(rng.integers(2, 90))).tolist()
+            for _ in range(n)
+        ]
+        arrivals = sorted(int(rng.integers(0, 6)) for _ in range(n))
+        aborts = {
+            int(rng.integers(2, 10)): f"r{int(rng.integers(0, n))}"
+            for _ in range(int(rng.integers(0, 2)))
+        }
+        mt = [int(rng.integers(3, 30)) for _ in range(n)]
+        eos = int(rng.integers(1, 100))
+        cases.append((prompts, arrivals, aborts, mt, eos))
+
+    def run(async_on, case):
+        prompts, arrivals, aborts, mt, eos = case
+        eng = EngineCore(EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, num_blocks=160),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=8,
+                max_num_batched_tokens=48,
+                num_decode_steps=4,
+                async_scheduling=async_on,
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+        outs = {}
+        step = 0
+        added = 0
+        while added < len(prompts) or eng.has_unfinished_requests():
+            while added < len(prompts) and arrivals[added] <= step:
+                eng.add_request(
+                    f"r{added}", prompts[added],
+                    SamplingParams(max_tokens=mt[added], temperature=0.0),
+                    eos_token_id=eos,
+                )
+                added += 1
+            if not eng.has_unfinished_requests():
+                step += 1
+                if step > 500:
+                    raise AssertionError("stalled")
+                continue
+            for o in eng.step():
+                acc = outs.setdefault(o.req_id, {"t": [], "fin": None})
+                acc["t"].extend(o.new_token_ids)
+                if o.finished:
+                    acc["fin"] = o.finish_reason
+            step += 1
+            if step in aborts:
+                eng.abort_request(aborts[step])
+            assert step < 500
+        return outs
+
+    for ci, case in enumerate(cases):
+        a = run(True, case)
+        s = run(False, case)
+        aborted = set(case[2].values())
+        for rid in set(a) | set(s):
+            if rid in aborted:
+                # an abort races the in-flight window: its tokens may be
+                # dropped rather than delivered — the async stream must be
+                # a PREFIX of the sync stream (same values, never junk)
+                at = a.get(rid, {"t": []})["t"]
+                st = s.get(rid, {"t": []})["t"]
+                pre = min(len(at), len(st))
+                assert at[:pre] == st[:pre], (ci, rid, at, st)
+            else:
+                assert a.get(rid) == s.get(rid), (ci, rid)
