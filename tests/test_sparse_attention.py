@@ -287,3 +287,138 @@ def test_sparse_prefill_serving_e2e(monkeypatch):
     )
     sparse = run(sparse_mc)
     assert sparse == dense
+
+
+# ---------------------------------------------------------------------------
+# Pallas block-sparse kernel (ops/pallas/sparse_prefill.py)
+# ---------------------------------------------------------------------------
+
+def test_pallas_sparse_matches_gather_path():
+    """Kernel path == gather path at equal (128-wide) block geometry, both
+    with a tight budget and with a dynamic seq shorter than the KV extent."""
+    import numpy as np
+
+    from vllm_metax_tpu.ops.sparse_attention import (
+        sparse_prefill_attention,
+        sparse_prefill_attention_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    ql, kv, hq, hkv, d = 256, 640, 4, 2, 128  # GQA g=2; kv % 128 != 0
+    q = jnp.asarray(rng.standard_normal((ql, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, hkv, d)), jnp.float32)
+    scale = d**-0.5
+    for seq in (kv, 520):
+        ref = sparse_prefill_attention(
+            q, k, v, scale, nnz_v=32, nnz_s=16, block_m=128, block_n=128,
+            block_budget=3, seq=seq,
+        )
+        got = sparse_prefill_attention_pallas(
+            q, k, v, scale, nnz_v=32, nnz_s=16, block_m=128, block_n=128,
+            block_budget=3, seq=seq, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_pallas_sparse_full_budget_is_dense():
+    """Unlimited block budget must reproduce dense causal attention."""
+    import numpy as np
+
+    from vllm_metax_tpu.ops.sparse_attention import (
+        sparse_prefill_attention_pallas,
+    )
+
+    rng = np.random.default_rng(8)
+    ql, kv, hq, hkv, d = 128, 384, 2, 1, 128
+    seq = 300
+    q = jnp.asarray(rng.standard_normal((ql, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, hkv, d)), jnp.float32)
+    scale = d**-0.5
+
+    kf = jnp.repeat(k, hq // hkv, axis=1).astype(jnp.float32)
+    vf = jnp.repeat(v, hq // hkv, axis=1).astype(jnp.float32)
+    s = jnp.einsum("qhd,chd->hqc", q.astype(jnp.float32), kf) * scale
+    qp = seq - ql + jnp.arange(ql)
+    mask = (jnp.arange(kv)[None, :] <= qp[:, None]) & (
+        jnp.arange(kv)[None, :] < seq
+    )
+    s = jnp.where(mask[None], s, -1e30)
+    import jax
+
+    dense = jnp.einsum("hqc,chd->qhd", jax.nn.softmax(s, axis=-1), vf)
+
+    got = sparse_prefill_attention_pallas(
+        q, k, v, scale, nnz_v=32, nnz_s=16, block_budget=0,
+        seq=seq, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(dense), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_sparse_serving_e2e(monkeypatch):
+    """Engine-level with the kernel path FORCED (interpret on CPU): long
+    single-request prefill routes through the block-sparse kernel and
+    greedy generation matches dense for a wide pattern."""
+    import dataclasses
+
+    import numpy as np
+
+    from vllm_metax_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        LoadConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    monkeypatch.setenv("METAX_TPU_SPARSE_IMPL", "pallas")
+    mc = ModelConfig(
+        architecture="LlamaForCausalLM",
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=2,  # head_dim 128: kernel-route geometry
+        num_key_value_heads=1,
+        vocab_size=256,
+        max_position_embeddings=1024,
+        max_model_len=1024,
+        dtype="float32",
+    )
+
+    def run(mc_run):
+        eng = EngineCore(EngineConfig(
+            model_config=mc_run,
+            cache_config=CacheConfig(block_size=16, num_blocks=64),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=2, max_num_batched_tokens=256
+            ),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+        rng = np.random.default_rng(5)
+        prompt = rng.integers(1, 256, size=250).tolist()
+        eng.add_request(
+            "r", prompt, SamplingParams(max_tokens=6, temperature=0.0)
+        )
+        toks = []
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                toks.extend(o.new_token_ids)
+        return toks
+
+    dense = run(mc)
+    sparse_mc = dataclasses.replace(
+        mc,
+        sparse_attention="vertical_slash",
+        sparse_attention_threshold=256,
+        sparse_nnz_v=256,
+        sparse_nnz_s=256,
+    )
+    sparse = run(sparse_mc)
+    assert sparse == dense

@@ -18,6 +18,7 @@ import jax.numpy as jnp  # noqa: E402
 from trace_time import device_time  # noqa: E402
 from vllm_metax_tpu.ops.sparse_attention import (  # noqa: E402
     sparse_prefill_attention,
+    sparse_prefill_attention_pallas,
 )
 
 
@@ -53,11 +54,16 @@ def run(ctx, ql=1024, hq=8, hkv=2, d=128, budget_frac=0.25, n=8):
                     qq, k, v, scale, nnz_v=128, nnz_s=64,
                     block_budget=budget,
                 )
+            if mode == "pallas":
+                return sparse_prefill_attention_pallas(
+                    qq, k, v, scale, nnz_v=128, nnz_s=64,
+                    block_budget=max(2, budget // 2),  # 64→128-wide blocks
+                )
             return dense_once(qq)
 
         return jax.lax.fori_loop(0, nit, it, jnp.zeros((ql, hq, d), q.dtype))
 
-    for mode in ("dense", "sparse"):
+    for mode in ("dense", "sparse", "pallas"):
         loop(q, k, v, n, mode).block_until_ready()
         t = device_time(
             lambda m=mode: loop(q, k, v, n, m).block_until_ready()

@@ -57,10 +57,25 @@ def _build_engine_config(
     num_hosts: int = 1,
     host_rank: int = 0,
     coordinator_address: str = "127.0.0.1:29500",
+    sparse_attention: str = "",
+    sparse_attention_threshold: Optional[int] = None,
+    sparse_nnz_v: Optional[int] = None,
+    sparse_nnz_s: Optional[int] = None,
+    sparse_block_budget: Optional[int] = None,
 ) -> EngineConfig:
     overrides = {"dtype": dtype} if dtype != "auto" else {}
     if max_model_len:
         overrides["max_model_len"] = max_model_len
+    if sparse_attention:
+        overrides["sparse_attention"] = sparse_attention
+        for name, val in (
+            ("sparse_attention_threshold", sparse_attention_threshold),
+            ("sparse_nnz_v", sparse_nnz_v),
+            ("sparse_nnz_s", sparse_nnz_s),
+            ("sparse_block_budget", sparse_block_budget),
+        ):
+            if val is not None:
+                overrides[name] = val
     if model and (
         os.path.isdir(model)
         or (model.endswith(".gguf") and os.path.isfile(model))

@@ -34,6 +34,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # commits both sides (scatter cost is per row) and ONE page DMA feeds
     # attention. "1" = on (default); "0" = split K/V pools.
     "METAX_TPU_KV_FUSED": lambda: os.getenv("METAX_TPU_KV_FUSED", "1") == "1",
+    # vertical-slash sparse prefill executor: "auto" = block-sparse Pallas
+    # kernel on TPU (XLA gather elsewhere), "pallas"/"xla" force
+    "METAX_TPU_SPARSE_IMPL": lambda: os.getenv(
+        "METAX_TPU_SPARSE_IMPL", "auto"
+    ),
     # Cascade / shared-prefix decode attention: compute a batch-wide shared
     # KV-page prefix once per step and LSE-merge with per-request suffixes
     # (ref: flash_attn.py:1013 cascade_attention)

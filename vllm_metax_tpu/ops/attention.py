@@ -158,7 +158,10 @@ def _sparse_prefill_route(q, kv_cache, metadata, sm_scale):
     QL·(budget·block_n + nnz_v) per head (ops/sparse_attention.py;
     ref: csrc/attention/vertical_slash_index.cu)."""
     from vllm_metax_tpu.ops.kv_cache import kv_fused_width
-    from vllm_metax_tpu.ops.sparse_attention import sparse_prefill_attention
+    from vllm_metax_tpu.ops.sparse_attention import (
+        sparse_prefill_attention,
+        sparse_prefill_attention_pallas,
+    )
 
     nnz_v, nnz_s, budget, last_w = metadata.sparse_prefill
     t, hq, d = q.shape
@@ -168,6 +171,26 @@ def _sparse_prefill_route(q, kv_cache, metadata, sm_scale):
         kv_cache, safe_bt, jnp.float32,
         fused_width=kv_fused_width(kv_cache, d),
     )  # (1, CTX, HKV, D)
+    impl = envs.METAX_TPU_SPARSE_IMPL
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas = (
+        impl == "pallas" or (impl == "auto" and on_tpu)
+    ) and d % 128 == 0 and t % 128 == 0
+    if use_pallas:
+        # block-sparse kernel (128-wide blocks): DMAs each selected block
+        # once instead of materializing per-(head, q-block) gathers
+        return sparse_prefill_attention_pallas(
+            q,
+            k_all[0].astype(q.dtype),
+            v_all[0].astype(q.dtype),
+            sm_scale,
+            nnz_v=nnz_v,
+            nnz_s=nnz_s,
+            block_budget=-(-budget // 2) if budget else 0,  # 64→128 blocks
+            last_w=last_w,
+            seq=metadata.seq_lens[0],
+            interpret=not on_tpu,  # forced-pallas tests run on CPU
+        )
     out = sparse_prefill_attention(
         q,
         k_all[0].astype(q.dtype),
