@@ -385,3 +385,73 @@ def test_prefix_cache_reuse(small_model_config):
     cached_after = engine.scheduler.num_prefix_cached_tokens
     assert second == first
     assert cached_after - cached_before >= 48  # ≥3 blocks reused
+
+
+def test_config_invariance_fuzz(small_model_config):
+    """Property fuzz: greedy tokens are a function of (weights, prompts)
+    only — never of the serving configuration. The same randomized request
+    set must produce identical streams across block sizes, decode-window
+    widths, chunked-prefill budgets, prefix caching on/off, async on/off,
+    and pool sizes small enough to force preemption-by-recompute."""
+    import numpy as np
+
+    from vllm_metax_tpu.config import (
+        CacheConfig, EngineConfig, LoadConfig, SchedulerConfig,
+    )
+    from vllm_metax_tpu.core.engine import EngineCore
+    from vllm_metax_tpu.sample.params import SamplingParams
+
+    rng = np.random.default_rng(123)
+    prompts = [
+        rng.integers(1, 512, size=int(n)).tolist()
+        for n in rng.integers(3, 90, size=5)
+    ]
+    # one shared prefix pair to exercise the prefix cache / host paths
+    prompts.append(prompts[0][:40] + rng.integers(1, 512, size=9).tolist())
+
+    def run(cache_kw, sched_kw):
+        eng = EngineCore(EngineConfig(
+            model_config=small_model_config,
+            cache_config=CacheConfig(block_size=16, **cache_kw),
+            scheduler_config=SchedulerConfig(**sched_kw),
+            load_config=LoadConfig(load_format="dummy", seed=0),
+        ))
+        for i, p in enumerate(prompts):
+            eng.add_request(
+                f"r{i}", p, SamplingParams(max_tokens=7, temperature=0.0)
+            )
+        acc = {f"r{i}": [] for i in range(len(prompts))}
+        steps = 0
+        while eng.has_unfinished_requests():
+            for out in eng.step():
+                acc[out.req_id].extend(out.new_token_ids)
+            steps += 1
+            assert steps < 2000, "livelock"
+        return acc
+
+    base = run(
+        {"num_blocks": 64},
+        {"max_num_seqs": 8, "max_num_batched_tokens": 128},
+    )
+    variants = [
+        # wide batch budget, multi-step windows
+        ({"num_blocks": 64},
+         {"max_num_seqs": 8, "max_num_batched_tokens": 256,
+          "num_decode_steps": 4}),
+        # tiny chunked-prefill budget
+        ({"num_blocks": 64},
+         {"max_num_seqs": 4, "max_num_batched_tokens": 32}),
+        # prefix caching off
+        ({"num_blocks": 64, "enable_prefix_caching": False},
+         {"max_num_seqs": 8, "max_num_batched_tokens": 128}),
+        # tight pool: forces preemption-by-recompute
+        ({"num_blocks": 24},
+         {"max_num_seqs": 8, "max_num_batched_tokens": 128}),
+        # sync scheduling
+        ({"num_blocks": 64},
+         {"max_num_seqs": 8, "max_num_batched_tokens": 128,
+          "async_scheduling": False, "num_decode_steps": 8}),
+    ]
+    for ci, (ck, sk) in enumerate(variants):
+        got = run(ck, sk)
+        assert got == base, (ci, got, base)
