@@ -358,6 +358,60 @@ def _gemm_roofline_frac(engine, num_reqs, decode_len, rng) -> Optional[dict]:
     }
 
 
+def _sparse_prefill_row() -> Optional[dict]:
+    """Long-context sparse prefill speedup: device-profiled dense vs the
+    block-sparse Pallas path at 16k context, flagship attention geometry,
+    serving sparsity (budget = ctx/4). Kernel-level (no engine build —
+    the serving route is pinned by tests/test_sparse_attention.py)."""
+    import functools
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "tools", "perf")
+    )
+    from trace_time import device_time
+    from vllm_metax_tpu.ops.sparse_attention import (
+        sparse_prefill_attention_pallas,
+    )
+
+    ctx, ql, hq, hkv, d = 16384, 1024, 8, 2, 128
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (ql, hq, d), jnp.bfloat16)
+    k = jax.random.normal(key, (ctx, hkv, d), jnp.bfloat16)
+    v = jax.random.normal(key, (ctx, hkv, d), jnp.bfloat16)
+    scale = d**-0.5
+
+    @jax.jit
+    def dense(q, k, v):
+        g = hq // hkv
+        qf = q.astype(jnp.float32).reshape(ql, hkv, g, d)
+        s = jnp.einsum("qhgd,chd->qhgc", qf, k.astype(jnp.float32)) * scale
+        pos_q = jnp.arange(ql) + (ctx - ql)
+        causal = pos_q[:, None] >= jnp.arange(ctx)[None, :]
+        s = jnp.where(causal[:, None, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("qhgc,chd->qhgd", p, v.astype(jnp.float32))
+
+    sparse = jax.jit(
+        functools.partial(
+            sparse_prefill_attention_pallas,
+            sm_scale=scale, nnz_v=128, nnz_s=64,
+            block_budget=ctx // 128 // 4,
+        )
+    )
+    jax.block_until_ready(dense(q, k, v))
+    jax.block_until_ready(sparse(q, k, v))
+    t_d = device_time(lambda: jax.block_until_ready(dense(q, k, v)))
+    t_s = device_time(lambda: jax.block_until_ready(sparse(q, k, v)))
+    return {
+        "sparse_prefill_dense_ms_16k": round(t_d, 3),
+        "sparse_prefill_pallas_ms_16k": round(t_s, 3),
+        "sparse_prefill_speedup_16k": round(t_d / t_s, 2),
+    }
+
+
 def _fp8_row(rng) -> Optional[dict]:
     """FP8 W8A8 + fp8 KV at flagship scale (BASELINE config 4's quant mode;
     ref: csrc/quantization/fp8/common.cu + cutlass_scaled_mm — which the
@@ -464,11 +518,16 @@ def main():
     kv_quantized = engine.config.cache_config.kv_quantized
     gemm = None
     fp8 = None
+    sparse_row = None
     if on_tpu and os.environ.get("BENCH_SKIP_EXTRAS", "0") != "1":
         try:
             gemm = _gemm_roofline_frac(engine, num_reqs, decode_len, rng)
         except Exception as e:  # noqa: BLE001 — extras never sink the headline
             gemm = {"gemm_profile_error": str(e)[:120]}
+        try:
+            sparse_row = _sparse_prefill_row()
+        except Exception as e:  # noqa: BLE001
+            sparse_row = {"sparse_row_error": str(e)[:120]}
         # free the flagship engine's HBM before building the fp8 engine
         # (sleep level 2 drops weights+KV explicitly — del alone leaves
         # the release to GC timing on the remote backend)
@@ -509,6 +568,7 @@ def main():
                     "roofline_tok_s": round(roofline, 1),
                     "device": jax.devices()[0].device_kind,
                     **(gemm or {}),
+                    **(sparse_row or {}),
                     **(fp8 or {}),
                 },
             }
