@@ -281,3 +281,115 @@ def test_gptq_desc_act_row_parallel_tp2(rng):
         check_vma=False,
     )(stacked, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fp8_prequantized_checkpoint_passthrough(tmp_path):
+    """HF fp8 checkpoints (e4m3 `weight` + `weight_scale`) must load with
+    codes and scales passed through VERBATIM — dropping weight_scale skews
+    every channel by its scale (regression: the dense loader used to read
+    only `.weight`). Also: greedy generation matches a dense checkpoint
+    carrying the exact dequantized weights."""
+    import json
+    import os
+
+    import ml_dtypes
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    H, I, V, L = 64, 128, 128, 2
+    rng = np.random.default_rng(0)
+
+    def build(d, fp8: bool):
+        tensors = {}
+        dq = {}
+
+        def lin(name, k, n):
+            w = rng.standard_normal((n, k)).astype(np.float32)
+            s = (np.abs(w).max(axis=1, keepdims=True) / 448.0).astype(
+                np.float32
+            )
+            codes = (w / s).astype(ml_dtypes.float8_e4m3fn)
+            dq[name] = codes.astype(np.float32) * s
+            if fp8:
+                tensors[name + ".weight"] = codes
+                tensors[name + ".weight_scale"] = s
+            else:
+                tensors[name + ".weight"] = dq[name]
+
+        r2 = np.random.default_rng(1)
+        emb = r2.standard_normal((V, H)).astype(np.float32)
+        head = r2.standard_normal((V, H)).astype(np.float32)
+        for i in range(L):
+            pre = f"model.layers.{i}"
+            for nm, k, n in [
+                (f"{pre}.self_attn.q_proj", H, H),
+                (f"{pre}.self_attn.k_proj", H, H),
+                (f"{pre}.self_attn.v_proj", H, H),
+                (f"{pre}.self_attn.o_proj", H, H),
+                (f"{pre}.mlp.gate_proj", H, I),
+                (f"{pre}.mlp.up_proj", H, I),
+                (f"{pre}.mlp.down_proj", I, H),
+            ]:
+                lin(nm, k, n)
+            tensors[f"{pre}.input_layernorm.weight"] = np.ones(H, np.float32)
+            tensors[f"{pre}.post_attention_layernorm.weight"] = np.ones(
+                H, np.float32
+            )
+        tensors["model.norm.weight"] = np.ones(H, np.float32)
+        tensors["model.embed_tokens.weight"] = emb
+        tensors["lm_head.weight"] = head
+        os.makedirs(d, exist_ok=True)
+        save_file(tensors, os.path.join(d, "model.safetensors"))
+        cfg = {
+            "architectures": ["LlamaForCausalLM"], "hidden_size": H,
+            "intermediate_size": I, "num_hidden_layers": L,
+            "num_attention_heads": 4, "num_key_value_heads": 4,
+            "vocab_size": V, "max_position_embeddings": 256,
+            "torch_dtype": "float32",
+        }
+        if fp8:
+            cfg["quantization_config"] = {
+                "quant_method": "fp8", "activation_scheme": "dynamic",
+            }
+        json.dump(cfg, open(os.path.join(d, "config.json"), "w"))
+        return dq
+
+    rng = np.random.default_rng(0)
+    dq = build(str(tmp_path / "fp8"), fp8=True)
+    rng = np.random.default_rng(0)
+    build(str(tmp_path / "dense"), fp8=False)
+
+    # weight-level: codes * scale == the true dequantized weights, exactly
+    from vllm_metax_tpu.config import ModelConfig, QuantizationConfig
+    from vllm_metax_tpu.models.llama import load_weights
+
+    mc = ModelConfig.from_pretrained(str(tmp_path / "fp8"))
+    qc = QuantizationConfig.from_hf_config(
+        json.load(open(tmp_path / "fp8" / "config.json"))
+    )
+    assert qc.method == "fp8" and qc.enabled
+    params = load_weights(mc, qc, str(tmp_path / "fp8"))
+    lw = params["layers"]["down"]
+    assert "w_f8" in lw
+    w_eff = np.asarray(lw["w_f8"].astype(jnp.float32)) * np.asarray(
+        lw["s"], np.float32
+    )
+    ref = np.stack(
+        [dq[f"model.layers.{i}.mlp.down_proj"].T for i in range(L)]
+    ) if w_eff.ndim == 3 else dq["model.layers.0.mlp.down_proj"].T
+    np.testing.assert_array_equal(w_eff, ref)
+
+    # engine-level: greedy tokens match the dense-dequant twin
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    prompt = np.random.default_rng(7).integers(1, V, size=40).tolist()
+
+    def gen(path):
+        llm = LLM(model=path, dtype="float32")
+        out = llm.generate(
+            [{"prompt_token_ids": prompt}],
+            SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        return list(out[0].outputs[0].token_ids)
+
+    assert gen(str(tmp_path / "fp8")) == gen(str(tmp_path / "dense"))

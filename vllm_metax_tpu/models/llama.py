@@ -430,9 +430,14 @@ def _layer_quantizer(quant_cfg):
     layer instead of the whole dense model — matters at 8B+ on a 16GB chip)."""
     if quant_cfg is None or not quant_cfg.enabled:
         return lambda p: p
-    from vllm_metax_tpu.quantization import quantize_linear
+    from vllm_metax_tpu.quantization import (
+        is_quantized_linear,
+        quantize_linear,
+    )
 
     def quantize(p: dict) -> dict:
+        if is_quantized_linear(p):  # checkpoint tensors passed through as-is
+            return p
         out = quantize_linear(p, quant_cfg)
         return jax.tree_util.tree_map(lambda a: jax.block_until_ready(a), out)
 
@@ -470,13 +475,53 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
     quantize = _layer_quantizer(quant_cfg)
 
     def get_linear(prefix, bias):
-        p = {"w": get(f"{prefix}.weight").T}
+        if (
+            quant_cfg is not None
+            and quant_cfg.enabled
+            and quant_cfg.method == "fp8"
+            and reader.has(f"{prefix}.weight_scale")
+        ):
+            # PRE-QUANTIZED fp8 checkpoint (HF fp8 quant_method: e4m3
+            # codes + per-channel or per-tensor weight_scale — ref analog:
+            # the fp8 checkpoints the reference's compressed-tensors path
+            # ingests). Codes pass through VERBATIM; dropping weight_scale
+            # here would skew every channel by its scale.
+            codes = jnp.asarray(reader.get(f"{prefix}.weight"))  # (N, K) f8
+            scale = jnp.asarray(
+                reader.get(f"{prefix}.weight_scale"), jnp.float32
+            )
+            n = codes.shape[0]
+            s = (
+                scale.reshape(-1)[None, :]
+                if scale.size == n
+                else jnp.broadcast_to(scale.reshape(1, 1), (1, n))
+            )
+            p = {"w_f8": codes.T, "s": s}
+            if reader.has(f"{prefix}.input_scale"):
+                p["act_s"] = jnp.asarray(
+                    reader.get(f"{prefix}.input_scale"), jnp.float32
+                ).reshape(())
+        else:
+            p = {"w": get(f"{prefix}.weight").T}
         if bias and reader.has(f"{prefix}.bias"):
             p["b"] = get(f"{prefix}.bias")
         return p
 
     def merge_linears(ps: list[dict]) -> dict:
-        out = {"w": jnp.concatenate([p["w"] for p in ps], axis=-1)}
+        if "w_f8" in ps[0]:
+            out = {
+                "w_f8": jnp.concatenate([p["w_f8"] for p in ps], axis=-1),
+                "s": jnp.concatenate([p["s"] for p in ps], axis=-1),
+            }
+            if "act_s" in ps[0]:
+                # static activation scale is a property of the SHARED input;
+                # merged projections read the same x — take the max to stay
+                # conservative if the checkpoint disagrees per-branch
+                out["act_s"] = jnp.max(
+                    jnp.stack([p["act_s"] for p in ps])
+                )
+        else:
+            out = {"w": jnp.concatenate([p["w"] for p in ps], axis=-1)}
         if "b" in ps[0]:
             out["b"] = jnp.concatenate([p["b"] for p in ps], axis=-1)
         return quantize(out)
@@ -485,9 +530,9 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
         # Baichuan stores qkv pre-fused as W_pack (ref: models/baichuan.py);
         # Phi-3 stores it pre-fused as qkv_proj — both are [q|k|v] rows
         if reader.has(f"{pre}.self_attn.W_pack.weight"):
-            return quantize({"w": get(f"{pre}.self_attn.W_pack.weight").T})
+            return quantize(get_linear(f"{pre}.self_attn.W_pack", False))
         if reader.has(f"{pre}.self_attn.qkv_proj.weight"):
-            return quantize({"w": get(f"{pre}.self_attn.qkv_proj.weight").T})
+            return quantize(get_linear(f"{pre}.self_attn.qkv_proj", False))
         return merge_linears(
             [
                 get_linear(f"{pre}.self_attn.q_proj", cfg.attention_bias),
