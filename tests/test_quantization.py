@@ -393,3 +393,201 @@ def test_fp8_prequantized_checkpoint_passthrough(tmp_path):
         return list(out[0].outputs[0].token_ids)
 
     assert gen(str(tmp_path / "fp8")) == gen(str(tmp_path / "dense"))
+
+
+def test_fp8_block_scale_checkpoint(tmp_path):
+    """DeepSeek-native block-fp8 checkpoints (`weight_scale_inv`, 128x128
+    blocks) dequantize at load. Oracle: a dense checkpoint carrying the
+    exact block-dequantized weights served with on-the-fly
+    quantization='fp8' runs the SAME re-encode — tokens must match."""
+    import json
+    import os
+
+    import ml_dtypes
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    H, I, V, L, BS = 128, 256, 256, 2, 64
+    rng = np.random.default_rng(2)
+
+    def build(d, fp8):
+        tensors = {}
+
+        def lin(name, k, n):
+            w = rng.standard_normal((n, k)).astype(np.float32)
+            nb, kb = -(-n // BS), -(-k // BS)
+            s = np.zeros((nb, kb), np.float32)
+            codes = np.zeros((n, k), ml_dtypes.float8_e4m3fn)
+            for bi in range(nb):
+                for bj in range(kb):
+                    blk = w[bi * BS:(bi + 1) * BS, bj * BS:(bj + 1) * BS]
+                    sc = max(np.abs(blk).max() / 448.0, 1e-8)
+                    s[bi, bj] = sc
+                    codes[bi * BS:(bi + 1) * BS, bj * BS:(bj + 1) * BS] = (
+                        blk / sc
+                    ).astype(ml_dtypes.float8_e4m3fn)
+            dq = codes.astype(np.float32) * np.repeat(
+                np.repeat(s, BS, 0)[:n], BS, 1
+            )[:, :k]
+            if fp8:
+                tensors[name + ".weight"] = codes
+                tensors[name + ".weight_scale_inv"] = s
+            else:
+                tensors[name + ".weight"] = dq
+
+        r2 = np.random.default_rng(1)
+        for i in range(L):
+            pre = f"model.layers.{i}"
+            for nm, k, n in [
+                (f"{pre}.self_attn.q_proj", H, H),
+                (f"{pre}.self_attn.k_proj", H, H),
+                (f"{pre}.self_attn.v_proj", H, H),
+                (f"{pre}.self_attn.o_proj", H, H),
+                (f"{pre}.mlp.gate_proj", H, I),
+                (f"{pre}.mlp.up_proj", H, I),
+                (f"{pre}.mlp.down_proj", I, H),
+            ]:
+                lin(nm, k, n)
+            tensors[f"{pre}.input_layernorm.weight"] = np.ones(H, np.float32)
+            tensors[f"{pre}.post_attention_layernorm.weight"] = np.ones(
+                H, np.float32
+            )
+        tensors["model.norm.weight"] = np.ones(H, np.float32)
+        tensors["model.embed_tokens.weight"] = r2.standard_normal(
+            (V, H)
+        ).astype(np.float32)
+        tensors["lm_head.weight"] = r2.standard_normal((V, H)).astype(
+            np.float32
+        )
+        os.makedirs(d, exist_ok=True)
+        save_file(tensors, os.path.join(d, "model.safetensors"))
+        cfg = {
+            "architectures": ["LlamaForCausalLM"], "hidden_size": H,
+            "intermediate_size": I, "num_hidden_layers": L,
+            "num_attention_heads": 4, "num_key_value_heads": 4,
+            "vocab_size": V, "max_position_embeddings": 256,
+            "torch_dtype": "float32",
+        }
+        if fp8:
+            cfg["quantization_config"] = {
+                "quant_method": "fp8",
+                "weight_block_size": [BS, BS],
+            }
+        json.dump(cfg, open(os.path.join(d, "config.json"), "w"))
+
+    rng = np.random.default_rng(2)
+    build(str(tmp_path / "fp8b"), True)
+    rng = np.random.default_rng(2)
+    build(str(tmp_path / "dense"), False)
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    prompt = np.random.default_rng(9).integers(1, V, size=33).tolist()
+
+    def gen(path, **kw):
+        llm = LLM(model=path, dtype="float32", **kw)
+        out = llm.generate(
+            [{"prompt_token_ids": prompt}],
+            SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        return list(out[0].outputs[0].token_ids)
+
+    a = gen(str(tmp_path / "fp8b"))
+    b = gen(str(tmp_path / "dense"), quantization="fp8")
+    assert a and a == b
+
+
+def test_fp8_mixtral_expert_checkpoint(tmp_path):
+    """Per-channel fp8 Mixtral checkpoint (expert w1/w2/w3 quantized too)
+    loads via dequant-at-read; oracle: dense twin + on-the-fly
+    quantization='fp8' re-encodes identically — tokens must match."""
+    import json
+    import os
+
+    import ml_dtypes
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    H, I, V, L, E = 64, 128, 256, 2, 4
+    rng = np.random.default_rng(4)
+
+    def build(d, fp8):
+        tensors = {}
+
+        def lin(name, k, n):
+            w = rng.standard_normal((n, k)).astype(np.float32)
+            s = (np.abs(w).max(axis=1, keepdims=True) / 448.0).astype(
+                np.float32
+            )
+            codes = (w / s).astype(ml_dtypes.float8_e4m3fn)
+            if fp8:
+                tensors[name + ".weight"] = codes
+                tensors[name + ".weight_scale"] = s
+            else:
+                tensors[name + ".weight"] = codes.astype(np.float32) * s
+
+        r2 = np.random.default_rng(1)
+        for i in range(L):
+            pre = f"model.layers.{i}"
+            for nm, k, n in [
+                (f"{pre}.self_attn.q_proj", H, H),
+                (f"{pre}.self_attn.k_proj", H, H),
+                (f"{pre}.self_attn.v_proj", H, H),
+                (f"{pre}.self_attn.o_proj", H, H),
+            ]:
+                lin(nm, k, n)
+            for j in range(E):
+                base = f"{pre}.block_sparse_moe.experts.{j}"
+                lin(f"{base}.w1", H, I)
+                lin(f"{base}.w3", H, I)
+                lin(f"{base}.w2", I, H)
+            tensors[f"{pre}.block_sparse_moe.gate.weight"] = (
+                r2.standard_normal((E, H)).astype(np.float32)
+            )
+            tensors[f"{pre}.input_layernorm.weight"] = np.ones(H, np.float32)
+            tensors[f"{pre}.post_attention_layernorm.weight"] = np.ones(
+                H, np.float32
+            )
+        tensors["model.norm.weight"] = np.ones(H, np.float32)
+        tensors["model.embed_tokens.weight"] = r2.standard_normal(
+            (V, H)
+        ).astype(np.float32)
+        tensors["lm_head.weight"] = r2.standard_normal((V, H)).astype(
+            np.float32
+        )
+        os.makedirs(d, exist_ok=True)
+        save_file(tensors, os.path.join(d, "model.safetensors"))
+        cfg = {
+            "architectures": ["MixtralForCausalLM"], "hidden_size": H,
+            "intermediate_size": I, "num_hidden_layers": L,
+            "num_attention_heads": 4, "num_key_value_heads": 4,
+            "vocab_size": V, "max_position_embeddings": 256,
+            "num_local_experts": E, "num_experts_per_tok": 2,
+            "torch_dtype": "float32",
+        }
+        if fp8:
+            cfg["quantization_config"] = {
+                "quant_method": "fp8", "activation_scheme": "dynamic",
+            }
+        json.dump(cfg, open(os.path.join(d, "config.json"), "w"))
+
+    rng = np.random.default_rng(4)
+    build(str(tmp_path / "fp8"), True)
+    rng = np.random.default_rng(4)
+    build(str(tmp_path / "dense"), False)
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    prompt = np.random.default_rng(11).integers(1, V, size=30).tolist()
+
+    def gen(path, **kw):
+        llm = LLM(model=path, dtype="float32", **kw)
+        out = llm.generate(
+            [{"prompt_token_ids": prompt}],
+            SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        return list(out[0].outputs[0].token_ids)
+
+    a = gen(str(tmp_path / "fp8"))
+    b = gen(str(tmp_path / "dense"), quantization="fp8")
+    assert a and a == b

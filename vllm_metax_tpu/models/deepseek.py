@@ -894,11 +894,17 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
     def get(name):
         return jnp.asarray(reader.get(name), dtype=dt)
 
+    def getw(name):
+        # fp8 checkpoints (per-channel weight_scale or DeepSeek-native
+        # 128x128-block weight_scale_inv) dequantize at read; re-encoded
+        # by quantize() where quantization is enabled
+        return _llama.fp8_dequant_read(reader, name, dt)
+
     def get_linear(prefix):
-        return {"w": get(f"{prefix}.weight").T}
+        return {"w": getw(f"{prefix}.weight").T}
 
     def attn_params(pre):
-        kv_b = get(f"{pre}.self_attn.kv_b_proj.weight").T  # (lora, HQ*(nope+v))
+        kv_b = getw(f"{pre}.self_attn.kv_b_proj.weight").T  # (lora, HQ*(nope+v))
         w_uk, w_uv = _split_kv_b(kv_b, cfg)
         lp = {
             "kv_a": get_linear(f"{pre}.self_attn.kv_a_proj_with_mqa"),
@@ -928,10 +934,10 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
         gus, downs = [], []
         for j in range(cfg.num_experts):
             base = f"{pre}.mlp.experts.{j}"
-            gate = get(f"{base}.gate_proj.weight").T
-            up = get(f"{base}.up_proj.weight").T
+            gate = getw(f"{base}.gate_proj.weight").T
+            up = getw(f"{base}.up_proj.weight").T
             gus.append(jnp.concatenate([gate, up], axis=-1))
-            downs.append(get(f"{base}.down_proj.weight").T)
+            downs.append(getw(f"{base}.down_proj.weight").T)
         gu, dn = {"w": jnp.stack(gus)}, {"w": jnp.stack(downs)}
         if quant_cfg is not None and quant_cfg.enabled:
             from vllm_metax_tpu.quantization import quantize_linear
@@ -952,8 +958,8 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
                 {
                     "w": jnp.concatenate(
                         [
-                            get(f"{pre}.mlp.gate_proj.weight").T,
-                            get(f"{pre}.mlp.up_proj.weight").T,
+                            getw(f"{pre}.mlp.gate_proj.weight").T,
+                            getw(f"{pre}.mlp.up_proj.weight").T,
                         ],
                         axis=-1,
                     )
@@ -976,8 +982,8 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
                     {
                         "w": jnp.concatenate(
                             [
-                                get(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
-                                get(f"{pre}.mlp.shared_experts.up_proj.weight").T,
+                                getw(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
+                                getw(f"{pre}.mlp.shared_experts.up_proj.weight").T,
                             ],
                             axis=-1,
                         )
@@ -1029,8 +1035,8 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
                     {
                         "w": jnp.concatenate(
                             [
-                                get(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
-                                get(f"{pre}.mlp.shared_experts.up_proj.weight").T,
+                                getw(f"{pre}.mlp.shared_experts.gate_proj.weight").T,
+                                getw(f"{pre}.mlp.shared_experts.up_proj.weight").T,
                             ],
                             axis=-1,
                         )
@@ -1044,8 +1050,8 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str) -> dict:
                 {
                     "w": jnp.concatenate(
                         [
-                            get(f"{pre}.mlp.gate_proj.weight").T,
-                            get(f"{pre}.mlp.up_proj.weight").T,
+                            getw(f"{pre}.mlp.gate_proj.weight").T,
+                            getw(f"{pre}.mlp.up_proj.weight").T,
                         ],
                         axis=-1,
                     )

@@ -444,6 +444,34 @@ def _layer_quantizer(quant_cfg):
     return quantize
 
 
+def fp8_dequant_read(reader, name: str, dt):
+    """Read a `.weight` tensor, honoring fp8 checkpoint scale siblings:
+    per-channel `weight_scale` (llm-compressor style) or block-wise
+    `weight_scale_inv` (DeepSeek-V3 native fp8, 128x128 blocks) — both
+    dequantize to `dt`; plain tensors load as-is. Returns (out, in).
+    Dropping the scale sibling would skew every channel/block by its scale
+    (ref analog: the fp8 checkpoint formats the reference ingests through
+    compressed-tensors)."""
+    w = reader.get(name)
+    base = name[: -len(".weight")]
+    if reader.has(base + ".weight_scale_inv"):
+        s = jnp.asarray(
+            reader.get(base + ".weight_scale_inv"), jnp.float32
+        )  # (ceil(N/bn), ceil(K/bk))
+        wf = jnp.asarray(w).astype(jnp.float32)
+        n, k = wf.shape
+        bn = -(-n // s.shape[0])
+        bk = -(-k // s.shape[1])
+        s_full = jnp.repeat(jnp.repeat(s, bn, axis=0)[:n], bk, axis=1)[:, :k]
+        return (wf * s_full).astype(dt)
+    if reader.has(base + ".weight_scale"):
+        s = jnp.asarray(reader.get(base + ".weight_scale"), jnp.float32)
+        wf = jnp.asarray(w).astype(jnp.float32)
+        s = s.reshape(-1, 1) if s.size == wf.shape[0] else s.reshape(1, 1)
+        return (wf * s).astype(dt)
+    return jnp.asarray(w, dtype=dt)
+
+
 def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
     """Load HF safetensors (Llama/Qwen2/Qwen3/Mistral layouts). `reader`
     lets wrappers (models/qwen2_vl.py) inject a key-remapping view."""
@@ -502,7 +530,10 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
                     reader.get(f"{prefix}.input_scale"), jnp.float32
                 ).reshape(())
         else:
-            p = {"w": get(f"{prefix}.weight").T}
+            # fp8_dequant_read also covers DeepSeek-style block-scale
+            # (`weight_scale_inv`) fp8 checkpoints: dequantized to dense
+            # here, re-encoded by quantize() when quantization is on
+            p = {"w": fp8_dequant_read(reader, f"{prefix}.weight", dt).T}
         if bias and reader.has(f"{prefix}.bias"):
             p["b"] = get(f"{prefix}.bias")
         return p

@@ -372,8 +372,13 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
     def get(name):
         return jnp.asarray(reader.get(name), dtype=dt)
 
+    def getw(name):
+        # fp8 checkpoints (per-channel weight_scale or block
+        # weight_scale_inv) dequantize at read; quantize() re-encodes
+        return _llama.fp8_dequant_read(reader, name, dt)
+
     def get_linear(prefix, bias=False):
-        p = {"w": get(f"{prefix}.weight").T}
+        p = {"w": getw(f"{prefix}.weight").T}
         if bias and reader.has(f"{prefix}.bias"):
             p["b"] = get(f"{prefix}.bias")
         return p
@@ -403,14 +408,14 @@ def load_weights(cfg: ModelConfig, quant_cfg, path: str, reader=None) -> dict:
         for j in range(cfg.num_experts):
             if mixtral:
                 base = f"{pre}.block_sparse_moe.experts.{j}"
-                gate = get(f"{base}.w1.weight").T
-                up = get(f"{base}.w3.weight").T
-                down = get(f"{base}.w2.weight").T
+                gate = getw(f"{base}.w1.weight").T
+                up = getw(f"{base}.w3.weight").T
+                down = getw(f"{base}.w2.weight").T
             else:
                 base = f"{pre}.mlp.experts.{j}"
-                gate = get(f"{base}.gate_proj.weight").T
-                up = get(f"{base}.up_proj.weight").T
-                down = get(f"{base}.down_proj.weight").T
+                gate = getw(f"{base}.gate_proj.weight").T
+                up = getw(f"{base}.up_proj.weight").T
+                down = getw(f"{base}.down_proj.weight").T
             gus.append(jnp.concatenate([gate, up], axis=-1))
             downs.append(down)
         gu = {"w": jnp.stack(gus)}
