@@ -661,7 +661,14 @@ def build_server(
     config = _build_engine_config(model, **engine_kwargs)
     from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(model)
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(model)
+    except Exception as e:  # noqa: BLE001 — tokenizer-less checkpoints
+        # (dummy/test dirs) still serve token-id requests; ServerState and
+        # the handlers already tolerate tokenizer=None (same degradation
+        # as entrypoints/llm.py)
+        logger.warning("no tokenizer loaded from %s (%s)", model, e)
+        tokenizer = None
     state = ServerState(
         config, tokenizer, served_model_name or model, data_parallel_size,
         dp_backend=data_parallel_backend,

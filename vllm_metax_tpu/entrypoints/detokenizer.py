@@ -22,6 +22,8 @@ class IncrementalDetokenizer:
         self.stopped = False
 
     def _decode(self) -> str:
+        if self.tokenizer is None:  # tokenizer-less checkpoints: id text
+            return " ".join(str(t) for t in self.token_ids)
         return self.tokenizer.decode(
             self.token_ids, skip_special_tokens=self.skip_special
         )

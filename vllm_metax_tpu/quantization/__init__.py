@@ -55,6 +55,9 @@ def quantize_linear(p: dict, qc: QuantizationConfig) -> dict:
     elif qc.method in ("gptq", "awq", "int8", "moe_wna16") and qc.bits == 8:
         w_i8, s = quantize_int8_channel(w)
         out = {"w_i8": w_i8, "s": s}
+    elif qc.method == "compressed-tensors" and qc.ct_scheme == "fp8":
+        w_f8, s = quantize_fp8_channel(w)
+        out = {"w_f8": w_f8, "s": s}
     elif qc.method in ("w8a8_int8", "compressed-tensors"):
         w_i8, s = quantize_int8_channel(w)
         out = {"w_i8": w_i8, "s": s, "a8": jnp.zeros((), jnp.int8)}

@@ -48,6 +48,15 @@ def parse_ct_scheme(q: dict):
     group_size = int(weights.get("group_size") or -1)
     if strategy != "group":
         group_size = -1
+    if weights.get("type") == "float":
+        # FP8 W8A8 ("float-quantized", the neuralmagic fp8 distribution
+        # format): e4m3 codes + weight_scale — routing it into the int8
+        # branch would read raw fp8 bytes as int8 weights
+        if bits != 8:
+            raise ValueError(
+                f"unsupported float compressed-tensors width: {weights}"
+            )
+        return "fp8", 8, -1, sym
     if bits == 8 and input_acts:
         return "w8a8_int8", 8, -1, sym
     if bits in (4, 8):
@@ -77,6 +86,26 @@ def _unpack_int32_nibbles(packed: np.ndarray, bits: int) -> np.ndarray:
 def load_ct_linear(reader, prefix: str, qc, dtype) -> dict:
     """One compressed-tensors linear → canonical quant param dict."""
     scheme = getattr(qc, "ct_scheme", "") or "w8a8_int8"
+    if scheme == "fp8":
+        # FP8 W8A8: e4m3 codes + per-channel/per-tensor scale pass through
+        # verbatim into the w_f8 runtime (same layout the fp8 quant_method
+        # loader produces)
+        codes = jnp.asarray(reader.get(f"{prefix}.weight"))  # (N, K) e4m3
+        scale = jnp.asarray(
+            reader.get(f"{prefix}.weight_scale"), jnp.float32
+        )
+        n = codes.shape[0]
+        s = (
+            scale.reshape(-1)[None, :]
+            if scale.size == n
+            else jnp.broadcast_to(scale.reshape(1, 1), (1, n))
+        )
+        p = {"w_f8": codes.T, "s": s}
+        if reader.has(f"{prefix}.input_scale"):
+            p["act_s"] = jnp.asarray(
+                reader.get(f"{prefix}.input_scale"), jnp.float32
+            ).reshape(())
+        return p
     if scheme == "w8a8_int8":
         w = np.asarray(reader.get(f"{prefix}.weight"))  # (N, K) int8
         s = np.asarray(
