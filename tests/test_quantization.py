@@ -591,3 +591,94 @@ def test_fp8_mixtral_expert_checkpoint(tmp_path):
     a = gen(str(tmp_path / "fp8"))
     b = gen(str(tmp_path / "dense"), quantization="fp8")
     assert a and a == b
+
+
+def test_fp8_checkpoint_requantize_override(tmp_path):
+    """quantization='w8a8_int8' on an fp8 checkpoint requantizes at load
+    (fp8 dequantizes exactly at read, so the int8 re-encode matches a
+    dense twin quantized the same way) — the fast-serving path for fp8
+    checkpoints on int8-MXU hardware."""
+    import json
+    import os
+
+    import ml_dtypes
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    H, I, V, L = 64, 128, 256, 2
+    rng = np.random.default_rng(8)
+
+    def build(d, fp8):
+        tensors = {}
+
+        def lin(name, k, n):
+            w = rng.standard_normal((n, k)).astype(np.float32)
+            s = (np.abs(w).max(axis=1, keepdims=True) / 448.0).astype(
+                np.float32
+            )
+            codes = (w / s).astype(ml_dtypes.float8_e4m3fn)
+            if fp8:
+                tensors[name + ".weight"] = codes
+                tensors[name + ".weight_scale"] = s
+            else:
+                tensors[name + ".weight"] = codes.astype(np.float32) * s
+
+        r2 = np.random.default_rng(1)
+        for i in range(L):
+            pre = f"model.layers.{i}"
+            for nm, k, n in [
+                (f"{pre}.self_attn.q_proj", H, H),
+                (f"{pre}.self_attn.k_proj", H, H),
+                (f"{pre}.self_attn.v_proj", H, H),
+                (f"{pre}.self_attn.o_proj", H, H),
+                (f"{pre}.mlp.gate_proj", H, I),
+                (f"{pre}.mlp.up_proj", H, I),
+                (f"{pre}.mlp.down_proj", I, H),
+            ]:
+                lin(nm, k, n)
+            tensors[f"{pre}.input_layernorm.weight"] = np.ones(H, np.float32)
+            tensors[f"{pre}.post_attention_layernorm.weight"] = np.ones(
+                H, np.float32
+            )
+        tensors["model.norm.weight"] = np.ones(H, np.float32)
+        tensors["model.embed_tokens.weight"] = r2.standard_normal(
+            (V, H)
+        ).astype(np.float32)
+        tensors["lm_head.weight"] = r2.standard_normal((V, H)).astype(
+            np.float32
+        )
+        os.makedirs(d, exist_ok=True)
+        save_file(tensors, os.path.join(d, "model.safetensors"))
+        cfg = {
+            "architectures": ["LlamaForCausalLM"], "hidden_size": H,
+            "intermediate_size": I, "num_hidden_layers": L,
+            "num_attention_heads": 4, "num_key_value_heads": 4,
+            "vocab_size": V, "max_position_embeddings": 256,
+            "torch_dtype": "float32",
+        }
+        if fp8:
+            cfg["quantization_config"] = {
+                "quant_method": "fp8", "activation_scheme": "dynamic",
+            }
+        json.dump(cfg, open(os.path.join(d, "config.json"), "w"))
+
+    rng = np.random.default_rng(8)
+    build(str(tmp_path / "fp8"), True)
+    rng = np.random.default_rng(8)
+    build(str(tmp_path / "dense"), False)
+
+    from vllm_metax_tpu import LLM, SamplingParams
+
+    prompt = np.random.default_rng(15).integers(1, V, size=30).tolist()
+
+    def gen(path, **kw):
+        llm = LLM(model=path, dtype="float32", **kw)
+        out = llm.generate(
+            [{"prompt_token_ids": prompt}],
+            SamplingParams(max_tokens=6, temperature=0.0),
+        )
+        return list(out[0].outputs[0].token_ids)
+
+    a = gen(str(tmp_path / "fp8"), quantization="w8a8_int8")
+    b = gen(str(tmp_path / "dense"), quantization="w8a8_int8")
+    assert a and a == b

@@ -87,8 +87,22 @@ def _build_engine_config(
             f"model {model!r} is not a local directory (no network egress; "
             "download checkpoints beforehand or pass a ModelConfig)"
         )
-    if quantization and not quant_config.enabled:
-        # on-the-fly quantization of a bf16 checkpoint
+    fp8_ckpt = quant_config.enabled and (
+        quant_config.method == "fp8"
+        or (
+            quant_config.method == "compressed-tensors"
+            and quant_config.ct_scheme == "fp8"
+        )
+    )
+    if quantization and (
+        not quant_config.enabled
+        or (fp8_ckpt and quantization not in ("fp8",))
+    ):
+        # on-the-fly quantization of a bf16 checkpoint — or load-time
+        # REQUANTIZATION of an fp8 checkpoint (weights dequantize exactly
+        # at read, so e.g. quantization="w8a8_int8" serves fp8 checkpoints
+        # on the int8 MXU instead of the VPU-bound e4m3 dequant path;
+        # int8 per-channel measured -0.38% on the PPL gate)
         quant_config = QuantizationConfig(
             method=quantization,
             bits=quantization_bits
