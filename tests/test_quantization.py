@@ -682,3 +682,24 @@ def test_fp8_checkpoint_requantize_override(tmp_path):
     a = gen(str(tmp_path / "fp8"), quantization="w8a8_int8")
     b = gen(str(tmp_path / "dense"), quantization="w8a8_int8")
     assert a and a == b
+
+
+def test_marlin_method_aliases():
+    """gptq_marlin / awq_marlin quant_method names carry standard GPTQ/AWQ
+    tensors (marlin is a kernel choice, not a checkpoint format) and must
+    parse to the gptq/awq loaders — the analog of the reference forcing
+    marlin configs through its non-marlin path."""
+    from vllm_metax_tpu.config import QuantizationConfig
+
+    qc = QuantizationConfig.from_hf_config({
+        "quantization_config": {
+            "quant_method": "gptq_marlin", "bits": 4, "group_size": 128,
+        }
+    })
+    assert qc.method == "gptq" and qc.bits == 4 and qc.enabled
+    qc = QuantizationConfig.from_hf_config({
+        "quantization_config": {
+            "quant_method": "awq_marlin", "bits": 4, "group_size": 64,
+        }
+    })
+    assert qc.method == "awq" and qc.group_size == 64

@@ -448,6 +448,15 @@ class QuantizationConfig:
         if not q:
             return QuantizationConfig()
         method = q.get("quant_method", "none")
+        # marlin method aliases carry standard GPTQ/AWQ tensors — the
+        # marlin part is a kernel choice, not a checkpoint format (ref:
+        # MacaGPTQMarlinConfig / MacaAWQMarlinConfig forcing "marlin"
+        # configs through the non-marlin path, quant_config/gptq_marlin.py)
+        method = {
+            "gptq_marlin": "gptq",
+            "awq_marlin": "awq",
+            "gptq_marlin_24": "gptq",
+        }.get(method, method)
         if method in ("gptq", "awq"):
             return QuantizationConfig(
                 method=method,
