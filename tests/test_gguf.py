@@ -573,3 +573,77 @@ def test_q5_k_dequant_scalar_ref():
             u1 <<= 2
             u2 <<= 2
     np.testing.assert_allclose(got, exp)
+
+
+def test_iq4_dequant_scalar_ref():
+    """IQ4_NL / IQ4_XS: vectorized loader vs scalar per-value reference
+    (ggml-quants.c dequantize_row_iq4_nl / _xs semantics)."""
+    rng = np.random.default_rng(3)
+    lut = np.asarray(G._IQ4_LUT, np.float32)
+
+    # --- IQ4_NL: 2 blocks of 32 ---
+    nb = 2
+    raw = bytearray()
+    for b in range(nb):
+        d = np.float16(rng.uniform(0.01, 0.1))
+        raw += d.tobytes()
+        qs = rng.integers(0, 16, size=32)
+        for i in range(16):
+            raw += bytes([int(qs[i]) | (int(qs[i + 16]) << 4)])
+    raw = bytes(raw)
+
+    def ref_nl(raw, n):
+        out = np.zeros(n, np.float32)
+        for b in range(n // 32):
+            blk = raw[b * 18 : (b + 1) * 18]
+            d = np.frombuffer(blk[:2], np.float16)[0].astype(np.float32)
+            for i in range(16):
+                byte = blk[2 + i]
+                out[b * 32 + i] = d * lut[byte & 0xF]
+                out[b * 32 + 16 + i] = d * lut[byte >> 4]
+        return out
+
+    np.testing.assert_allclose(
+        G._dequant(G.IQ4_NL, raw, nb * 32), ref_nl(raw, nb * 32), rtol=0
+    )
+
+    # --- IQ4_XS: 2 super-blocks of 256 ---
+    nb = 2
+    raw = bytearray()
+    metas = []
+    for b in range(nb):
+        d = np.float16(rng.uniform(0.01, 0.1))
+        ls = rng.integers(0, 64, size=8)  # 6-bit sub-scales
+        qs = rng.integers(0, 16, size=256)
+        scales_h = 0
+        scales_l = []
+        for j in range(8):
+            scales_h |= ((int(ls[j]) >> 4) & 0x3) << (2 * j)
+        for j in range(4):
+            scales_l.append(
+                (int(ls[2 * j]) & 0xF) | ((int(ls[2 * j + 1]) & 0xF) << 4)
+            )
+        raw += d.tobytes()
+        raw += int(scales_h).to_bytes(2, "little")
+        raw += bytes(scales_l)
+        for j in range(8):
+            for i in range(16):
+                raw += bytes([
+                    int(qs[32 * j + i]) | (int(qs[32 * j + 16 + i]) << 4)
+                ])
+        metas.append((float(d), ls, qs))
+    raw = bytes(raw)
+
+    def ref_xs(metas, n):
+        out = np.zeros(n, np.float32)
+        for b, (d, ls, qs) in enumerate(metas):
+            for j in range(8):
+                scale = d * (float(ls[j]) - 32.0)
+                for i in range(32):
+                    out[b * 256 + 32 * j + i] = scale * lut[qs[32 * j + i]]
+        return out
+
+    np.testing.assert_allclose(
+        G._dequant(G.IQ4_XS, raw, nb * 256), ref_xs(metas, nb * 256),
+        rtol=0, atol=1e-6,
+    )

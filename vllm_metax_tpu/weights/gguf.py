@@ -36,7 +36,14 @@ _SCALAR_FMT = {
 F32, F16 = 0, 1
 Q4_0, Q4_1, Q5_0, Q5_1, Q8_0 = 2, 3, 6, 7, 8
 Q2_K, Q3_K, Q4_K, Q5_K, Q6_K = 10, 11, 12, 13, 14
+IQ4_NL, IQ4_XS = 20, 23
 BF16 = 30
+
+# IQ4 nonlinear 4-bit codebook (ggml-quants.c kvalues_iq4nl)
+_IQ4_LUT = [
+    -127, -104, -83, -65, -49, -35, -22, -10,
+    1, 13, 25, 38, 53, 69, 89, 113,
+]
 
 # (block_size_in_values, block_size_in_bytes)
 BLOCK_INFO = {
@@ -53,12 +60,15 @@ BLOCK_INFO = {
     Q8_0: (32, 34),
     Q4_K: (256, 144),
     Q6_K: (256, 210),
+    IQ4_NL: (32, 18),
+    IQ4_XS: (256, 136),
 }
 
 TYPE_NAMES = {
     F32: "F32", F16: "F16", BF16: "BF16", Q4_0: "Q4_0", Q4_1: "Q4_1",
     Q5_0: "Q5_0", Q5_1: "Q5_1", Q8_0: "Q8_0", Q2_K: "Q2_K", Q3_K: "Q3_K",
     Q4_K: "Q4_K", Q5_K: "Q5_K", Q6_K: "Q6_K",
+    IQ4_NL: "IQ4_NL", IQ4_XS: "IQ4_XS",
 }
 
 
@@ -289,6 +299,38 @@ def _dequant(ggml_type: int, raw: bytes, n: int) -> np.ndarray:
             out[:, base + 32 : base + 64] = d * sc[:, is_ + 2] * q2
             out[:, base + 64 : base + 96] = d * sc[:, is_ + 4] * q3
             out[:, base + 96 : base + 128] = d * sc[:, is_ + 6] * q4
+        return out.reshape(-1)
+
+    if ggml_type == IQ4_NL:
+        # block_iq4_nl: d (f16) + 16 nibble bytes; v = d * LUT[q]
+        # (ggml-quants.c dequantize_row_iq4_nl)
+        lut = np.asarray(_IQ4_LUT, np.float32)
+        d = _f16(b[:, :2].reshape(-1))[:, None]
+        qs = b[:, 2:18]
+        out = np.empty((nb, 32), np.float32)
+        out[:, :16] = d * lut[qs & 0xF]
+        out[:, 16:] = d * lut[qs >> 4]
+        return out.reshape(-1)
+
+    if ggml_type == IQ4_XS:
+        # block_iq4_xs: d (f16), scales_h (u16), scales_l[4], qs[128];
+        # sub-block j of 8: ls = (scales_l nib j) | (((scales_h>>2j)&3)<<4),
+        # v = d * (ls - 32) * LUT[q] (ggml-quants.c dequantize_row_iq4_xs)
+        lut = np.asarray(_IQ4_LUT, np.float32)
+        d = _f16(b[:, :2].reshape(-1))[:, None]
+        scales_h = b[:, 2:4].copy().view("<u2").astype(np.uint32)  # (nb,1)
+        scales_l = b[:, 4:8]
+        qs = b[:, 8:136]
+        out = np.empty((nb, 256), np.float32)
+        for j in range(8):
+            lo = (scales_l[:, j // 2] >> (4 * (j % 2))) & 0xF
+            hi = (scales_h[:, 0] >> (2 * j)) & 0x3
+            ls = (lo | (hi << 4)).astype(np.float32) - 32.0  # (nb,)
+            chunk = qs[:, 16 * j : 16 * (j + 1)]
+            sub = np.empty((nb, 32), np.float32)
+            sub[:, :16] = lut[chunk & 0xF]
+            sub[:, 16:] = lut[chunk >> 4]
+            out[:, 32 * j : 32 * (j + 1)] = d * ls[:, None] * sub
         return out.reshape(-1)
 
     raise NotImplementedError(
