@@ -85,22 +85,23 @@ def test_dcp2_multi_step_decode(small_model_config):
     assert out == ref
 
 
-def test_dcp_rejects_v32_sparse_indexer(small_model_config):
-    # dense MLA x DCP is supported (tests below); the V3.2 sparse indexer's
-    # global top-k gather still needs a replicated cache
-    mc = dataclasses.replace(
-        small_model_config,
-        architecture="DeepseekV2ForCausalLM",
-        kv_lora_rank=16,
-        qk_rope_head_dim=16,
-        qk_nope_head_dim=16,
-        v_head_dim=16,
-        index_topk=64,
-        index_n_heads=2,
-        index_head_dim=32,
+def test_v32_indexer_dcp2_matches_single_device():
+    """DeepSeek-V3.2 sparse indexer under DCP: rank-local indexer logits
+    pmax-merge into the exact global top-k, sparse MLA LSE-combines over
+    owned rows (models/deepseek.py indexer_topk / mla_sparse_attention_xla;
+    ref: cp_gather_indexer_k_quant_cache csrc/cache_kernels.cu:1274 +
+    models/deepseek_v2.py:585-727 sparse_attn_indexer)."""
+    # index_topk=16 < final context (~60 tokens) → genuinely sparse decode
+    ref = _run_engine(
+        _v32_engine_config(1), prompts=_PROMPTS, max_tokens=20
     )
-    with pytest.raises(NotImplementedError, match="indexer"):
-        _run_engine(_dcp_config(mc, 2), mesh=make_tp_mesh(1, dcp_size=2))
+    out = _run_engine(
+        _v32_engine_config(2),
+        mesh=make_tp_mesh(1, dcp_size=2),
+        prompts=_PROMPTS,
+        max_tokens=20,
+    )
+    assert out == ref
 
 
 def _req(req_id, tokens):
@@ -263,6 +264,18 @@ def _mla_engine_config(dcp, num_decode_steps=1):
         ),
         load_config=LoadConfig(load_format="dummy", seed=0),
     )
+
+
+def _v32_engine_config(dcp):
+    """_mla_engine_config + the V3.2 lightning indexer (sparse MLA)."""
+    cfg = _mla_engine_config(dcp)
+    cfg.model_config = dataclasses.replace(
+        cfg.model_config,
+        index_topk=16,
+        index_n_heads=4,
+        index_head_dim=32,
+    )
+    return cfg
 
 
 def test_mla_dcp2_matches_single_device():

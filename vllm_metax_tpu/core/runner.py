@@ -108,13 +108,11 @@ class ModelRunner:
             # MLA latent caches shard over dcp like GQA pools (rank-local
             # pages + distributed-softmax combine, models/deepseek.py
             # mla_attention; ref: mla/common.py:796-883 + cp_gather_cache).
-            # Only the V3.2 sparse indexer still requires a replicated cache
-            # (its top-k gather reads arbitrary global positions).
-            if getattr(self.model_cfg, "index_topk", 0):
-                raise NotImplementedError(
-                    "DCP with the DeepSeek-V3.2 sparse indexer is not "
-                    "supported (global top-k gather needs replicated cache)"
-                )
+            # The V3.2 sparse indexer is dcp-aware too: rank-local indexer
+            # logits pmax-merge into the exact global top-k, and the sparse
+            # MLA consumer LSE-combines over owned rows (indexer_topk /
+            # mla_sparse_attention_xla in models/deepseek.py; ref:
+            # cp_gather_indexer_k_quant_cache, csrc/cache_kernels.cu:1274).
         spec = config.speculative_config
         self.mtp = bool(
             spec is not None

@@ -261,6 +261,13 @@ def indexer_topk(
     Chunked over the context like mla_attention_xla_chunked — peak
     intermediate is (T, NH, CKV), never (T, NH, CTX). Returns (T, K) absolute
     positions, -1 where fewer than K causal tokens exist.
+
+    DCP: each rank scores only the indexer-K rows it owns (non-local pages
+    are sentinel-masked to -inf), then a pmax over the dcp axis reconstructs
+    the EXACT global logits row — every position is owned by exactly one
+    rank — so all ranks select the same global top-k. SPMD analog of the
+    reference's cp_gather_indexer_k_quant_cache + global top-k
+    (csrc/cache_kernels.cu:1274, models/deepseek_v2.py:585-727).
     """
     t, nh, di = q_idx.shape
     r, maxb = md.block_tables.shape
@@ -275,21 +282,33 @@ def indexer_topk(
     q_pos = md.positions[:, None]
     seq_len = md.seq_lens[md.req_idx][:, None]
     pos_in_chunk = jnp.arange(ckv, dtype=jnp.int32)[None, :]
+    nb_local = kv_cache.v.shape[0]
 
     def chunk_step(_, c):
         pages = jax.lax.dynamic_slice_in_dim(bt, c * cb, cb, axis=1)
         rows = jnp.take(kv_cache.v, pages, axis=0)  # (R, CB, 1, BS, DI)
         rows_tok = rows.reshape(r, ckv, di)[md.req_idx].astype(jnp.float32)
-        s = jnp.einsum("thd,tcd->thc", qf, rows_tok)  # (T, NH, CKV)
-        s = jnp.einsum("th,thc->tc", wf, jax.nn.relu(s))  # (T, CKV)
         kv_pos = c * ckv + pos_in_chunk
         mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+        if md.dcp_axis is not None:
+            # only score rows this rank owns (sentinel pages clamp in the
+            # take above; garbage they read is masked AND zeroed)
+            owned = jnp.repeat(pages < nb_local, bs, axis=1)  # (R, CKV)
+            mask &= owned[md.req_idx]
+            rows_tok = jnp.where(mask[:, :, None], rows_tok, 0.0)
+        s = jnp.einsum("thd,tcd->thc", qf, rows_tok)  # (T, NH, CKV)
+        s = jnp.einsum("th,thc->tc", wf, jax.nn.relu(s))  # (T, CKV)
         return 0, jnp.where(mask, s, _NEG_INF)
 
     _, logits = jax.lax.scan(
         chunk_step, 0, jnp.arange(nchunks, dtype=jnp.int32)
     )  # (NCHUNKS, T, CKV)
     logits = jnp.transpose(logits, (1, 0, 2)).reshape(t, nchunks * ckv)
+    if md.dcp_axis is not None:
+        # each position is -inf on every rank but its owner → pmax rebuilds
+        # the exact single-device logits row on all ranks, so the top-k
+        # below is globally identical (no gather of indexer-K rows needed)
+        logits = jax.lax.pmax(logits, md.dcp_axis)
     k = min(topk, nchunks * ckv)
     vals, idx = jax.lax.top_k(logits, k)  # positions ARE column indices
     return jnp.where(vals > _NEG_INF / 2, idx.astype(jnp.int32), -1)
@@ -304,28 +323,45 @@ def mla_sparse_attention_xla(
     topk_pos: jnp.ndarray,  # (T, K) absolute positions, -1 = invalid
 ) -> jnp.ndarray:
     """MQA over only the indexer-selected latent rows (ref:
-    flashmla_sparse.py:506 — topk indices → gathered sparse attention)."""
+    flashmla_sparse.py:506 — topk indices → gathered sparse attention).
+
+    DCP: topk_pos is globally identical on every rank (see indexer_topk);
+    each rank attends over the selected rows IT owns (non-local pages are
+    sentinel — masked and zeroed) and the partials merge via the same
+    distributed softmax as mla_attention_xla_chunked."""
     t, h, dq = q.shape
     bs = kv_cache.block_size
     safe = jnp.maximum(topk_pos, 0)
     pages = jnp.take_along_axis(
         md.block_tables[md.req_idx], safe // bs, axis=1
     )  # (T, K)
-    rows = kv_cache.k.reshape(-1, dq)[
-        (pages * bs + safe % bs).reshape(-1)
-    ].reshape(t, -1, dq)  # (T, K, 576)
+    valid = topk_pos >= 0
+    if md.dcp_axis is not None:
+        # clamp BEFORE the flat-index multiply: the DCP sentinel (2**28)
+        # times block_size would overflow int32
+        local = pages < kv_cache.k.shape[0]
+        valid &= local
+        pages = jnp.where(local, pages, 0)
+    flat = (pages * bs + safe % bs).reshape(-1)
+    rows = kv_cache.k.reshape(-1, dq)[flat].reshape(t, -1, dq)  # (T, K, 576)
     if kv_cache.quantized:
-        scale = kv_cache.k_scale.reshape(-1)[
-            (pages * bs + safe % bs).reshape(-1)
-        ].reshape(t, -1)
+        scale = kv_cache.k_scale.reshape(-1)[flat].reshape(t, -1)
         rows = rows.astype(jnp.float32) * scale[..., None]
     rows = rows.astype(jnp.float32)
+    if md.dcp_axis is not None:
+        rows = jnp.where(valid[:, :, None], rows, 0.0)
     s = jnp.einsum("thd,tkd->thk", q.astype(jnp.float32), rows) * sm_scale
-    s = jnp.where((topk_pos >= 0)[:, None, :], s, _NEG_INF)
+    s = jnp.where(valid[:, None, :], s, _NEG_INF)
     m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
     p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
-    out = jnp.einsum("thk,tkd->thd", p / denom, rows[..., :kv_lora_rank])
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    num = jnp.einsum("thk,tkd->thd", p, rows[..., :kv_lora_rank])
+    if md.dcp_axis is not None:
+        m_g = jnp.maximum(jax.lax.pmax(m, md.dcp_axis), -1e30)
+        w = jnp.exp(m - m_g)
+        num = jax.lax.psum(num * w, md.dcp_axis)
+        den = jax.lax.psum(den * w, md.dcp_axis)
+    out = num / jnp.maximum(den, 1e-30)
     return out.astype(q.dtype)
 
 
