@@ -278,6 +278,28 @@ def _v32_engine_config(dcp):
     return cfg
 
 
+def test_v32_indexer_dcp2_chunked_query_path():
+    """Same as above but with a 100-token prefill chunk so the sparse
+    attend takes the query-chunked lax.map branch (>64 rows) — the pmax /
+    psum merges must be legal and exact inside the mapped body too."""
+    cfgs = []
+    for dcp in (1, 2):
+        c = _v32_engine_config(dcp)
+        c.scheduler_config = SchedulerConfig(
+            max_num_seqs=4, max_num_batched_tokens=128
+        )
+        cfgs.append(c)
+    long_prompt = [(11 * i + 5) % 100 + 1 for i in range(100)]
+    ref = _run_engine(cfgs[0], prompts=[long_prompt], max_tokens=8)
+    out = _run_engine(
+        cfgs[1],
+        mesh=make_tp_mesh(1, dcp_size=2),
+        prompts=[long_prompt],
+        max_tokens=8,
+    )
+    assert out == ref
+
+
 def test_mla_dcp2_matches_single_device():
     ref = _run_engine(_mla_engine_config(1), prompts=_PROMPTS, max_tokens=20)
     out = _run_engine(
